@@ -1,0 +1,92 @@
+"""Delta + variable-byte posting-list compression (numpy-vectorized).
+
+The reference stores postings uncompressed in heap arrays
+(``structures/_SparseFeature.java``); compressed, block-structured posting
+lists are the idiomatic-Ray-native addition the north rule requires
+(delta-encoded doc_ids, varbyte, per-block max-score metadata).
+
+Varbyte layout: classic 7-bit groups, little-endian (least-significant group
+first), high bit set on the LAST byte of each integer — decode accumulates
+7-bit payloads until it sees a byte >= 0x80.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte bytes (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out_cols = []
+    remaining = v.copy()
+    mask_cols = []
+    while True:
+        out_cols.append((remaining & np.uint64(0x7F)).astype(np.uint8))
+        remaining = remaining >> np.uint64(7)
+        mask_cols.append(remaining > 0)
+        if not mask_cols[-1].any():
+            break
+    n_groups = len(out_cols)
+    # byte i of value j is emitted iff i == 0 or value j needed > i groups
+    emit = np.ones((n_groups, v.size), dtype=bool)
+    for i in range(1, n_groups):
+        emit[i] = mask_cols[i - 1]
+    # last emitted byte per value gets the high bit
+    counts = emit.sum(axis=0)  # groups per value
+    bytes_2d = np.stack(out_cols)  # (n_groups, n)
+    for i in range(n_groups):
+        is_last = counts == (i + 1)
+        bytes_2d[i] = np.where(is_last, bytes_2d[i] | 0x80, bytes_2d[i])
+    # column-major flatten taking only emitted bytes, preserving value order
+    flat = bytes_2d.T[emit.T]
+    return flat.tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array (vectorized)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) > 0
+    # group index of each byte within its value: position since previous last
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    values = np.zeros(ends.size, dtype=np.uint64)
+    # max 10 groups for uint64
+    width = ends - starts + 1
+    for g in range(int(width.max())):
+        sel = width > g
+        values[sel] |= payload[starts[sel] + g] << np.uint64(7 * g)
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 ids → first id + positive gaps."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    out = np.empty_like(a)
+    if a.size:
+        out[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted doc_ids, tfs) → (delta-varbyte doc_id bytes, varbyte tf bytes)."""
+    gaps = delta_encode(doc_ids).astype(np.uint64)
+    return varbyte_encode(gaps), varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varbyte_decode(doc_bytes).astype(np.int64))
+    tfs = varbyte_decode(tf_bytes).astype(np.int64)
+    return doc_ids, tfs

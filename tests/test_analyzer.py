@@ -1,0 +1,96 @@
+"""Analyzer-chain unit tests: normalize goldens (generated from the Java
+semantics), tokenizer rule, n-gram emission semantics (DocAnalyzer.java:223-258),
+stopword handling."""
+
+import os
+
+from ir_base_ray.functions.analyzer import Analyzer, analyze_simple, tokenize
+from ir_base_ray.functions.normalize import normalize
+from ir_base_ray.sources.stopwords import load_stopwords
+
+
+def test_golden_normalize(golden_dir):
+    bad = []
+    with open(os.path.join(golden_dir, "normalize.tsv"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if "\t" not in line:
+                continue
+            raw, expected = line.split("\t", 1)
+            got = normalize(raw)
+            if got != expected:
+                bad.append((raw, expected, got))
+    assert not bad, f"{len(bad)} normalize mismatches, first: {bad[:5]}"
+
+
+def test_normalize_basics():
+    assert normalize("Hello!") == "hello"
+    assert normalize("123") == "NUM"
+    assert normalize("café") == "caf"  # Java \W is ASCII: é stripped
+    assert normalize("ﬁsh") == "fish"  # NFKC expands ligature
+    assert normalize("...") == ""
+    assert normalize("①23") == "NUM"  # NFKC folds ① to 1
+
+
+def test_tokenize_edge_peel():
+    assert tokenize("(hello world)") == ["(", "hello", "world", ")"]
+    assert tokenize("end. Next") == ["end", ".", "Next"]
+    assert tokenize("—") == ["—"]
+    assert tokenize("a  b\t c\n") == ["a", "b", "c"]
+    assert tokenize("don't stop") == ["don't", "stop"]
+
+
+def test_stopwords_are_stemmed():
+    sw = load_stopwords()
+    # 'accordingly' is in the raw list; it is stored stemmed
+    assert "accord" in sw
+    assert "the" in sw
+    assert len(sw) > 500
+
+
+def test_unigram_analysis():
+    a = Analyzer(ngram=1)
+    r = a.analyze("The quick brown foxes jumped! 123 x abcdefghijklmnopqrstuvwxyz")
+    # 'the' is a stopword; 'quick' is filtered because the stopword list is
+    # stemmed at load and 'quickly'->'quick' (LoadStopwords semantics);
+    # foxes->fox, jumped->jump, 123->NUM (legit: len 3, not a stopword);
+    # '!' normalizes to '' (boundary), 'x' fails len>1, 26-char fails len<20
+    assert r.tokens == ["brown", "fox", "jump", "NUM"]
+    assert r.stopword_cnt == 5  # the, quick, !, x, >19-char token
+    assert r.raw_cnt == 9  # 'jumped!' peels into 'jumped' + '!'
+
+
+def test_ngram_boundary_and_legit():
+    a = Analyzer(ngram=2)
+    # 'the' is a stopword: unigram dropped, and bigrams containing it dropped
+    r = a.analyze("green the fox")
+    assert r.tokens == ["green", "fox"]
+    # punctuation boundary blocks the bigram
+    r2 = a.analyze("green . fox")
+    assert r2.tokens == ["green", "fox"]
+    # legit adjacent pair produces the joined bigram after each unigram
+    r3 = a.analyze("green brown fox")
+    assert r3.tokens == ["green", "brown", "green-brown", "fox", "brown-fox"]
+
+
+def test_trigram_order():
+    a = Analyzer(ngram=3)
+    r = a.analyze("alpha bravo delta")
+    # reference emission order: unigram, then (j descending) 2-gram, 3-gram
+    assert r.tokens == [
+        "alpha",
+        "bravo",
+        "alpha-bravo",
+        "delta",
+        "bravo-delta",
+        "alpha-bravo-delta",
+    ]
+
+
+def test_analyze_simple():
+    assert analyze_simple("The Quick 123 brown-fox!") == [
+        "the",
+        "quick",
+        "NUM",
+        "brownfox",
+    ]
