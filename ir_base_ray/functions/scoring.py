@@ -10,11 +10,43 @@ reference's left-to-right association order inside each expression.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 BM25_K1 = 1.5  # Analyzer.java:237
 BM25_B = 0.75  # Analyzer.java:238
 PLN_S = 0.5  # Analyzer.java:268
+
+
+def bm25_idf_exact(N: int, df: float) -> float:
+    """Scalar IDF = ln((N - DF + 0.5)/(DF + 0.5)) via libm ``math.log``.
+
+    numpy's SIMD ``np.log`` differs from libm by 1 ulp on ~1/4 of inputs;
+    BM25's only transcendental is this one log per TERM, so the engine
+    computes it scalar (bit-identical to the serial oracle) and vectorizes
+    everything else."""
+    return math.log((N - df + 0.5) / (df + 0.5))
+
+
+def bm25_weights_from_idf(
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    idf,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray:
+    """W4 with IDF precomputed (scalar per term or aligned array): pure
+    rational ops — bit-identical between numpy and scalar float64."""
+    TF = np.asarray(tf, dtype=np.float64)
+    n = np.asarray(doc_len, dtype=np.float64) / avgdl
+    return idf * TF * (k1 + 1) / (k1 * (1 - b + b * n) + TF)
+
+
+def bm25_idf_by_tid(N: int, df_by_tid: np.ndarray) -> np.ndarray:
+    """idf lookup array over the whole vocabulary (scalar libm log per term)."""
+    return np.array([bm25_idf_exact(N, float(d)) for d in df_by_tid], dtype=np.float64)
 
 
 def idf_plus1(N: int, df: np.ndarray) -> np.ndarray:

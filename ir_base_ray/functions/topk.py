@@ -63,6 +63,13 @@ class BoundedTopK:
         del self._items[self.k]
         return True
 
+    def __len__(self) -> int:
+        return len(self._scores)
+
+    @property
+    def full(self) -> bool:
+        return len(self._scores) >= self.k
+
     @property
     def threshold(self) -> float:
         """Current admission threshold (for WAND pruning): a new candidate

@@ -1,0 +1,157 @@
+"""End-to-end inverted-index build — the flagship Ray Data pipeline
+(SURVEY.md §7.1/§7.2, mirroring the reference's two-pass lifecycle
+``mains/Execution.java:59-77``: stats pass → vectorize/index pass, with the
+shared mutable dictionary replaced by groupby-aggregate).
+
+    read_parquet(corpus)                         # S1, column-pruned
+      → assign doc_id (global url sort → dense rank)        # §7.0 decision 2
+      → map_batches(AnalyzerActor, concurrency=N)           # M1-M8 actor pool
+      → write analyzed.parquet (token cache: pass 2 never re-tokenizes)
+      → docs.parquet (doc_id, url, doc_len) + meta.json (N, avgdl)
+      → dictionary: combiner + groupby(term) → term_id dense rank   # A1/A2
+      → postings: explode → broadcast dict join → hash-part shuffle
+        → per-partition encode (delta+varbyte, block max-score)      # §7.3
+      → per-partition manifests (resume)
+
+Index directory layout::
+
+    index_dir/
+      meta.json           N, avgdl, analyzer spec, knobs, stage timings
+      docs/*.parquet      doc_id, url, doc_len, n_terms (sorted by doc_id)
+      analyzed/*.parquet  doc_id, terms, tfs, doc_len (intermediate cache)
+      dict/*.parquet      term, term_id, df, ttf
+      postings/part=K/blocks.parquet
+      manifests/part-K.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ir_base_ray.config import IndexConfig
+from ir_base_ray.stages.analyze import analyze_dataset
+from ir_base_ray.stages.docids import assign_dense_ids
+from ir_base_ray.stages.postings import build_postings
+from ir_base_ray.stages.stats import build_dictionary, corpus_scalars
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write(str(time.time()))
+
+
+def _fresh_dir(path: str) -> None:
+    """Wipe a stage dir that exists WITHOUT a _DONE marker (partial write from
+    a killed run) so write_parquet can't append duplicate files."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
+    """Build the full index from a corpus Dataset with columns (url, text).
+    Returns the meta dict (also written to ``meta.json``).
+
+    Every stage output (analyzed/, docs/, dict/, each postings partition) is a
+    resumable unit: finished stages are skipped on re-run, partially-written
+    stage dirs (no ``_DONE`` marker) are wiped and rebuilt."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    timings: dict[str, float] = {}
+
+    # --- pass 0+1: doc ids, analyze, cache tokens --------------------------
+    analyzed_dir = os.path.join(cfg.out_dir, "analyzed")
+    if not _stage_done(analyzed_dir):
+        _fresh_dir(analyzed_dir)
+        t0 = time.time()
+        ids_ds = assign_dense_ids(corpus_ds, key="url", id_col="doc_id")
+        analyzed = analyze_dataset(
+            ids_ds,
+            cfg.analyzer,
+            keep_cols=("doc_id", "url"),
+            concurrency=cfg.analyzer_concurrency,
+            batch_size=cfg.analyzer_batch_size,
+        )
+        analyzed.write_parquet(analyzed_dir)
+        _mark_done(analyzed_dir)
+        timings["analyze"] = time.time() - t0
+
+    analyzed = ray.data.read_parquet(analyzed_dir)
+
+    # --- docs table + scalars ---------------------------------------------
+    t0 = time.time()
+    docs_dir = os.path.join(cfg.out_dir, "docs")
+    if not _stage_done(docs_dir):
+        _fresh_dir(docs_dir)
+        analyzed.select_columns(["doc_id", "url", "doc_len", "n_terms"]).write_parquet(docs_dir)
+        _mark_done(docs_dir)
+    scalars = corpus_scalars(analyzed)
+    timings["docs_scalars"] = time.time() - t0
+
+    # --- pass 2a: dictionary ----------------------------------------------
+    t0 = time.time()
+    dict_dir = os.path.join(cfg.out_dir, "dict")
+    if not _stage_done(dict_dir):
+        _fresh_dir(dict_dir)
+        dictionary = build_dictionary(analyzed.select_columns(["terms", "tfs"]))
+        dictionary.write_parquet(dict_dir)
+        _mark_done(dict_dir)
+    timings["dictionary"] = time.time() - t0
+
+    # broadcast the dictionary once (J1): term→term_id index + df-by-tid array
+    t0 = time.time()
+    dict_pdf = (
+        ray.data.read_parquet(dict_dir).to_pandas().sort_values("term_id").reset_index(drop=True)
+    )
+    term_index = pd.Index(dict_pdf["term"])
+    df_by_tid = dict_pdf["df"].to_numpy()
+    dict_ref = ray.put((term_index, df_by_tid))
+    from ir_base_ray.functions.scoring import bm25_idf_by_tid
+
+    idf_ref = ray.put(bm25_idf_by_tid(scalars["N"], df_by_tid))
+    timings["broadcast_dict"] = time.time() - t0
+
+    # --- pass 2b: postings -------------------------------------------------
+    t0 = time.time()
+    part_metrics = build_postings(
+        analyzed.select_columns(["doc_id", "terms", "tfs", "doc_len"]),
+        dict_ref,
+        idf_ref,
+        index_dir=cfg.out_dir,
+        block_doc_range=cfg.block_doc_range,
+        num_parts=cfg.num_partitions,
+        N=scalars["N"],
+        avgdl=scalars["avgdl"],
+    )
+    timings["postings"] = time.time() - t0
+
+    meta = {
+        "N": scalars["N"],
+        "avgdl": scalars["avgdl"],
+        "total_len": scalars["total_len"],
+        "vocab_size": int(len(dict_pdf)),
+        "block_doc_range": cfg.block_doc_range,
+        "num_partitions": cfg.num_partitions,
+        "analyzer": {
+            "ngram": cfg.analyzer.ngram,
+            "length_threshold": cfg.analyzer.length_threshold,
+            "mode": cfg.analyzer.mode,
+        },
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "partitions_built": int(len(part_metrics)),
+        "timings_s": {k: round(v, 3) for k, v in timings.items()},
+    }
+    with open(os.path.join(cfg.out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta

@@ -1,0 +1,65 @@
+"""Corpus statistics: the dictionary (term, term_id, df, ttf) plus scalars
+(N, avgdl) — the rebuild's immutable replacement for the reference's shared
+mutable vocabulary + ``_stat`` DF/TTF table (``Analyzer/Analyzer.java:38-40``,
+``structures/_stat.java:55-62``, lock-guarded in
+``MultiThreadedUserAnalyzer.java:64-68`` — replaced by groupby-aggregate, no
+locks, SURVEY.md §3/§4).
+
+Skew handling: DF/TTF are pre-aggregated per batch inside ``map_batches``
+(combiner pattern) so the ``groupby("term")`` shuffle moves one row per
+distinct term per batch, not one row per posting — head terms like "the"
+contribute #batches rows instead of #docs rows.
+
+Per-doc dedup inside the combiner makes DF exact (A1: +1 per doc containing
+the term, ``DocAnalyzer.java:392-394``; TTF +1 per token, ``:404-405``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Mean, Sum
+
+from ir_base_ray.stages.docids import assign_dense_ids
+
+
+def _partial_stats(batch: pa.Table) -> pa.Table:
+    """per-batch combiner: rows (term, df, ttf) with df = #docs in batch
+    containing term, ttf = Σ tf in batch."""
+    terms = batch.column("terms")
+    tfs = batch.column("tfs")
+    flat_terms = pa.chunked_array([c.flatten() for c in terms.chunks]) if isinstance(terms, pa.ChunkedArray) else terms.flatten()
+    flat_tfs = pa.chunked_array([c.flatten() for c in tfs.chunks]) if isinstance(tfs, pa.ChunkedArray) else tfs.flatten()
+    t = flat_terms.to_numpy(zero_copy_only=False)
+    f = flat_tfs.to_numpy(zero_copy_only=False)
+    # terms are distinct within a doc (Counter keys), so df = count of rows
+    uniq, inv = np.unique(t, return_inverse=True)
+    df = np.bincount(inv)
+    ttf = np.bincount(inv, weights=f.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "term": pa.array(uniq.tolist(), pa.string()),
+        "df": pa.array(df, pa.int64()),
+        "ttf": pa.array(ttf, pa.int64()),
+    })
+
+
+def build_dictionary(analyzed_ds):
+    """analyzed Dataset → dictionary Dataset (term, df, ttf, term_id) with
+    term_id = dense rank of term (sorted order — deterministic, unlike the
+    reference's grow-on-first-sight arrival order, ``Analyzer.java:126-130``)."""
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    dictionary = partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+    return assign_dense_ids(dictionary, key="term", id_col="term_id")
+
+
+def corpus_scalars(analyzed_ds) -> dict:
+    """N (corpus size) and avgdl (mean Σ-tf doc length), ``Analyzer.java:191,
+    239-242``. avgdl is recomputed exactly as the reference does: Σ doclen / N
+    in float64."""
+    agg = analyzed_ds.aggregate(Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len"))
+    n = int(agg["n_docs"])
+    total = float(agg["total_len"]) if agg["total_len"] is not None else 0.0
+    return {"N": n, "avgdl": total / n if n else 0.0, "total_len": total}

@@ -1,0 +1,151 @@
+"""End-to-end conformance: Ray Data index build + BM25 query engine vs the
+pinned full-scan oracle — rank-identical doc_ids AND bit-identical float64
+scores, including tie ordering (FIXTURES.md §5 invariants 1-3), plus the
+resume-from-checkpoint invariant (5)."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ir_base_ray.config import AnalyzerSpec, IndexConfig
+from ir_base_ray.pipelines.build_index import build_index
+from ir_base_ray.pipelines.query_engine import IndexSegment, search
+from ir_base_ray.sources.corpus import synth_corpus
+from ir_base_ray.sources.queries import synth_queries
+
+from tests.oracle import oracle_build, oracle_topk
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return synth_corpus(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, corpus_table, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    cfg = IndexConfig(
+        out_dir=out,
+        block_doc_range=64,  # small so multi-block paths are exercised
+        num_partitions=8,
+        analyzer_concurrency=2,
+        analyzer_batch_size=128,
+        analyzer=AnalyzerSpec(ngram=1),
+    )
+    corpus_ds = ray.data.from_arrow(corpus_table).select_columns(["url", "text"])
+    meta = build_index(corpus_ds, cfg)
+    return out, meta
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus_table):
+    return oracle_build(corpus_table, AnalyzerSpec(ngram=1))
+
+
+def test_meta_scalars_match(built_index, oracle_index):
+    _, meta = built_index
+    assert meta["N"] == oracle_index.N
+    assert meta["avgdl"] == oracle_index.avgdl
+    assert meta["vocab_size"] == len(oracle_index.term_id)
+
+
+def test_docids_match_sorted_urls(built_index, oracle_index):
+    out, _ = built_index
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out, "docs", "*.parquet")))
+    docs = pa.concat_tables(pq.read_table(f) for f in files).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    assert docs["url"].tolist() == oracle_index.urls
+    assert docs["doc_id"].tolist() == oracle_index.doc_ids
+    assert docs["doc_len"].tolist() == oracle_index.doc_len
+
+
+def test_dictionary_matches(built_index, oracle_index):
+    out, _ = built_index
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out, "dict", "*.parquet")))
+    d = pa.concat_tables(pq.read_table(f) for f in files).to_pandas()
+    d = d.sort_values("term_id").reset_index(drop=True)
+    assert d["term"].tolist() == sorted(oracle_index.term_id.keys())
+    assert {t: int(v) for t, v in zip(d["term"], d["df"])} == oracle_index.df
+    assert {t: int(v) for t, v in zip(d["term"], d["ttf"])} == oracle_index.ttf
+
+
+def test_topk_rank_identical(built_index, oracle_index, corpus_table):
+    out, _ = built_index
+    seg = IndexSegment(out)
+    queries = synth_queries(corpus_table, n_queries=40, seed=7)
+    mismatches = []
+    for qid, text, k in zip(
+        queries.column("query_id").to_pylist(),
+        queries.column("text").to_pylist(),
+        queries.column("k").to_pylist(),
+    ):
+        expected = oracle_topk(oracle_index, text, int(k))
+        for prune in (False, True):
+            got = seg.topk(text, int(k), prune=prune)
+            if got != expected:  # exact: same doc ids, same order, bitwise scores
+                mismatches.append((qid, prune, expected[:3], got[:3]))
+    assert not mismatches, f"{len(mismatches)} mismatching queries: {mismatches[:2]}"
+
+
+def test_search_actor_pool(built_index, corpus_table, oracle_index):
+    out, _ = built_index
+    queries = synth_queries(corpus_table, n_queries=12, seed=11)
+    results = search(ray.data.from_arrow(queries), out, concurrency=2).to_pandas()
+    for qid, text, k in zip(
+        queries.column("query_id").to_pylist(),
+        queries.column("text").to_pylist(),
+        queries.column("k").to_pylist(),
+    ):
+        sub = results[results["query_id"] == qid].sort_values("rank")
+        expected = oracle_topk(oracle_index, text, int(k))
+        assert sub["doc_id"].tolist() == [d for d, _ in expected]
+        assert sub["score"].tolist() == [s for _, s in expected]
+
+
+def _hash_dir(path: str) -> dict:
+    out = {}
+    for f in sorted(glob.glob(os.path.join(path, "postings", "**", "*.parquet"), recursive=True)):
+        out[os.path.relpath(f, path)] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+    return out
+
+
+def test_resume_skips_finished_partitions(ray_session, corpus_table, tmp_path):
+    """Kill-after-partition-k simulation: delete some partition outputs +
+    manifests, rebuild, and require byte-identical parquet across the board;
+    partitions with intact manifests must not be rewritten."""
+    out = str(tmp_path / "index")
+    cfg = IndexConfig(out_dir=out, block_doc_range=64, num_partitions=8,
+                      analyzer_concurrency=2, analyzer=AnalyzerSpec(ngram=1))
+    corpus_ds = ray.data.from_arrow(corpus_table).select_columns(["url", "text"])
+    build_index(corpus_ds, cfg)
+    before = _hash_dir(out)
+    kept_mtime = {}
+    # simulate dying after some partitions: remove parts 5..7 outputs+manifests
+    for p in (5, 6, 7):
+        shutil.rmtree(os.path.join(out, "postings", f"part={p}"), ignore_errors=True)
+        m = os.path.join(out, "manifests", f"part-{p}.json")
+        if os.path.exists(m):
+            os.remove(m)
+    for p in (0, 1, 2, 3, 4):
+        f = os.path.join(out, "postings", f"part={p}", "blocks.parquet")
+        if os.path.exists(f):
+            kept_mtime[p] = os.path.getmtime(f)
+    corpus_ds2 = ray.data.from_arrow(corpus_table).select_columns(["url", "text"])
+    build_index(corpus_ds2, cfg)
+    after = _hash_dir(out)
+    assert before == after, "resumed index differs from original"
+    for p, m in kept_mtime.items():
+        f = os.path.join(out, "postings", f"part={p}", "blocks.parquet")
+        assert os.path.getmtime(f) == m, f"finished partition {p} was rewritten"
