@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 top-k
+through the block-max query engine) on sf0.001. ``queries()`` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data tier: dedup / ANN / text analysis / multimodal plumbing);
+``oracle_sql()`` holds the DuckDB mirrors for everything SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,106 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on /root/testdata/sf0.001: build the full inverted index over
+    the documents corpus (full analyzer mode: tokenize → normalize → Porter2
+    stem → stopword/len filter), then answer a query batch through the
+    stateful query-actor pool. Returns the (query_id, rank, doc_id, score)
+    result Dataset."""
+    import shutil
+
+    import ray.data
+
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.pipelines.query_engine import search
+    from ir_base_ray.sources.corpus import corpus_from_documents
+    from ir_base_ray.sources.queries import synth_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = "/tmp/ir_index_entry"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        out_dir=index_dir,
+        block_doc_range=1024,
+        num_partitions=8,
+        analyzer_concurrency=2,
+        analyzer=AnalyzerSpec(ngram=1, mode="full"),
+    )
+    corpus = corpus_from_documents(sf_dir)
+    build_index(corpus, cfg)
+
+    import pyarrow.parquet as pq
+
+    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus_tbl = docs_tbl.rename_columns(["doc_id", "text"])
+    queries = synth_queries(corpus_tbl, n_queries=20, seed=3)
+    return search(ray.data.from_arrow(queries), index_dir, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ir_base_ray.pipelines import ops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A. corpus statistics (SURVEY.md §2.5)
+        "term_stats": ops.term_stats,                    # A1+A2 DF/TTF
+        "corpus_scalars": ops.corpus_scalars_op,         # A4 N/avgdl
+        "corpus_lm": ops.corpus_lm,                      # A5 background LM
+        "class_counts": ops.class_counts,                # A3
+        "nb_stats": ops.nb_stats,                        # A6 NaiveBayes sstats
+        # W. weighting (§2.7)
+        "bm25_weights": ops.bm25_weights,                # W4
+        "tfidf_weights": ops.tfidf_weights,              # W2
+        # flagship index + query engine (§7.1, Q1/J2/J3)
+        "topk_bm25_indexed": ops.topk_bm25_indexed,
+        # F. feature selection (§2.6)
+        "df_band": ops.df_band,                          # F1
+        "chi_select": ops.chi_select,                    # F4
+        "top_ttf_terms": ops.top_ttf_terms,              # F6/Q7 sort+limit
+        # grouping / joins / windows / splits (§2.4, §2.8)
+        "events_user_agg": ops.events_user_agg,          # J6
+        "events_hourly_window": ops.events_hourly_window,
+        "time_split": ops.time_split,                    # Q4
+        "region_revenue": ops.region_revenue,            # J5/J7 broadcast join
+        "lineitem_pricing": ops.lineitem_pricing,        # wide groupby agg
+        "fold_assign": ops.fold_assign,                  # Q5 deterministic folds
+        # training-data tier: dedup / similarity / text analysis
+        "dedup_exact": ops.dedup_exact,
+        "dedup_minhash": ops.dedup_minhash,              # rows-only
+        "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,  # rows-only
+        "dedup_simhash": ops.dedup_simhash,              # rows-only
+        "ann_cosine_topk": ops.ann_cosine_topk,
+        "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only
+        "text_quality": ops.text_quality_scores,
+        "token_counts": ops.token_count_scores,
+        "lang_id": ops.lang_id_predictions,              # rows-only
+        "doc_fingerprints": ops.doc_fingerprints,        # rows-only
+        "media_features": ops.media_feature_extract,     # rows-only (stub decode)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ir_base_ray.pipelines import ops
+
+    return {
+        "term_stats": ops.SQL_TERM_STATS,
+        "corpus_scalars": ops.SQL_CORPUS_SCALARS,
+        "corpus_lm": ops.SQL_CORPUS_LM,
+        "class_counts": ops.SQL_CLASS_COUNTS,
+        "nb_stats": ops.SQL_NB_STATS,
+        "bm25_weights": ops.SQL_BM25_WEIGHTS,
+        "tfidf_weights": ops.SQL_TFIDF_WEIGHTS,
+        "topk_bm25_indexed": ops.sql_topk_bm25(),
+        "df_band": ops.SQL_DF_BAND,
+        "chi_select": ops.SQL_CHI_SELECT,
+        "top_ttf_terms": ops.SQL_TOP_TTF,
+        "events_user_agg": ops.SQL_EVENTS_USER_AGG,
+        "events_hourly_window": ops.SQL_EVENTS_HOURLY,
+        "time_split": ops.SQL_TIME_SPLIT,
+        "region_revenue": ops.SQL_REGION_REVENUE,
+        "lineitem_pricing": ops.SQL_LINEITEM_PRICING,
+        "fold_assign": ops.SQL_FOLD_ASSIGN,
+        "dedup_exact": ops.SQL_DEDUP_EXACT,
+        "ann_cosine_topk": ops.SQL_ANN_COSINE,
+        "text_quality": ops.SQL_TEXT_QUALITY,
+        "token_counts": ops.SQL_TOKEN_COUNTS,
+    }

@@ -1,0 +1,797 @@
+"""Operator catalog: every ``queries()`` entry of ``__ray_entry__`` lives
+here, one function per implemented operator/pipeline from SURVEY.md §2, each
+taking ``sf_dir`` and returning a Dataset / DataFrame / Arrow table. The
+matching DuckDB oracle SQL strings live in ``ORACLE_SQL`` (same keys); ops
+with no SQL-expressible semantics (stemming, LSH, fingerprints...) have no
+entry there and get rows-only checks.
+
+SQL-parity conventions:
+- text ops run the "simple mode" analyzer (``analyze_simple``) which is
+  mirrored EXACTLY by ``_TOKENS_CTE`` below (whitespace split → ASCII
+  ``[^a-zA-Z0-9_]`` strip → lower → all-digits → 'NUM' → drop empty);
+- pure integer aggregates compare bit-exactly; float expressions ending in
+  transcendentals or order-dependent double sums are ``round()``-ed to the
+  same precision on both sides;
+- every computed column is named identically in Ray and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ir_base_ray.functions.analyzer import analyze_simple
+
+# ---------------------------------------------------------------- helpers
+
+_TOKENS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN regexp_matches(stripped, '^[0-9]+$') THEN 'NUM' ELSE stripped END AS term
+  FROM (
+    SELECT doc_id, lower(regexp_replace(t, '[^a-zA-Z0-9_]+', '', 'g')) AS stripped
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+  ) WHERE stripped <> ''
+)
+"""
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _explode_tokens(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, term) rows, simple mode."""
+    ids_out, terms_out = [], []
+    for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        toks = analyze_simple(t or "")
+        ids_out.extend([i] * len(toks))
+        terms_out.extend(toks)
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "term": pa.array(terms_out, pa.string()),
+    })
+
+
+def _partial_term_stats(batch: pa.Table) -> pa.Table:
+    """combiner: (doc_id, text) → (term, df_part, ttf_part) per batch —
+    pre-aggregation before the groupby shuffle (A1/A2 pattern)."""
+    df_c: Counter = Counter()
+    ttf_c: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        counts = Counter(analyze_simple(t or ""))
+        df_c.update(counts.keys())
+        ttf_c.update(counts)
+    terms = sorted(df_c)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df_part": pa.array([df_c[t] for t in terms], pa.int64()),
+        "ttf_part": pa.array([ttf_c[t] for t in terms], pa.int64()),
+    })
+
+
+def _term_stats_ds(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(_partial_term_stats, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(
+        Sum("df_part", alias_name="df"), Sum("ttf_part", alias_name="ttf")
+    )
+
+
+def _doc_len_ds(sf_dir: str):
+    """(doc_id, doc_len) in simple mode."""
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        lens = [len(analyze_simple(t or "")) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "doc_len": pa.array(lens, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_lens, batch_format="pyarrow"
+    )
+
+
+# ======================================================================
+# A. corpus statistics / aggregation operators
+# ======================================================================
+
+def term_stats(sf_dir: str):
+    """A1+A2: exact DF/TTF per term (combiner + groupby-sum; the reference's
+    ``_stat`` table, ``structures/_stat.java:55-62``)."""
+    return _term_stats_ds(sf_dir)
+
+
+SQL_TERM_STATS = _TOKENS_CTE + """
+SELECT term, count(*) AS ttf, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term
+"""
+
+
+def corpus_scalars_op(sf_dir: str):
+    """A4: N, total token count, avgdl (``Analyzer.java:191,239-242``)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = _doc_len_ds(sf_dir).aggregate(Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len"))
+    n = int(agg["n_docs"])
+    total = int(agg["total_len"])
+    return pd.DataFrame({"n_docs": [n], "total_len": [total], "avgdl": [total / n]})
+
+
+SQL_CORPUS_SCALARS = _TOKENS_CTE + """
+, dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id)
+SELECT count(*) AS n_docs, sum(doc_len)::BIGINT AS total_len,
+       sum(doc_len)::DOUBLE / count(*) AS avgdl
+FROM dl
+"""
+
+
+def corpus_lm(sf_dir: str):
+    """A5: background language model p(w) = TTF(w)/ΣTTF
+    (``languageModelBaseLine.java:41-66``)."""
+    stats = _term_stats_ds(sf_dir).to_pandas()
+    total = int(stats["ttf"].sum())
+    stats["p_w"] = (stats["ttf"].to_numpy().astype(np.float64) / total).round(10)
+    return stats[["term", "p_w"]]
+
+
+SQL_CORPUS_LM = _TOKENS_CTE + """
+, tt AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term)
+SELECT term, round(ttf::DOUBLE / (SELECT sum(ttf)::DOUBLE FROM tt), 10) AS p_w FROM tt
+"""
+
+
+def class_counts(sf_dir: str):
+    """A3: docs per class (lang), ``DocAnalyzer.java:486``."""
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_CLASS_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def nb_stats(sf_dir: str):
+    """A6: NaiveBayes sufficient statistics — per-(class, term) Σ tf with the
+    reference's additive smoothing δ=0.1 log-ratio
+    (``Classifier/supervised/NaiveBayes.java:70-88``)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: Counter = Counter()
+        for lang, t in zip(batch.column("lang").to_pylist(), batch.column("text").to_pylist()):
+            for term, c in Counter(analyze_simple(t or "")).items():
+                acc[(lang, term)] += c
+        keys = sorted(acc)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "tf_part": pa.array([acc[k] for k in keys], pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(["lang", "term"]).aggregate(
+        Sum("tf_part", alias_name="sum_tf")
+    )
+    pdf = agg.to_pandas()
+    # smoothing: log((tf + δ) / (Σ_class tf + δ·V)), δ=0.1, V = vocab size
+    V = pdf["term"].nunique()
+    totals = pdf.groupby("lang")["sum_tf"].transform("sum").to_numpy().astype(np.float64)
+    delta = 0.1
+    pdf["log_prob"] = np.round(
+        np.log((pdf["sum_tf"].to_numpy() + delta) / (totals + delta * V)), 6
+    )
+    return pdf[["lang", "term", "sum_tf", "log_prob"]]
+
+
+SQL_NB_STATS = _TOKENS_CTE + """
+, tc AS (
+  SELECT d.lang AS lang, k.term AS term, count(*) AS sum_tf
+  FROM toks k JOIN documents d USING (doc_id)
+  GROUP BY d.lang, k.term
+), tot AS (SELECT lang, sum(sum_tf)::DOUBLE AS total FROM tc GROUP BY lang),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS vocab FROM tc)
+SELECT tc.lang, tc.term, tc.sum_tf,
+       round(ln((tc.sum_tf + 0.1) / (tot.total + 0.1 * v.vocab)), 6) AS log_prob
+FROM tc JOIN tot ON tc.lang = tot.lang CROSS JOIN v
+"""
+
+
+# ======================================================================
+# W. weighting schemes (global stats ⊗ per-doc map)
+# ======================================================================
+
+_BM25_SQL_CORE = _TOKENS_CTE + """
+, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+  dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+  dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+  scal AS (SELECT count(*)::BIGINT AS n, sum(doc_len)::DOUBLE / count(*) AS avgdl FROM dl)
+"""
+
+
+def bm25_weights(sf_dir: str):
+    """W4: per-(doc, term) BM25 weight, k1=1.5 b=0.75, exact reference
+    expression (``Analyzer.java:235-263``), rounded to 4 decimals for the
+    cross-engine comparison."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
+    tf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf"))
+    tf_pdf = tf.to_pandas()
+
+    dl = tf_pdf.groupby("doc_id")["tf"].sum().rename("doc_len")
+    dict_df = tf_pdf.groupby("term")["doc_id"].nunique().rename("df")
+    N = int(dl.size)
+    avgdl = float(dl.sum()) / N
+
+    m = tf_pdf.merge(dl, on="doc_id").merge(dict_df, on="term")
+    tfv = m["tf"].to_numpy().astype(np.float64)
+    dlv = m["doc_len"].to_numpy().astype(np.float64)
+    dfv = m["df"].to_numpy().astype(np.float64)
+    k1, b = 1.5, 0.75
+    n = dlv / avgdl
+    idf = np.log((N - dfv + 0.5) / (dfv + 0.5))
+    w = idf * tfv * (k1 + 1) / (k1 * (1 - b + b * n) + tfv)
+    m["bm25"] = np.round(w, 4)
+    return m[["doc_id", "term", "tf", "bm25"]]
+
+
+SQL_BM25_WEIGHTS = _BM25_SQL_CORE + """
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(
+         ln((scal.n - dict.df + 0.5) / (dict.df + 0.5)) * tf.tf * 2.5
+         / (1.5 * (0.25 + 0.75 * (dl.doc_len / scal.avgdl)) + tf.tf), 4) AS bm25
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+"""
+
+
+def tfidf_weights(sf_dir: str):
+    """W2: TF/doclen · ln((N+1)/DF) (``Analyzer.java:193-213``), rounded 6."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
+    tf_pdf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
+    dl = tf_pdf.groupby("doc_id")["tf"].sum().rename("doc_len")
+    dict_df = tf_pdf.groupby("term")["doc_id"].nunique().rename("df")
+    N = int(dl.size)
+    m = tf_pdf.merge(dl, on="doc_id").merge(dict_df, on="term")
+    TF = m["tf"].to_numpy().astype(np.float64) / m["doc_len"].to_numpy().astype(np.float64)
+    IDF = np.log((N + 1) / m["df"].to_numpy().astype(np.float64))
+    m["tfidf"] = np.round(TF * IDF, 6)
+    return m[["doc_id", "term", "tfidf"]]
+
+
+SQL_TFIDF_WEIGHTS = _BM25_SQL_CORE + """
+SELECT tf.doc_id, tf.term,
+       round((tf.tf::DOUBLE / dl.doc_len) * ln((scal.n + 1)::DOUBLE / dict.df), 6) AS tfidf
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+"""
+
+
+# ======================================================================
+# Q/J. top-k BM25 through the REAL index engine (flagship, SQL-checked)
+# ======================================================================
+
+_FIXED_QUERIES = [
+    (0, "table batch key"),
+    (1, "merge sort window"),
+    (2, "spark stream"),
+    (3, "customer group vector line"),
+    (4, "nosuchtermanywhere"),
+]
+_FIXED_K = 20
+
+
+def topk_bm25_indexed(sf_dir: str):
+    """Flagship: build the full Ray Data inverted index (doc-id assignment →
+    analyzer actors → dictionary groupby → salted posting shuffle → varbyte
+    encode) in SQL-mirrorable simple mode over ``documents``, then answer
+    fixed queries through the block-max query engine. Output re-ranked by
+    (round(score,4) DESC, doc_id) so the SQL oracle can reproduce rank
+    deterministically (exact MyPriorityQueue tie order is asserted separately
+    in pytest against the pinned oracle)."""
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.pipelines.query_engine import IndexSegment
+    from ir_base_ray.sources.corpus import corpus_from_documents
+
+    index_dir = f"/tmp/ir_index_simple_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(
+        out_dir=index_dir, block_doc_range=1024, num_partitions=16,
+        analyzer_concurrency=4, analyzer=AnalyzerSpec(ngram=1, mode="simple"),
+    )
+    build_index(corpus_from_documents(sf_dir), cfg)
+    seg = IndexSegment(index_dir)
+    rows = []
+    for qid, text in _FIXED_QUERIES:
+        # full candidate scoring + deterministic (round(score,4) DESC, doc_id)
+        # ranking — robust to last-ulp libm differences vs the SQL engine at
+        # the k-th boundary; the exact MyPriorityQueue/BoundedTopK path is
+        # asserted bit-exactly in pytest against the pinned oracle instead
+        docs, scores = seg.scores(text)
+        sr = np.round(scores, 4)
+        order = np.lexsort((docs, -sr))[:_FIXED_K]
+        for rank, j in enumerate(order, start=1):
+            rows.append((qid, rank, int(docs[j]), float(sr[j])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _sql_topk_one(qid: int, text: str) -> str:
+    toks = analyze_simple(text)
+    qtf = Counter(toks)
+    if not qtf:
+        return None
+    cases = " + ".join(
+        f"CASE WHEN s.term = '{t}' THEN {float(c)} * s.w ELSE 0 END" for t, c in qtf.items()
+    )
+    in_list = ", ".join(f"'{t}'" for t in qtf)
+    return f"""
+SELECT {qid} AS query_id, rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM (
+    SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+      SELECT s.doc_id, {cases} AS contrib
+      FROM scored s WHERE s.term IN ({in_list})
+    ) GROUP BY doc_id
+  )
+) WHERE rank <= {_FIXED_K}
+"""
+
+
+def sql_topk_bm25() -> str:
+    # NOTE: the doc_id here must match the engine's dense-rank-of-url ids;
+    # corpus_from_documents builds url from zero-padded doc_id, so dense rank
+    # of url == dense rank of doc_id == doc_id itself when ids are contiguous
+    # from 0 (the driver generator guarantees that).
+    body = _BM25_SQL_CORE + """
+, scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln((scal.n - dict.df + 0.5) / (dict.df + 0.5)) * tf.tf * 2.5
+         / (1.5 * (0.25 + 0.75 * (dl.doc_len / scal.avgdl)) + tf.tf) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+)
+"""
+    parts = [p for p in (_sql_topk_one(qid, text) for qid, text in _FIXED_QUERIES) if p]
+    return body + " UNION ALL ".join(f"({p})" for p in parts)
+
+
+# ======================================================================
+# F. feature selection
+# ======================================================================
+
+def df_band(sf_dir: str):
+    """F1: DF band filter, exclusive bounds (``FeatureSelector.java:64-71``):
+    keep 5 < df < 2000."""
+    stats = _term_stats_ds(sf_dir)
+
+    def band(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch.column("df"), 5), pc.less(batch.column("df"), 2000))
+        return batch.filter(keep).select(["term", "df"])
+
+    return stats.map_batches(band, batch_format="pyarrow")
+
+
+SQL_DF_BAND = _TOKENS_CTE + """
+SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+HAVING df > 5 AND df < 2000
+"""
+
+
+def chi_select(sf_dir: str):
+    """F4: χ² score per term against lang classes, weighted by class prior
+    (``FeatureSelector.java:147-169``, ``Utils.ChiSquare``), min_df=5,
+    rounded 6."""
+    from ray.data.aggregate import Count
+    from ir_base_ray.stages.featsel import chi_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: Counter = Counter()
+        for lang, t in zip(batch.column("lang").to_pylist(), batch.column("text").to_pylist()):
+            for term in set(analyze_simple(t or "")):
+                acc[(lang, term)] += 1
+        keys = sorted(acc)
+        return pa.table({
+            "class": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "df_part": pa.array([acc[k] for k in keys], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    per_class = docs.map_batches(partial, batch_format="pyarrow").groupby(["class", "term"]).aggregate(
+        Sum("df_part", alias_name="df_c")
+    ).to_pandas()
+    counts = _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    class_counts_d = dict(zip(counts["lang"], counts["n"].astype(int)))
+    scored = chi_scores(per_class, class_counts_d, min_df=5, max_df=10**9)
+    scored["chi2"] = scored["score"].round(6)
+    return scored[["term", "chi2"]]
+
+
+SQL_CHI_SELECT = _TOKENS_CTE + """
+, per_class AS (
+  SELECT d.lang AS class, k.term AS term, count(DISTINCT k.doc_id) AS df_c
+  FROM toks k JOIN documents d USING (doc_id) GROUP BY d.lang, k.term
+), cls AS (SELECT lang AS class, count(*)::DOUBLE AS member FROM documents GROUP BY lang),
+  nn AS (SELECT sum(member) AS n FROM cls),
+  termdf AS (SELECT term, sum(df_c)::DOUBLE AS df FROM per_class GROUP BY term),
+  grid AS (
+    SELECT t.term, c.class, c.member, t.df, coalesce(p.df_c, 0)::DOUBLE AS a
+    FROM termdf t CROSS JOIN cls c
+    LEFT JOIN per_class p ON p.term = t.term AND p.class = c.class
+  )
+SELECT term, round(sum(
+    (SELECT n FROM nn) * (a * ((SELECT n FROM nn) - df - member + a) - (df - a) * (member - a))
+                       * (a * ((SELECT n FROM nn) - df - member + a) - (df - a) * (member - a))
+    / member / ((df - a) + ((SELECT n FROM nn) - df - member + a))
+    / df / ((member - a) + ((SELECT n FROM nn) - df - member + a))
+    * member / (SELECT n FROM nn)
+  ), 6) AS chi2
+FROM grid WHERE df > 5 GROUP BY term
+"""
+
+
+def top_ttf_terms(sf_dir: str):
+    """F6/Q7: top-20 terms by TTF (sort+limit with pinned tie-break)."""
+    stats = _term_stats_ds(sf_dir)
+    pdf = stats.to_pandas().sort_values(["ttf", "term"], ascending=[False, True]).head(20)
+    return pdf[["term", "ttf"]].reset_index(drop=True)
+
+
+SQL_TOP_TTF = _TOKENS_CTE + """
+SELECT term, count(*) AS ttf FROM toks GROUP BY term
+ORDER BY ttf DESC, term LIMIT 20
+"""
+
+
+# ======================================================================
+# relational / grouping / join / window operators over the star schema
+# ======================================================================
+
+def events_user_agg(sf_dir: str):
+    """J6-analog: per-user aggregation over the events stream."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
+    out = ev.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+SQL_EVENTS_USER_AGG = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped op over the ordered log):
+    per (user_id, hour bucket) counts + sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("hour", hour)
+
+    out = ev.map_batches(add_bucket, batch_format="pyarrow").groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def time_split(sf_dir: str):
+    """Q4 (``UserAnalyzer.java:206-237``): per-user sort by timestamp, split
+    25% TRAIN / 50% ADAPT / 25% TEST; returns counts per (user_id, split).
+    Split rule pinned as: rn ≤ ⌊0.25n⌋ → train; rn ≤ ⌊0.75n⌋ → adapt; else
+    test (1-indexed rn ordered by (ts, event_id))."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def split(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        rn = np.arange(1, n + 1)
+        lab = np.where(rn <= n * 25 // 100, "train", np.where(rn <= n * 75 // 100, "adapt", "test"))
+        g["split"] = lab
+        return g.groupby(["user_id", "split"], as_index=False).size().rename(columns={"size": "n"})
+
+    return ev.groupby("user_id").map_groups(split, batch_format="pandas")
+
+
+SQL_TIME_SPLIT = """
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN rn <= n * 25 // 100 THEN 'train'
+            WHEN rn <= n * 75 // 100 THEN 'adapt'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+def region_revenue(sf_dir: str):
+    """J5/J7-analog: broadcast-hash join through two dimension tables
+    (customer→nation→region, dims shipped via ray.put, orders streamed)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cust_region = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name"]]
+    lookup_ref = ray.put(dict(zip(cust_region["c_custkey"], cust_region["r_name"])))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(ck) for ck in batch.column("o_custkey").to_pylist()]
+        return pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "o_totalprice": batch.column("o_totalprice"),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = orders.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name AS r_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (the canonical wide groupby):
+    per (returnflag, linestatus) sums/means over lineitem."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("revenue", rev)
+
+    out = li.map_batches(revenue, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    return out
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def fold_assign(sf_dir: str):
+    """Q5: deterministic CV fold column (determinism fix for the reference's
+    unseeded ``Random`` fold mask, ``_Corpus.java:104-109``): fold =
+    doc_id % 10."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fold": pa.array(ids % 10, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_FOLD_ASSIGN = "SELECT doc_id, doc_id % 10 AS fold FROM documents"
+
+
+# ======================================================================
+# dedup / similarity / text analysis (training-data tier)
+# ======================================================================
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id survives per identical text (hash-partitioned
+    groupby on content hash)."""
+    from ir_base_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs (no SQL oracle: LSH bucketing is not
+    SQL-expressible; exactness is covered by pytest vs brute-force Jaccard)."""
+    from ir_base_ray.stages.dedup import minhash_lsh_dedup
+
+    _, verified = minhash_lsh_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_perm=64, num_bands=16, shingle_n=3, threshold=0.5,
+    )
+    verified["jaccard"] = verified["jaccard"].round(6)
+    return verified
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard pairs ≥ 0.5 via inverted shingle index."""
+    from ir_base_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             shingle_n=3, threshold=0.5)
+    pdf = ds.to_pandas()
+    pdf["jaccard"] = pdf["jaccard"].round(6)
+    return pdf
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 6 over 64-bit tf-weighted simhash)."""
+    from ir_base_ray.stages.dedup import simhash_dataset, simhash_near_pairs
+
+    sim = simhash_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_near_pairs(sim, max_hamming=6)
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Similarity search: exact brute-force cosine top-10 for the first 5
+    vectors as queries (numpy matmul per batch against the broadcast query
+    matrix, per-batch partial top-k, driver merge)."""
+    from ir_base_ray.stages.ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.take(5)
+    q_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in head])
+    out = brute_force_topk(emb, q_ids, q_mat, k=10)
+    out = out.copy()
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) - 1 AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank < 10
+"""
+
+
+def embedding_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup (LSH-bucketed, cosine ≥ 0.99)."""
+    from ir_base_ray.stages.ann import embedding_near_dup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    out = embedding_near_dup(emb, dim=dim, threshold=0.99).to_pandas()
+    if len(out):
+        out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def text_quality_scores(sf_dir: str):
+    """Quality scoring: per-doc length/punct/digit/stopword metrics."""
+    from ir_base_ray.stages.textstats import text_quality
+
+    out = text_quality(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    for c in ("avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio"):
+        out[c] = out[c].round(6)
+    return out
+
+
+SQL_TEXT_QUALITY = r"""
+WITH ws AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types,
+         round(sum(length(tok))::DOUBLE / count(*), 6) AS avg_token_len,
+         round(sum(CASE WHEN lower(tok) IN ('the','and','of','to','is','in','that','it','was','for') THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS stopword_ratio
+  FROM ws GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_types, 0) AS n_types,
+       coalesce(a.avg_token_len, 0.0) AS avg_token_len,
+       round(length(regexp_replace(d.text, '[\w\s]', '', 'g'))::DOUBLE / nullif(length(d.text), 0), 6) AS punct_ratio,
+       round(length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE / nullif(length(d.text), 0), 6) AS digit_ratio,
+       coalesce(a.stopword_ratio, 0.0) AS stopword_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def token_count_scores(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex pretokenization."""
+    from ir_base_ray.stages.textstats import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS n_ws_tokens,
+       coalesce(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')), 0) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def lang_id_predictions(sf_dir: str):
+    """Language-ID heuristic (rows-only: marker-list argmax)."""
+    from ir_base_ray.stages.textstats import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash fingerprints (rows-only: polynomial mod-arith)."""
+    from ir_base_ray.stages.textstats import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def media_feature_extract(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media table → actor-pool decode
+    (stubbed deterministic fake) + feature extraction."""
+    from ir_base_ray.stages.multimodal import media_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(200, seed=42))
+    return media_features(ds).select_columns(["media_id", "media_type", "n_bytes"])

@@ -127,6 +127,48 @@ class IndexSegment:
         order = np.argsort(tids, kind="stable")
         return tids[order], qtfs[order]
 
+    def scores(self, text: str):
+        """Full candidate scoring: → (doc_ids ascending, scores) numpy arrays
+        over every doc sharing ≥1 query term (no top-k truncation). Used by
+        SQL-parity checks and downstream rankers."""
+        tids, qtfs = self.query_vector(text)
+        out_docs, out_scores = [], []
+        if tids.size:
+            chunk_set: dict[int, list[tuple[int, float, int]]] = {}
+            for tid, qtf in zip(tids, qtfs):
+                rng = self._tid_starts.get(int(tid))
+                if rng is None:
+                    continue
+                for i in range(rng[0], rng[1]):
+                    chunk_set.setdefault(int(self._blk_chunk[i]), []).append((i, qtf, int(tid)))
+            for chunk in sorted(chunk_set):
+                docs, ws = self._score_chunk(chunk_set[chunk])
+                out_docs.append(docs)
+                out_scores.append(ws)
+        if not out_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(out_docs), np.concatenate(out_scores)
+
+    def _score_chunk(self, blocks):
+        """blocks (tid-ascending) of ONE chunk → (unique docs asc, scores);
+        float64 sum order = ascending term_id (J2 walk order)."""
+        doc_parts, w_parts = [], []
+        for i, qtf, tid in blocks:
+            d, tf = self._decode_block(i)
+            w = qtf * bm25_weights_from_idf(
+                tf, self.doc_len[d], self.idf_by_tid[tid], self.avgdl,
+                self.k1, self.b,
+            )
+            doc_parts.append(d)
+            w_parts.append(w)
+        docs = np.concatenate(doc_parts)
+        ws = np.concatenate(w_parts)
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        ws = ws[order]
+        starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+        return docs[starts], np.add.reduceat(ws, starts)
+
     def topk(self, text: str, k: int, prune: bool = True) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] descending, exact MyPriorityQueue order."""
         tids, qtfs = self.query_vector(text)
@@ -154,24 +196,7 @@ class IndexSegment:
                     ub += qtf * self._blk_max[i]
                 if ub <= queue.threshold:
                     continue
-            doc_parts = []
-            w_parts = []
-            for i, qtf, tid in blocks:
-                d, tf = self._decode_block(i)
-                w = qtf * bm25_weights_from_idf(
-                    tf, self.doc_len[d], self.idf_by_tid[tid], self.avgdl,
-                    self.k1, self.b,
-                )
-                doc_parts.append(d)
-                w_parts.append(w)
-            docs = np.concatenate(doc_parts)
-            ws = np.concatenate(w_parts)
-            order = np.argsort(docs, kind="stable")
-            docs = docs[order]
-            ws = ws[order]
-            starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
-            scores = np.add.reduceat(ws, starts)
-            uniq_docs = docs[starts]
+            uniq_docs, scores = self._score_chunk(blocks)
             for d, s in zip(uniq_docs.tolist(), scores.tolist()):
                 queue.add(s, d)
         return [(doc, score) for score, doc in queue.result()]

@@ -1,0 +1,367 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no document dedup (SURVEY.md §2.9) — these are the
+Ray-native additions a 100 TB web-corpus pipeline needs. All operators follow
+the same scale shape: per-batch vectorized signature computation inside
+``map_batches`` (zero driver involvement), then a single keyed
+groupby/aggregate shuffle over the much smaller signature stream.
+
+- exact_dedup:      content hash → hash-partitioned first-wins survivor pick
+- ngram_shingles:   char/word shingle sets (basis for Jaccard/MinHash)
+- minhash_lsh:      k permutations → b bands → bucket groupby → candidate
+                    pairs → exact Jaccard verify
+- simhash:          64-bit hyperplane-free simhash over token hashes;
+                    near-dup iff hamming distance ≤ t (banded lookup)
+- embedding near-dup: cosine over normalized embedding vectors (see ann.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
+    """Vectorized sha1 content hash per row (cheap, collision-safe at 10^12)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hashes = [hashlib.sha1((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return ds.map_batches(hash_batch, batch_format="pyarrow")
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the smallest id per identical text (hash-partitioned shuffle on
+    the content hash; survivor rule = min id, deterministic)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = add_content_hash(ds, text_col)
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+        .select_columns([id_col, "n_dups"])
+    )
+
+
+# ------------------------------------------------------------------- shingles
+
+def _word_shingles(tokens: list[str], n: int) -> set[str]:
+    if len(tokens) < n:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# --------------------------------------------------------------- minhash LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(shingles: set[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") for s in shingles],
+        dtype=np.uint64,
+    )
+
+
+def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod M minwise over shingle hashes, per permutation."""
+    if hashes.size == 0:
+        return np.full(a.shape, np.uint64(_MERSENNE), dtype=np.uint64)
+    # (num_perm, n_shingles) — modmul in python ints would be slow; 64-bit
+    # wraparound is fine for minwise consistency as long as it's deterministic
+    prod = hashes[None, :] * a[:, None] + b[:, None]
+    return prod.min(axis=1)
+
+
+class MinHashActor:
+    """Stateful stage: permutation params + tokenizer built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 7,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.shingle_n = shingle_n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = []
+        for t in texts:
+            sh = _word_shingles((t or "").split(), self.shingle_n)
+            sigs.append(_minhash_sig(_shingle_hashes(sh), self.a, self.b))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+        })
+
+
+def minhash_bands(sig_ds, *, num_bands: int, id_col: str = "doc_id"):
+    """signatures → exploded (band_id, band_hash, doc_id) rows for the LSH
+    bucket groupby."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_numpy())
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch.column("sig").to_pylist()])
+        num_perm = sigs.shape[1]
+        rows_per = num_perm // num_bands
+        out_ids, out_band, out_hash = [], [], []
+        for bnd in range(num_bands):
+            seg = sigs[:, bnd * rows_per : (bnd + 1) * rows_per]
+            bh = [hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest() for i in range(seg.shape[0])]
+            out_ids.append(ids)
+            out_band.append(np.full(ids.shape, bnd, dtype=np.int64))
+            out_hash.extend(bh)
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            "band_id": pa.array(np.concatenate(out_band), pa.int64()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        })
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(band_ds, id_col: str = "doc_id"):
+    """LSH buckets → unique candidate (id_a < id_b) pairs."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_col].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = band_ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_buckets"))
+
+
+def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      concurrency=4):
+    """Full MinHash-LSH near-dup pipeline:
+    shingle→minhash (actor pool) → band explode → bucket groupby → candidate
+    pairs → exact Jaccard verification (broadcast re-read of the pair texts is
+    avoided by re-shingling inside the verify stage against a small joined
+    text column).
+
+    Returns Dataset of (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    import ray
+
+    sig_ds = ds.map_batches(
+        MinHashActor,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    cand = minhash_candidate_pairs(minhash_bands(sig_ds, num_bands=num_bands, id_col=id_col))
+
+    # verify: broadcast id->text for candidate ids only (candidate set is
+    # orders of magnitude smaller than the corpus; at larger scale this
+    # becomes a hash join on id_a/id_b)
+    cand_tbl = cand.to_pandas()
+    if len(cand_tbl) == 0:
+        return ray.data.from_items([]), cand_tbl
+    need_ids = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
+    texts = {}
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            if i in need_ids:
+                texts[i] = t or ""
+    ja, out_a, out_b = [], [], []
+    for id_a, id_b in zip(cand_tbl["id_a"], cand_tbl["id_b"]):
+        sa = _word_shingles(texts[id_a].split(), shingle_n)
+        sb = _word_shingles(texts[id_b].split(), shingle_n)
+        j = jaccard(sa, sb)
+        if j >= threshold:
+            out_a.append(int(id_a))
+            out_b.append(int(id_b))
+            ja.append(j)
+    verified = pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": ja})
+    return ray.data.from_pandas(verified) if len(verified) else ray.data.from_items([]), verified
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(ds, *, shingle_n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Exact all-pairs n-gram Jaccard via inverted shingle index: explode
+    (shingle_hash, id), groupby shingle → co-occurring pairs with counts →
+    jaccard = co/(|A|+|B|-co). Exact (no LSH approximation); the shuffle is
+    keyed by shingle hash. Head shingles are naturally bounded because a
+    shingle shared by m docs yields m(m-1)/2 pairs — suitable for moderate
+    duplication rates; LSH is the 10^12-scale path."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out, size_out = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            sh = _word_shingles((t or "").split(), shingle_n)
+            for s in sh:
+                ids_out.append(i)
+                sh_out.append(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1)
+            size_out.extend([len(sh)] * len(sh))
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "shingle": pa.array(sh_out, pa.int64()),
+            "set_size": pa.array(size_out, pa.int64()),
+        })
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def cooccur(group: pd.DataFrame) -> pd.DataFrame:
+        recs = group[[id_col, "set_size"]].drop_duplicates().sort_values(id_col).to_numpy()
+        if len(recs) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": []})
+        a, b, sa, sb = [], [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a.append(recs[i][0]); b.append(recs[j][0])
+                sa.append(recs[i][1]); sb.append(recs[j][1])
+        return pd.DataFrame({"id_a": a, "id_b": b, "size_a": sa, "size_b": sb})
+
+    pairs = rows.groupby("shingle").map_groups(cooccur, batch_format="pandas")
+    from ray.data.aggregate import Count, Max
+
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="co"), Max("size_a", alias_name="size_a"), Max("size_b", alias_name="size_b")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        co = batch.column("co").to_numpy().astype(np.float64)
+        sa = batch.column("size_a").to_numpy().astype(np.float64)
+        sb = batch.column("size_b").to_numpy().astype(np.float64)
+        j = co / (sa + sb - co)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": batch.column("id_a").filter(pa.array(keep)),
+            "id_b": batch.column("id_b").filter(pa.array(keep)),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- simhash
+
+class SimHashActor:
+    """64-bit simhash over blake2b token hashes, tf-weighted."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache: dict[str, int] = {}
+
+    def _token_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            if len(self._cache) < 1_000_000:
+                self._cache[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out = []
+        for t in batch.column(self.text_col).to_pylist():
+            counts = Counter((t or "").split())
+            if not counts:
+                out.append(0)
+                continue
+            hs = np.array([self._token_hash(tok) for tok in counts], dtype=np.uint64)
+            ws = np.array(list(counts.values()), dtype=np.int64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((bits * 2 - 1) * ws[:, None]).sum(axis=0)
+            sh = 0
+            for bit_idx in np.flatnonzero(acc > 0):
+                sh |= 1 << int(bit_idx)
+            out.append(sh)
+        tbl = pa.table({
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64()),
+        })
+        return tbl
+
+
+def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text", concurrency=4):
+    return ds.map_batches(
+        SimHashActor,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+
+def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
+    """Banded simhash lookup: split 64 bits into (max_hamming+1) bands — any
+    pair within the distance budget shares ≥1 exact band (pigeonhole);
+    groupby band value → candidates → exact hamming verify."""
+    num_bands = max_hamming + 1
+    width = 64 // num_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        sh = batch.column("simhash").to_numpy()
+        out_i, out_b, out_v, out_s = [], [], [], []
+        for bnd in range(num_bands):
+            seg = (sh >> np.uint64(bnd * width)) & np.uint64((1 << width) - 1)
+            out_i.append(ids)
+            out_b.append(np.full(ids.shape, bnd, dtype=np.int64))
+            out_v.append(seg.astype(np.int64))
+            out_s.append(sh.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "band_id": pa.array(np.concatenate(out_b), pa.int64()),
+            "band_val": pa.array(np.concatenate(out_v), pa.int64()),
+            "simhash_i": pa.array(np.concatenate(out_s), pa.int64()),
+        })
+
+    bands = sim_ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[[id_col, "simhash_i"]].drop_duplicates().sort_values(id_col).to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        a, b, hd = [], [], []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                x = np.uint64(g[i][1]) ^ np.uint64(g[j][1])
+                d = bin(int(x)).count("1")
+                if d <= max_hamming:
+                    a.append(g[i][0]); b.append(g[j][0]); hd.append(d)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": hd})
+
+    from ray.data.aggregate import Min
+
+    cand = bands.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

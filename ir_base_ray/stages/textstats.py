@@ -1,0 +1,185 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+vectorized-per-batch map_batches stages (no shuffle)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# small per-language function-word marker lists (public, common knowledge)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"},
+    "es": {"el", "la", "los", "y", "es", "en", "que", "por", "con", "para"},
+    "zh": set(),  # no-space script: detected via CJK char ratio instead
+}
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+_DIGIT_RE = re.compile(r"\d", re.ASCII)
+_UPPER_RE = re.compile(r"[A-Z]")
+# BPE-ish subword pretokenizer: word pieces OR single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+class TextQualityActor:
+    """Per-doc quality metrics (length / punctuation / stopword ratios) —
+    float ratios are computed as plain float64 divisions so the DuckDB oracle
+    can mirror them exactly."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.stop = _LANG_MARKERS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n_chars, n_tokens, n_types = [], [], []
+        avg_tok_len, punct_ratio, digit_ratio, stop_ratio = [], [], [], []
+        for t in texts:
+            t = t or ""
+            toks = t.split()
+            words = _WORD_RE.findall(t)
+            n_chars.append(len(t))
+            n_tokens.append(len(toks))
+            n_types.append(len(set(toks)))
+            avg_tok_len.append(sum(len(w) for w in toks) / len(toks) if toks else 0.0)
+            punct_ratio.append(len(_PUNCT_RE.findall(t)) / len(t) if t else 0.0)
+            digit_ratio.append(len(_DIGIT_RE.findall(t)) / len(t) if t else 0.0)
+            stop_ratio.append(
+                sum(1 for w in toks if w.lower() in self.stop) / len(toks) if toks else 0.0
+            )
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "avg_token_len": pa.array(avg_tok_len, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        })
+
+
+class LangIdActor:
+    """n-gram-free language-ID heuristic: function-word hit counts per
+    language + CJK character ratio; argmax with deterministic tie-break
+    (alphabetical language code). 'und' when nothing matches."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.langs = sorted(k for k in _LANG_MARKERS if k != "zh")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            if t and sum(1 for c in t if "一" <= c <= "鿿") / len(t) > 0.2:
+                out.append("zh")
+                continue
+            toks = [w.lower() for w in t.split()]
+            if not toks:
+                out.append("und")
+                continue
+            best_lang, best = "und", 0
+            for lang in self.langs:
+                hits = sum(1 for w in toks if w in _LANG_MARKERS[lang])
+                if hits > best:
+                    best, best_lang = hits, lang
+            out.append(best_lang)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "pred_lang": pa.array(out, pa.string()),
+        })
+
+
+class TokenCountActor:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pretokenization (letters / digit runs / single symbols)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, bpe = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            ws.append(len(t.split()))
+            bpe.append(len(_BPE_RE.findall(t)))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_ws_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+        })
+
+
+class FingerprintActor:
+    """Rolling polynomial fingerprint (Rabin-Karp style, base 257 mod 2^61-1)
+    over the raw bytes, plus the min rolling window hash (winnowing-lite) —
+    deterministic 64-bit doc fingerprints for fast prefiltering."""
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def __init__(self, window: int = 16, id_col: str = "doc_id", text_col: str = "text"):
+        self.window = window
+        self.id_col = id_col
+        self.text_col = text_col
+        # precompute BASE^(window-1) mod MOD for the rolling update
+        self.pow_w = pow(self.BASE, window - 1, self.MOD)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        full_fp, min_window = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            data = (t or "").encode("utf-8")
+            h = 0
+            for byte in data:
+                h = (h * self.BASE + byte) % self.MOD
+            full_fp.append(h)
+            w = self.window
+            if len(data) < w:
+                min_window.append(h)
+                continue
+            rh = 0
+            for byte in data[:w]:
+                rh = (rh * self.BASE + byte) % self.MOD
+            mn = rh
+            for i in range(w, len(data)):
+                rh = ((rh - data[i - w] * self.pow_w) * self.BASE + data[i]) % self.MOD
+                if rh < mn:
+                    mn = rh
+            min_window.append(mn)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "fingerprint": pa.array(np.array(full_fp, dtype=np.uint64), pa.uint64()),
+            "min_window_hash": pa.array(np.array(min_window, dtype=np.uint64), pa.uint64()),
+        })
+
+
+def _actor_stage(ds, cls, concurrency=4, batch_size: int = 2048, **kwargs):
+    return ds.map_batches(
+        cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+    )
+
+
+def text_quality(ds, **kw):
+    return _actor_stage(ds, TextQualityActor, **kw)
+
+
+def lang_id(ds, **kw):
+    return _actor_stage(ds, LangIdActor, **kw)
+
+
+def token_counts(ds, **kw):
+    return _actor_stage(ds, TokenCountActor, **kw)
+
+
+def fingerprints(ds, **kw):
+    return _actor_stage(ds, FingerprintActor, **kw)
