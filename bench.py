@@ -1,0 +1,204 @@
+"""Benchmark harness (driver contract + scaling protocol).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "query_p50_ms": ..., "query_p95_ms": ...}
+
+``--scaling``: runs the index build twice in fresh subprocesses
+(num_cpus=8 then 32) on the same input and prints both throughputs plus the
+scaling efficiency (BASELINE.md protocol; sandbox substitute for N vs 4N
+nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _warm_page_cache(sf_dir: str):
+    for name in os.listdir(sf_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sf_dir, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def _bench_corpus_path(sf_dir: str) -> tuple[str, int]:
+    """Deterministic synthetic web corpus for the throughput headline, sized
+    40× the sf's documents table (the driver documents tables are tiny; the
+    north-rule metric is docs/sec on a web-page corpus). Generated once,
+    cached in /tmp, seed fixed — both scaling runs read the same file."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows * 200
+    path = f"/tmp/ir_bench_corpus_{n_docs}.parquet"
+    if not os.path.exists(path):
+        from ir_base_ray.sources.corpus import write_synth_corpus
+
+        write_synth_corpus(path, n_docs, seed=42, include_html=False)
+    return path, n_docs
+
+
+def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
+    """Headline: full inverted-index build (analyzer actors → dictionary →
+    salted posting shuffle → varbyte encode) over the synthetic web corpus."""
+    import ray
+
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.sources.corpus import read_corpus
+
+    corpus_path, n_docs = _bench_corpus_path(sf_dir)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    conc = max(2, num_cpus - 2)  # leave a little room for read/write tasks
+    cfg = IndexConfig(
+        out_dir=index_dir,
+        block_doc_range=4096,
+        num_partitions=max(16, num_cpus * 2),
+        analyzer_concurrency=conc,
+        analyzer_batch_size=512,
+        analyzer=AnalyzerSpec(ngram=1, mode="full"),
+    )
+    t0 = time.time()
+    meta = build_index(read_corpus(corpus_path, columns=["url", "text"]), cfg)
+    elapsed = time.time() - t0
+    return {"sec": elapsed, "docs": n_docs, "docs_per_sec": n_docs / elapsed, "meta": meta}
+
+
+def bench_queries(sf_dir: str, index_dir: str, n_queries: int = 200) -> dict:
+    """Query latency: batch of synthetic queries through one warmed
+    IndexSegment (p50/p95 per-query wall time), plus actor-pool throughput."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ir_base_ray.pipelines.query_engine import IndexSegment
+    from ir_base_ray.sources.queries import synth_queries
+
+    corpus_path, _ = _bench_corpus_path(sf_dir)
+    docs_tbl = pq.read_table(corpus_path, columns=["text"]).slice(0, 20000)
+    queries = synth_queries(docs_tbl, n_queries=n_queries, seed=13)
+    seg = IndexSegment(index_dir)
+    texts = queries.column("text").to_pylist()
+    ks = queries.column("k").to_pylist()
+    # warm decode cache
+    for t, k in zip(texts[:10], ks[:10]):
+        seg.topk(t, int(k))
+    lat = []
+    t_all = time.time()
+    for t, k in zip(texts, ks):
+        t0 = time.perf_counter()
+        seg.topk(t, int(k), prune=True)
+        lat.append((time.perf_counter() - t0) * 1000)
+    wall = time.time() - t_all
+    lat = np.array(lat)
+    return {
+        "n_queries": len(lat),
+        "query_p50_ms": float(np.percentile(lat, 50)),
+        "query_p95_ms": float(np.percentile(lat, 95)),
+        "queries_per_sec": len(lat) / wall,
+    }
+
+
+def bench_ops(sf_dir: str) -> dict:
+    """Secondary pipelines: representative operator timings."""
+    from ir_base_ray.pipelines import ops
+
+    out = {}
+    for name, fn in [
+        ("term_stats", ops.term_stats),
+        ("dedup_exact", ops.dedup_exact),
+        ("dedup_minhash", ops.dedup_minhash),
+        ("ann_cosine_topk", ops.ann_cosine_topk),
+        ("text_quality", ops.text_quality_scores),
+        ("lineitem_pricing", ops.lineitem_pricing),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume Datasets fully
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_main() -> dict:
+    _init_ray(NUM_CPUS)
+    _warm_page_cache(SF_DIR)
+    index_dir = f"/tmp/ir_bench_index_{NUM_CPUS}"
+    build = bench_index_build(SF_DIR, NUM_CPUS, index_dir)
+    q = bench_queries(SF_DIR, index_dir)
+    op_times = bench_ops(SF_DIR)
+    queries_sec = {"index_build": round(build["sec"], 3), **op_times}
+    headline = round(sum(queries_sec.values()), 3)
+    result = {
+        "metric": "headline pipeline seconds (index build + operator suite) at sf",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": build["docs"],
+        "docs_per_sec": round(build["docs_per_sec"], 1),
+        "query_p50_ms": round(q["query_p50_ms"], 3),
+        "query_p95_ms": round(q["query_p95_ms"], 3),
+        "queries_per_sec": round(q["queries_per_sec"], 1),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Two fresh processes at num_cpus=8 and 32; efficiency =
+    (docs_per_sec_32 / docs_per_sec_8) / 4."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                              capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr8 = out[8]["docs_per_sec"]
+    thr32 = out[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    print(json.dumps({
+        "metric": "indexing throughput scaling 8→32 cpus",
+        "docs_per_sec_8": thr8,
+        "docs_per_sec_32": thr32,
+        "sec_8": out[8]["queries"]["index_build"],
+        "sec_32": out[32]["queries"]["index_build"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_main()))

@@ -79,6 +79,11 @@ class Analyzer:
         self._stemmer = CachedStemmer()
         # cache: raw token -> analyzed (normalized+stemmed) token
         self._token_cache: dict[str, str] = {}
+        # cache: raw whitespace chunk -> tuple of (analyzed token, legit) in
+        # emission order (lead punct run, core, trail punct run) — web text is
+        # Zipf-distributed so most chunks repeat; one dict hit replaces the
+        # edge-peel regex + per-token normalize/stem/stopword work
+        self._chunk_cache: dict[str, tuple] = {}
 
     def _analyze_token(self, raw: str) -> str:
         cached = self._token_cache.get(raw)
@@ -96,12 +101,37 @@ class Analyzer:
             and self.min_len_exclusive < len(token) < self.max_len_exclusive
         )
 
+    def _analyze_chunk(self, chunk: str) -> tuple:
+        """whitespace chunk → ((analyzed_token, legit), ...) with edge-peel
+        tokenization; memoized."""
+        hit = self._chunk_cache.get(chunk)
+        if hit is not None:
+            return hit
+        m = _CHUNK_RE.match(chunk)
+        out = []
+        for raw in m.groups():
+            if raw:
+                t = self._analyze_token(raw)
+                out.append((t, self.is_legit(t)))
+        out = tuple(out)
+        if len(self._chunk_cache) < 2_000_000:
+            self._chunk_cache[chunk] = out
+        return out
+
     def analyze(self, text: str) -> TokenizeResult:
         """TokenizerNormalizeStemmer, exactly (``DocAnalyzer.java:223-258``)."""
-        raw = tokenize(text)
-        toks = [self._analyze_token(t) for t in raw]
+        pairs: list[tuple] = []
+        for chunk in text.split():
+            pairs.extend(self._analyze_chunk(chunk))
+        if self.ngram == 1:
+            # fast path: no n-gram assembly needed
+            out = [t for t, legit in pairs if legit]
+            return TokenizeResult(
+                tokens=out, stopword_cnt=len(pairs) - len(out), raw_cnt=len(pairs)
+            )
+        toks = [t for t, _ in pairs]
         n = self.ngram
-        legit_flags = [self.is_legit(t) for t in toks]
+        legit_flags = [l for _, l in pairs]
         boundary = [t == "" for t in toks]
         out: list[str] = []
         stopword_cnt = 0
@@ -120,7 +150,7 @@ class Analyzer:
                     legit = legit and legit_flags[j]
                     if legit:
                         out.append(gram)
-        return TokenizeResult(tokens=out, stopword_cnt=stopword_cnt, raw_cnt=len(raw))
+        return TokenizeResult(tokens=out, stopword_cnt=stopword_cnt, raw_cnt=len(pairs))
 
     def term_counts(self, text: str) -> Counter:
         """token sequence → {term: count} (``constructSpVct`` semantics,

@@ -15,11 +15,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to varbyte bytes (vectorized)."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array to varbyte bytes; also return the byte length of
+    each encoded value (enables batch-encoding many posting blocks in ONE call
+    and slicing the result at block boundaries)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     out_cols = []
     remaining = v.copy()
     mask_cols = []
@@ -42,7 +44,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         bytes_2d[i] = np.where(is_last, bytes_2d[i] | 0x80, bytes_2d[i])
     # column-major flatten taking only emitted bytes, preserving value order
     flat = bytes_2d.T[emit.T]
-    return flat.tobytes()
+    return flat.tobytes(), counts.astype(np.int64)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte bytes (vectorized)."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:

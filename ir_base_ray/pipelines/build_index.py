@@ -30,16 +30,28 @@ import json
 import os
 import time
 
+import glob
+
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _count_parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
 
 from ir_base_ray.config import IndexConfig
 from ir_base_ray.stages.analyze import analyze_dataset
 from ir_base_ray.stages.docids import assign_dense_ids
 from ir_base_ray.stages.postings import build_postings
-from ir_base_ray.stages.stats import build_dictionary, corpus_scalars
+from ir_base_ray.stages.stats import build_dictionary_driver_fast
 
 
 def _stage_done(path: str) -> bool:
@@ -89,31 +101,45 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
 
     analyzed = ray.data.read_parquet(analyzed_dir)
 
-    # --- docs table + scalars ---------------------------------------------
+    # --- docs table --------------------------------------------------------
     t0 = time.time()
     docs_dir = os.path.join(cfg.out_dir, "docs")
     if not _stage_done(docs_dir):
         _fresh_dir(docs_dir)
         analyzed.select_columns(["doc_id", "url", "doc_len", "n_terms"]).write_parquet(docs_dir)
         _mark_done(docs_dir)
-    scalars = corpus_scalars(analyzed)
-    timings["docs_scalars"] = time.time() - t0
+    timings["docs"] = time.time() - t0
 
-    # --- pass 2a: dictionary ----------------------------------------------
+    # --- pass 2a: dictionary (combiner + groupby; driver finalize) ---------
     t0 = time.time()
     dict_dir = os.path.join(cfg.out_dir, "dict")
     if not _stage_done(dict_dir):
         _fresh_dir(dict_dir)
-        dictionary = build_dictionary(analyzed.select_columns(["terms", "tfs"]))
-        dictionary.write_parquet(dict_dir)
+        os.makedirs(dict_dir, exist_ok=True)
+        dict_pdf = build_dictionary_driver_fast(analyzed.select_columns(["terms", "tfs"]))
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(pa.Table.from_pandas(dict_pdf, preserve_index=False),
+                        os.path.join(dict_dir, "dictionary.parquet"))
         _mark_done(dict_dir)
+    else:
+        dict_pdf = (
+            ray.data.read_parquet(dict_dir).to_pandas()
+            .sort_values("term_id").reset_index(drop=True)
+        )
     timings["dictionary"] = time.time() - t0
+
+    # scalars: N from docs parquet metadata, total token count = Σ TTF
+    # (doc_len = Σ tf over a doc's terms, so Σ doc_len == Σ ttf exactly)
+    t0 = time.time()
+    n_docs = _count_parquet_rows(docs_dir)
+    total_len = int(dict_pdf["ttf"].sum())
+    scalars = {"N": n_docs, "avgdl": total_len / n_docs if n_docs else 0.0,
+               "total_len": float(total_len)}
+    timings["scalars"] = time.time() - t0
 
     # broadcast the dictionary once (J1): term→term_id index + df-by-tid array
     t0 = time.time()
-    dict_pdf = (
-        ray.data.read_parquet(dict_dir).to_pandas().sort_values("term_id").reset_index(drop=True)
-    )
     term_index = pd.Index(dict_pdf["term"])
     df_by_tid = dict_pdf["df"].to_numpy()
     dict_ref = ray.put((term_index, df_by_tid))

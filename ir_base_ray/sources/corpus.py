@@ -61,50 +61,56 @@ _STOP_SAMPLE = [
 ]
 
 
-def synth_corpus(n_rows: int, seed: int = 42, vocab_size: int = 5000) -> pa.Table:
-    """Deterministic corpus table (pyarrow). Zipf-distributed vocabulary so
-    head terms hit nearly every doc (the skew path the index build must salt)."""
+def synth_corpus(n_rows: int, seed: int = 42, vocab_size: int = 5000,
+                 include_html: bool = True) -> pa.Table:
+    """Deterministic corpus table (pyarrow), vectorized for multi-million-row
+    bench generation. Zipf-distributed vocabulary (head terms hit nearly every
+    doc — the skew path the index build must salt) + ~30% stopword mass +
+    planted analyzer edge-case tokens (NUM folds, NFKC, length filters,
+    punctuation boundaries). ``include_html=False`` writes empty html payloads
+    (bench corpora only need url/text; the html-cleaning path is exercised by
+    the default)."""
     rng = np.random.default_rng(seed)
-    vocab = np.array(_make_vocab(vocab_size, rng), dtype=object)
-    # Zipf ranks: P(rank r) ∝ 1/(r+1); sample via normalized cumulative
-    ranks = np.arange(vocab_size, dtype=np.float64)
-    probs = 1.0 / (ranks + 1.0)
-    probs /= probs.sum()
-    cum = np.cumsum(probs)
+    vocab = _make_vocab(vocab_size, rng)
+    # sampling distribution: 30% mass uniformly on stopwords, 70% Zipf on vocab
+    items = np.array(_STOP_SAMPLE + vocab, dtype=object)
+    n_stop = len(_STOP_SAMPLE)
+    zipf = 1.0 / (np.arange(vocab_size, dtype=np.float64) + 1.0)
+    probs = np.concatenate((np.full(n_stop, 0.30 / n_stop), 0.70 * zipf / zipf.sum()))
+    cum = np.cumsum(probs / probs.sum())
 
-    urls = []
+    n_words = rng.integers(40, 160, size=n_rows)
+    offsets = np.concatenate(([0], np.cumsum(n_words)))
+    total = int(offsets[-1])
+    draws = np.searchsorted(cum, rng.random(total))
+    words = items[draws]
+
+    # punctuation boundaries: every 11th doc gets a '.' glued to its first word
     texts = []
-    htmls = []
-    langs = []
-    ts = []
-    base_ts = _dt.datetime(2024, 1, 1)
-    lang_choices = np.array(["en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"])
+    planted_idx = rng.integers(0, len(_PLANTED), size=n_rows)
     for i in range(n_rows):
-        n_words = int(rng.integers(30, 120))
-        draws = np.searchsorted(cum, rng.random(n_words))
-        words = list(vocab[draws])
-        # interleave stopwords (~30% extra) and occasional planted tokens
-        n_stop = n_words // 3
-        stop_positions = rng.integers(0, len(words) + 1, size=n_stop)
-        for p in sorted(stop_positions.tolist(), reverse=True):
-            words.insert(p, _STOP_SAMPLE[int(rng.integers(len(_STOP_SAMPLE)))])
-        if i % 7 == 0:
-            p = int(rng.integers(0, len(words) + 1))
-            words.insert(p, _PLANTED[int(rng.integers(len(_PLANTED)))])
+        w = words[offsets[i]: offsets[i + 1]]
         if i % 11 == 0:
-            p = int(rng.integers(0, len(words)))
-            words[p] = words[p] + "."  # punctuation boundary mid-text
-        text = " ".join(words)
-        url = f"https://site{i % 97}.example/p/{i:08d}"
-        html = (
-            "<html><body>\n  " + text + "\n <!-- boilerplate comment "
-            + str(i) + " --> </body></html>"
-        ).encode("utf-8")
-        urls.append(url)
-        texts.append(text)
-        htmls.append(html)
-        langs.append(str(lang_choices[int(rng.integers(len(lang_choices)))]))
-        ts.append(base_ts + _dt.timedelta(minutes=i))
+            w = w.copy()
+            w[0] = w[0] + "."
+        t = " ".join(w)
+        if i % 7 == 0:
+            t = _PLANTED[planted_idx[i]] + " " + t
+        texts.append(t)
+
+    urls = [f"https://site{i % 97}.example/p/{i:08d}" for i in range(n_rows)]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + np.arange(n_rows) * np.timedelta64(60_000_000, "us")
+    lang_pool = np.array(["en"] * 8 + ["de", "fr"], dtype=object)
+    langs = lang_pool[rng.integers(0, len(lang_pool), size=n_rows)]
+    if include_html:
+        htmls = [
+            ("<html><body>\n  " + t + "\n <!-- boilerplate comment "
+             + str(i) + " --> </body></html>").encode("utf-8")
+            for i, t in enumerate(texts)
+        ]
+    else:
+        htmls = [b""] * n_rows
 
     return pa.table(
         {
@@ -112,15 +118,19 @@ def synth_corpus(n_rows: int, seed: int = 42, vocab_size: int = 5000) -> pa.Tabl
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
         }
     )
 
 
-def write_synth_corpus(path: str, n_rows: int, seed: int = 42) -> str:
+def write_synth_corpus(path: str, n_rows: int, seed: int = 42,
+                       include_html: bool = True, row_group_size: int = 50_000) -> str:
+    """Write a synthetic corpus parquet; modest row groups so a single file
+    still splits into parallel read tasks."""
     import pyarrow.parquet as pq
 
-    pq.write_table(synth_corpus(n_rows, seed), path)
+    pq.write_table(synth_corpus(n_rows, seed, include_html=include_html), path,
+                   row_group_size=row_group_size)
     return path
 
 

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ir_base_ray.functions.codec import encode_postings
+from ir_base_ray.functions.codec import varbyte_encode_with_lengths
 from ir_base_ray.functions.scoring import bm25_weights_from_idf
 
 
@@ -111,6 +111,19 @@ def encode_partition(group: pd.DataFrame, *, index_dir: str, block_doc_range: in
     # the score the query engine recomputes — a sound, tight pruning bound)
     weights = bm25_weights_from_idf(tf, dl, idf_by_tid[tid], avgdl)
 
+    # batch codec: delta-encode doc ids against the previous posting, reset at
+    # block starts, then ONE varbyte call over every posting in the partition;
+    # per-value byte lengths give the block boundaries to slice at
+    gaps = np.empty_like(did)
+    gaps[1:] = did[1:] - did[:-1]
+    gaps[starts] = did[starts]
+    doc_blob, doc_lens = varbyte_encode_with_lengths(gaps.astype(np.uint64))
+    tf_blob, tf_lens = varbyte_encode_with_lengths(tf.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    doc_mv = memoryview(doc_blob)
+    tf_mv = memoryview(tf_blob)
+
     rows = {
         "term_id": tid[starts],
         "chunk": chunk[starts],
@@ -118,13 +131,9 @@ def encode_partition(group: pd.DataFrame, *, index_dir: str, block_doc_range: in
         "min_doc": did[starts],
         "max_doc": did[ends - 1],
         "max_score": np.maximum.reduceat(weights, starts),
-        "doc_bytes": [],
-        "tf_bytes": [],
+        "doc_bytes": [bytes(doc_mv[doc_off[s]: doc_off[e]]) for s, e in zip(starts, ends)],
+        "tf_bytes": [bytes(tf_mv[tf_off[s]: tf_off[e]]) for s, e in zip(starts, ends)],
     }
-    for s, e in zip(starts, ends):
-        db, tb = encode_postings(did[s:e], tf[s:e])
-        rows["doc_bytes"].append(db)
-        rows["tf_bytes"].append(tb)
 
     out = pa.table({
         "term_id": pa.array(rows["term_id"], pa.int64()),

@@ -47,12 +47,48 @@ def _partial_stats(batch: pa.Table) -> pa.Table:
 def build_dictionary(analyzed_ds):
     """analyzed Dataset → dictionary Dataset (term, df, ttf, term_id) with
     term_id = dense rank of term (sorted order — deterministic, unlike the
-    reference's grow-on-first-sight arrival order, ``Analyzer.java:126-130``)."""
+    reference's grow-on-first-sight arrival order, ``Analyzer.java:126-130``).
+    Fully-distributed term_id assignment (sort + offset ranks) — use when the
+    vocabulary is too large to finalize on the driver."""
     partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
     dictionary = partials.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
     )
     return assign_dense_ids(dictionary, key="term", id_col="term_id")
+
+
+def build_dictionary_driver(analyzed_ds):
+    """Same result as :func:`build_dictionary` but finalizes the (combiner-
+    shrunk) aggregate on the driver: one distributed execution (partials →
+    groupby-sum), then a driver-side sort + arange for term_id. Web
+    vocabularies (10^6-10^8 terms × ~24 B) fit driver memory comfortably; the
+    distributed variant exists for when they don't. Returns a pandas frame
+    sorted by term_id."""
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+    pdf = agg.to_pandas().sort_values("term").reset_index(drop=True)
+    pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+def build_dictionary_driver_fast(analyzed_ds):
+    """Fastest small/medium-vocab path: per-block combiner partials stream to
+    the driver and a single pandas groupby-sum finalizes them (no distributed
+    shuffle at all — partial rows ≈ vocab × #blocks, tiny next to postings).
+    Scale path: swap in :func:`build_dictionary` (distributed groupby + dense
+    ranks) when vocab × #blocks outgrows the driver."""
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    frames = [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
+    import pandas as pd
+
+    allp = pd.concat(frames, ignore_index=True)
+    agg = allp.groupby("term", as_index=False, sort=True).agg(
+        df=("df", "sum"), ttf=("ttf", "sum")
+    )
+    agg["term_id"] = np.arange(len(agg), dtype=np.int64)
+    return agg
 
 
 def corpus_scalars(analyzed_ds) -> dict:
