@@ -79,8 +79,8 @@ def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
     cfg = IndexConfig(
         out_dir=index_dir,
         block_doc_range=4096,
-        num_partitions=max(16, num_cpus * 2),
-        analyzer_concurrency=conc,
+        num_partitions=32,  # fixed physical layout: identical across cluster sizes
+        analyzer_concurrency=(2, conc),  # autoscaling pool: no all-actors-ready barrier
         analyzer_batch_size=512,
         analyzer=AnalyzerSpec(ngram=1, mode="full"),
     )

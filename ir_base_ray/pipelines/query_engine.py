@@ -64,6 +64,7 @@ class IndexSegment:
         dict_pdf = dict_tbl.to_pandas().sort_values("term_id").reset_index(drop=True)
         self.term_index = pd.Index(dict_pdf["term"])
         self.df_by_tid = dict_pdf["df"].to_numpy()
+        self.ttf_by_tid = dict_pdf["ttf"].to_numpy()
         self.idf_by_tid = bm25_idf_by_tid(self.N, self.df_by_tid)
 
         docs_tbl = _read_parquet_dir(os.path.join(index_dir, "docs"))

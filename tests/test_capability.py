@@ -1,0 +1,330 @@
+"""Capability-tier tests: similarity kernels, evaluators (golden Java
+traces), LM ranker vs serial transcription, NaiveBayes, weighting schemes,
+feature selection, dedup + ANN on planted data."""
+
+import math
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ir_base_ray.functions.similarity import (
+    count_occurrences,
+    ends_with_punct,
+    entropy,
+    euclidean_distance_sq,
+    is_number,
+    kl_divergence,
+    kl_symmetric,
+    lcs_length,
+    log_sum,
+    log_sum2,
+    sparse_cosine,
+    sparse_dot,
+    sparse_index_of,
+    sparse_jaccard,
+    sparse_rbf,
+)
+from ir_base_ray.pipelines.evalmetrics import average_precision, ndcg_at_k
+
+
+def test_sparse_kernels():
+    i1, v1 = [0, 2, 5, 9], [1.0, 2.0, 3.0, 4.0]
+    i2, v2 = [2, 5, 7], [10.0, 20.0, 30.0]
+    assert sparse_dot(i1, v1, i2, v2) == 2.0 * 10 + 3.0 * 20
+    assert sparse_jaccard(i1, i2) == 2 / (4 + 3 - 2)
+    assert sparse_rbf(i1, v1, i2, v2, 2.0) == math.exp(-((2 - 10) ** 2 + (3 - 20) ** 2) / 2.0)
+    expected_cos = (2.0 * 10 + 3.0 * 20) / math.sqrt(1 + 4 + 9 + 16) / math.sqrt(100 + 400 + 900)
+    assert abs(sparse_cosine(i1, v1, i2, v2) - expected_cos) < 1e-15
+    assert sparse_index_of(i1, 5) == 2
+    assert sparse_index_of(i1, 4) == -1
+    assert sparse_index_of([], 1) == -1
+
+
+def test_scalar_functions():
+    assert is_number("0042") and not is_number("x1") and not is_number("")
+    assert abs(entropy([0.5, 0.5]) - math.log(2)) < 1e-15
+    xs = [-1.0, -2.0, -3.0]
+    assert abs(log_sum(xs) - math.log(sum(math.exp(x) for x in xs))) < 1e-12
+    assert log_sum2(float("-inf"), -1.0) == -1.0
+    assert kl_divergence([0.5, 0.5, 0.0], [0.25, 0.75, 0.1]) == pytest.approx(
+        0.5 * math.log(2) + 0.5 * math.log(0.5 / 0.75)
+    )
+    assert kl_symmetric([0.5, 0.5], [0.5, 0.5]) == 0.0
+    assert euclidean_distance_sq([0, 0], [3, 4]) == 25.0  # squared, no sqrt
+    assert lcs_length("abcde", "ace") == 3
+    assert lcs_length(["a", "b"], ["b", "a"]) == 1
+    assert count_occurrences("aaa", "aa") == 1  # non-overlapping, Java semantics
+    assert ends_with_punct("end.") and not ends_with_punct("end")
+
+
+def test_eval_golden_traces(golden_dir):
+    bad = []
+    with open(os.path.join(golden_dir, "eval_traces.txt")) as f:
+        for line in f:
+            m = re.match(r"T (\d+) k=(\d+) in=(\S*) ap=(\S+) ndcg=(\S+)", line)
+            if not m:
+                continue
+            k = int(m.group(2))
+            pairs = [p.split(":") for p in m.group(3).split(",") if p]
+            labels = [int(a) for a, _ in pairs]
+            scores = [float(b) for _, b in pairs]
+            ap, nd = average_precision(scores, labels), ndcg_at_k(scores, labels, k)
+            exp_ap, exp_nd = float(m.group(4)), float(m.group(5))
+            if not ((ap == exp_ap or (math.isnan(ap) and math.isnan(exp_ap)))
+                    and (nd == exp_nd or (math.isnan(nd) and math.isnan(exp_nd)))):
+                bad.append(m.group(1))
+    assert not bad, f"eval trace mismatches: {bad[:5]}"
+
+
+def test_lm_ranker_matches_serial(ray_session, tmp_path):
+    """LMRanker over the index == direct serial transcription of
+    rankChild4StnByLanguageModel over the oracle vectors."""
+    import ray.data
+
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.pipelines.lm_ranker import LMRanker
+    from ir_base_ray.pipelines.query_engine import IndexSegment
+    from ir_base_ray.sources.corpus import synth_corpus
+    from tests.oracle import oracle_build, oracle_query_vector
+
+    tbl = synth_corpus(150, seed=5)
+    out = str(tmp_path / "lmidx")
+    cfg = IndexConfig(out_dir=out, block_doc_range=32, num_partitions=4,
+                      analyzer_concurrency=2, analyzer=AnalyzerSpec(ngram=1))
+    build_index(ray.data.from_arrow(tbl).select_columns(["url", "text"]), cfg)
+    oi = oracle_build(tbl, AnalyzerSpec(ngram=1))
+    seg = IndexSegment(out)
+    ranker = LMRanker(seg, mu=1000.0)
+
+    total_ttf = sum(oi.ttf.values())
+    for text in ["zubeta kero the", "lesuhogo nala", "the and of"]:
+        got = dict(zip(range(seg.doc_len.size), ranker.score_all(text)))
+        qvec = oracle_query_vector(oi, text)
+        for doc_id in oi.doc_ids[:40]:
+            dl = oi.doc_len[doc_id]
+            alpha = 1000.0 / (1000.0 + dl)
+            expected = 0.0
+            for term, qtf in qvec:
+                tf_d = oi.doc_vecs[doc_id].get(term, 0)
+                p_w = oi.ttf[term] / total_ttf
+                smoothing = (1 - alpha) * tf_d / dl + alpha * p_w
+                expected += qtf * math.log(smoothing)
+            assert got[doc_id] == pytest.approx(expected, rel=1e-12, abs=1e-12)
+
+
+def test_naive_bayes_roundtrip(ray_session):
+    """NB on a trivially separable corpus recovers the classes."""
+    import ray.data
+    from collections import Counter
+
+    from ir_base_ray.pipelines.classify import predict_naive_bayes, train_naive_bayes
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append({"id": i, "text": "apple banana fruit sweet", "label": "fruit"})
+        else:
+            rows.append({"id": i, "text": "engine wheel metal fast", "label": "car"})
+    ds = ray.data.from_items(rows)
+    tok = lambda t: Counter(t.split())
+    model = train_naive_bayes(ds, label_col="label", text_col="text", tokenizer=tok)
+    preds = predict_naive_bayes(ds, model, id_col="id", text_col="text",
+                                tokenizer=tok, concurrency=2).to_pandas()
+    merged = preds.merge(pd.DataFrame(rows), on="id")
+    assert (merged["pred"] == merged["label"]).all()
+
+
+def test_weighting_schemes_match_reference_formulas(ray_session, tmp_path):
+    """W1-W6 over the analyzed dataset == scalar reference formulas."""
+    import ray.data
+
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.stages.weighting import set_feature_values
+    from tests.oracle import oracle_build
+    from ir_base_ray.sources.corpus import synth_corpus
+
+    tbl = synth_corpus(120, seed=9)
+    out = str(tmp_path / "widx")
+    cfg = IndexConfig(out_dir=out, block_doc_range=64, num_partitions=4,
+                      analyzer_concurrency=2, analyzer=AnalyzerSpec(ngram=1))
+    build_index(ray.data.from_arrow(tbl).select_columns(["url", "text"]), cfg)
+    oi = oracle_build(tbl, AnalyzerSpec(ngram=1))
+
+    import ray
+
+    analyzed = ray.data.read_parquet(os.path.join(out, "analyzed"))
+    dict_pdf = ray.data.read_parquet(os.path.join(out, "dict")).to_pandas().sort_values("term_id")
+    dict_ref = ray.put((pd.Index(dict_pdf["term"]), dict_pdf["df"].to_numpy()))
+
+    for scheme in ("TF", "TFIDF", "TFIDF-sublinear", "BM25", "PLN"):
+        weighted = set_feature_values(
+            analyzed, dict_ref, N=oi.N, avgdl=oi.avgdl, scheme=scheme, norm=0
+        ).to_pandas().set_index("doc_id").sort_index()
+        # check a handful of docs against scalar math
+        for doc_id in [0, 3, 7]:
+            row = weighted.loc[doc_id]
+            terms = list(row["terms"])
+            vals = np.asarray(row["values"])
+            dl = oi.doc_len[doc_id]
+            for t, got in zip(terms[:10], vals[:10]):
+                tf = oi.doc_vecs[doc_id][t]
+                df = float(oi.df[t])
+                if scheme == "TF":
+                    exp = float(tf)
+                elif scheme == "TFIDF":
+                    exp = tf / dl * math.log((oi.N + 1) / df)
+                elif scheme == "TFIDF-sublinear":
+                    exp = (1 + math.log10(tf)) * (1 + math.log10(oi.N / df))
+                elif scheme == "BM25":
+                    n = dl / oi.avgdl
+                    idf = math.log((oi.N - df + 0.5) / (df + 0.5))
+                    exp = idf * tf * 2.5 / (1.5 * (1 - 0.75 + 0.75 * n) + tf)
+                else:  # PLN
+                    n = dl / oi.avgdl
+                    idf = math.log((oi.N + 1) / df)
+                    exp = (1 + math.log(1 + math.log(tf)) / (1 - 0.5 + 0.5 * n)) * idf
+                assert got == pytest.approx(exp, rel=1e-12), (scheme, t)
+
+    # L2 norm
+    weighted = set_feature_values(
+        analyzed, dict_ref, N=oi.N, avgdl=oi.avgdl, scheme="TFIDF", norm=2
+    ).to_pandas().set_index("doc_id").sort_index()
+    v = np.asarray(weighted.loc[0]["values"])
+    assert np.sqrt((v * v).sum()) == pytest.approx(1.0)
+
+
+def test_featsel_reference_quirks():
+    from ir_base_ray.stages.featsel import (
+        chi_square,
+        df_scores,
+        proportional_select,
+        top_k_select,
+        union_selectors,
+    )
+
+    stats = pd.DataFrame({"term": list("abcdef"), "df": [1, 5, 6, 10, 50, 100]})
+    # exclusive band: df > 5 and df < 100 keeps c, d, e only
+    kept = df_scores(stats, 5, 100)
+    assert sorted(kept["term"]) == ["c", "d", "e"]
+    # proportional select: ascending by score, [start*n, end*n)
+    scored = pd.DataFrame({"term": list("abcd"), "score": [4.0, 1.0, 3.0, 2.0]})
+    assert proportional_select(scored, 0.25, 0.75) == ["d", "c"]
+    assert top_k_select(scored, 2) == ["a", "c"]
+    assert union_selectors(["a", "b"], ["b", "c"]) == ["a", "b", "c"]
+    # ChiSquare formula spot-check (Utils.java:900-907)
+    v = chi_square(100, np.array([10.0]), np.array([8.0]), 40)
+    A, B, C, D = 8.0, 2.0, 32.0, 58.0
+    exp = 100 * (A * D - B * C) ** 2 / 40 / (B + D) / 10.0 / (C + D)
+    assert v[0] == pytest.approx(exp)
+
+
+def test_exact_dedup_planted(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(20)]
+    rows += [{"doc_id": 100 + i, "text": "duplicated body"} for i in range(5)]
+    out = exact_dedup(ray.data.from_items(rows)).to_pandas()
+    dup_row = out[out["n_dups"] == 5]
+    assert len(dup_row) == 1 and int(dup_row["doc_id"].iloc[0]) == 100
+    assert len(out) == 21
+
+
+def test_minhash_and_jaccard_agree(ray_session):
+    """LSH candidates verified with exact Jaccard must be a subset of (and on
+    near-dups equal to) the exact inverted-index pairs."""
+    import ray.data
+
+    from ir_base_ray.stages.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [{"doc_id": i, "text": f"totally different text number {i} " + "filler " * (i % 5)} for i in range(15)]
+    rows.append({"doc_id": 50, "text": base})
+    rows.append({"doc_id": 51, "text": base + " extra"})
+    ds = ray.data.from_items(rows)
+    exact = ngram_jaccard_pairs(ds, shingle_n=3, threshold=0.5).to_pandas()
+    _, lsh = minhash_lsh_dedup(ds, num_perm=64, num_bands=32, shingle_n=3, threshold=0.5)
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert (50, 51) in exact_pairs
+    assert (50, 51) in lsh_pairs
+    assert lsh_pairs <= exact_pairs
+
+
+def test_simhash_near_pairs(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.dedup import simhash_dataset, simhash_near_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("tok3", "tokX")},
+            {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(60))}]
+    sim = simhash_dataset(ray.data.from_items(rows), concurrency=1)
+    # one-token edits on short uniform-weight docs still flip ~25% of the
+    # near-zero accumulator bits (deterministic here: d(0,1)=16, d(0,2)=30),
+    # so the near-dup budget is 20 bits
+    pairs = simhash_near_pairs(sim, max_hamming=20).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ann_brute_force_exact(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((200, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].astype(np.float32).tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    q = mat[:3].astype(np.float32).astype(np.float64)
+    out = brute_force_topk(ds, np.arange(3), q, k=5, concurrency=2)
+    # verify vs full numpy
+    m64 = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in range(3):
+        expected = np.lexsort((np.arange(200), -sims[qi]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_knn_topk(ray_session):
+    import ray.data
+
+    from ir_base_ray.pipelines.classify import knn_topk
+
+    rows = [
+        {"id": 0, "terms": ["a", "b"], "tfs": [1, 1]},
+        {"id": 1, "terms": ["a", "b"], "tfs": [2, 2]},  # same direction as 0
+        {"id": 2, "terms": ["c", "d"], "tfs": [1, 1]},
+    ]
+    cand = pd.DataFrame(rows)
+    out = knn_topk(ray.data.from_items(rows), cand, k=1, id_col="id",
+                   concurrency=1).to_pandas()
+    assert int(out[out["id"] == 0]["neighbor_id"].iloc[0]) == 1
+    assert int(out[out["id"] == 1]["neighbor_id"].iloc[0]) == 0
+
+
+def test_media_features(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.multimodal import media_features, synth_media_table
+
+    tbl = synth_media_table(30, seed=1)
+    out = media_features(ray.data.from_arrow(tbl), concurrency=1).to_pandas()
+    assert len(out) == 30
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic stub decode
+    out2 = media_features(ray.data.from_arrow(tbl), concurrency=1).to_pandas()
+    assert out.sort_values("media_id")["feature"].map(tuple).tolist() == \
+        out2.sort_values("media_id")["feature"].map(tuple).tolist()
