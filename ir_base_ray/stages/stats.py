@@ -31,16 +31,15 @@ def _partial_stats(batch: pa.Table) -> pa.Table:
     tfs = batch.column("tfs")
     flat_terms = pa.chunked_array([c.flatten() for c in terms.chunks]) if isinstance(terms, pa.ChunkedArray) else terms.flatten()
     flat_tfs = pa.chunked_array([c.flatten() for c in tfs.chunks]) if isinstance(tfs, pa.ChunkedArray) else tfs.flatten()
-    t = flat_terms.to_numpy(zero_copy_only=False)
-    f = flat_tfs.to_numpy(zero_copy_only=False)
-    # terms are distinct within a doc (Counter keys), so df = count of rows
-    uniq, inv = np.unique(t, return_inverse=True)
-    df = np.bincount(inv)
-    ttf = np.bincount(inv, weights=f.astype(np.float64)).astype(np.int64)
+    # terms are distinct within a doc (Counter keys), so df = row count and
+    # ttf = Σ tf — aggregated with Arrow's C++ hash groupby (zero Python
+    # per-string work)
+    flat = pa.table({"term": flat_terms, "tf": flat_tfs})
+    agg = flat.group_by("term").aggregate([("tf", "sum"), ("term", "count")])
     return pa.table({
-        "term": pa.array(uniq.tolist(), pa.string()),
-        "df": pa.array(df, pa.int64()),
-        "ttf": pa.array(ttf, pa.int64()),
+        "term": agg.column("term"),
+        "df": pa.compute.cast(agg.column("term_count"), pa.int64()),
+        "ttf": pa.compute.cast(agg.column("tf_sum"), pa.int64()),
     })
 
 
@@ -79,7 +78,9 @@ def build_dictionary_driver_fast(analyzed_ds):
     shuffle at all — partial rows ≈ vocab × #blocks, tiny next to postings).
     Scale path: swap in :func:`build_dictionary` (distributed groupby + dense
     ranks) when vocab × #blocks outgrows the driver."""
-    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
+                                       batch_size=None)  # whole blocks: one
+    # combiner output per block keeps partial rows ≈ vocab × #blocks
     frames = [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
     import pandas as pd
 
