@@ -66,10 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W. weighting (§2.7)
         "bm25_weights": ops.bm25_weights,                # W4
         "tfidf_weights": ops.tfidf_weights,              # W2
+        "tfidf_sublinear": ops.tfidf_sublinear_weights,  # W3
+        "pln_weights": ops.pln_weights,                  # W5
+        "tfidf_l2": ops.tfidf_l2,                        # W6 (norm=2)
         # flagship index + query engine (§7.1, Q1/J2/J3)
         "topk_bm25_indexed": ops.topk_bm25_indexed,
         # F. feature selection (§2.6)
         "df_band": ops.df_band,                          # F1
+        "ig_select": ops.ig_select,                      # F2
+        "mi_select": ops.mi_select,                      # F3
         "chi_select": ops.chi_select,                    # F4
         "top_ttf_terms": ops.top_ttf_terms,              # F6/Q7 sort+limit
         # grouping / joins / windows / splits (§2.4, §2.8)
@@ -85,7 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,  # rows-only
         "dedup_simhash": ops.dedup_simhash,              # rows-only
         "ann_cosine_topk": ops.ann_cosine_topk,
-        "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only
+        "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only (LSH)
+        "embedding_near_dup_exact": ops.embedding_near_dup_exact,
         "text_quality": ops.text_quality_scores,
         "token_counts": ops.token_count_scores,
         "lang_id": ops.lang_id_predictions,              # rows-only
@@ -105,8 +111,13 @@ def oracle_sql() -> dict[str, str]:
         "nb_stats": ops.SQL_NB_STATS,
         "bm25_weights": ops.SQL_BM25_WEIGHTS,
         "tfidf_weights": ops.SQL_TFIDF_WEIGHTS,
+        "tfidf_sublinear": ops.SQL_TFIDF_SUBLINEAR,
+        "pln_weights": ops.SQL_PLN_WEIGHTS,
+        "tfidf_l2": ops.SQL_TFIDF_L2,
         "topk_bm25_indexed": ops.sql_topk_bm25(),
         "df_band": ops.SQL_DF_BAND,
+        "ig_select": ops.SQL_IG_SELECT,
+        "mi_select": ops.SQL_MI_SELECT,
         "chi_select": ops.SQL_CHI_SELECT,
         "top_ttf_terms": ops.SQL_TOP_TTF,
         "events_user_agg": ops.SQL_EVENTS_USER_AGG,
@@ -117,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "fold_assign": ops.SQL_FOLD_ASSIGN,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
         "ann_cosine_topk": ops.SQL_ANN_COSINE,
+        "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
         "text_quality": ops.SQL_TEXT_QUALITY,
         "token_counts": ops.SQL_TOKEN_COUNTS,
     }

@@ -43,6 +43,10 @@ class IndexConfig:
     id_shards: int = 16
     # analyzer actor pool
     analyzer_concurrency: int | tuple[int, int] = 4
-    analyzer_batch_size: int = 1024
+    analyzer_batch_size: int | None = None  # None = whole blocks: keeps output blocks,
+    # parquet row groups, and downstream combiner batches large
     analyzer: AnalyzerSpec = field(default_factory=AnalyzerSpec)
     bm25: BM25Params = field(default_factory=BM25Params)
+    # optional: the corpus parquet path(s); lets the url→doc_id map read the
+    # key column with parallel row-group tasks instead of via the Dataset
+    corpus_paths: tuple[str, ...] | None = None

@@ -22,29 +22,26 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
-    out_cols = []
-    remaining = v.copy()
-    mask_cols = []
-    while True:
-        out_cols.append((remaining & np.uint64(0x7F)).astype(np.uint8))
-        remaining = remaining >> np.uint64(7)
-        mask_cols.append(remaining > 0)
-        if not mask_cols[-1].any():
-            break
-    n_groups = len(out_cols)
-    # byte i of value j is emitted iff i == 0 or value j needed > i groups
-    emit = np.ones((n_groups, v.size), dtype=bool)
-    for i in range(1, n_groups):
-        emit[i] = mask_cols[i - 1]
-    # last emitted byte per value gets the high bit
-    counts = emit.sum(axis=0)  # groups per value
-    bytes_2d = np.stack(out_cols)  # (n_groups, n)
-    for i in range(n_groups):
-        is_last = counts == (i + 1)
-        bytes_2d[i] = np.where(is_last, bytes_2d[i] | 0x80, bytes_2d[i])
-    # column-major flatten taking only emitted bytes, preserving value order
-    flat = bytes_2d.T[emit.T]
-    return flat.tobytes(), counts.astype(np.int64)
+    # bytes per value = 1 + #(2^(7k) boundaries ≤ value); comparisons beat
+    # digitize's per-element binary search, and stop at the actual max
+    counts = np.ones(v.size, dtype=np.int64)
+    vmax = int(v.max())
+    k = 1
+    while vmax >> (7 * k):
+        counts += v >= np.uint64(1 << (7 * k))
+        k += 1
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    max_count = int(counts.max())
+    # one scatter per byte position: byte i of value j goes to starts[j]+i
+    for i in range(max_count):
+        sel = np.flatnonzero(counts > i) if i else slice(None)
+        vi = v[sel] if i else v
+        b = ((vi >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
+        b[counts[sel] == i + 1] |= 0x80  # high bit marks the LAST byte
+        out[starts[sel] + i] = b
+    return out.tobytes(), counts
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:

@@ -49,9 +49,9 @@ def _count_parquet_rows(path: str) -> int:
 
 from ir_base_ray.config import IndexConfig
 from ir_base_ray.stages.analyze import analyze_dataset
-from ir_base_ray.stages.docids import assign_dense_ids
+from ir_base_ray.stages.docids import driver_key_id_map
 from ir_base_ray.stages.postings import build_postings
-from ir_base_ray.stages.stats import build_dictionary_driver_fast
+from ir_base_ray.stages.stats import build_dictionary_driver
 
 
 def _stage_done(path: str) -> bool:
@@ -87,13 +87,26 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
     if not _stage_done(analyzed_dir):
         _fresh_dir(analyzed_dir)
         t0 = time.time()
-        ids_ds = assign_dense_ids(corpus_ds, key="url", id_col="doc_id")
+        # doc_id = rank of url under the global sort, computed WITHOUT sorting
+        # the corpus: only the url column is gathered + sorted, then broadcast
+        # so the analyzer actors assign ids inline (the text payload never
+        # enters a shuffle — see docids.driver_key_id_map for the scale bound)
+        if cfg.corpus_paths:
+            from ir_base_ray.stages.docids import driver_key_id_map_from_parquet
+
+            url_index = driver_key_id_map_from_parquet(list(cfg.corpus_paths), key="url")
+        else:
+            url_index = driver_key_id_map(corpus_ds, key="url")
+        id_map_ref = ray.put(url_index)
+        timings["url_id_map"] = time.time() - t0
+        t0 = time.time()
         analyzed = analyze_dataset(
-            ids_ds,
+            corpus_ds,
             cfg.analyzer,
-            keep_cols=("doc_id", "url"),
+            keep_cols=("url",),
             concurrency=cfg.analyzer_concurrency,
             batch_size=cfg.analyzer_batch_size,
+            id_map_ref=id_map_ref,
         )
         analyzed.write_parquet(analyzed_dir)
         _mark_done(analyzed_dir)
@@ -110,15 +123,22 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
         _mark_done(docs_dir)
     timings["docs"] = time.time() - t0
 
-    # --- pass 2a: dictionary (combiner + groupby; driver finalize) ---------
+    # --- pass 2a: dictionary (combiner + distributed groupby) --------------
     t0 = time.time()
     dict_dir = os.path.join(cfg.out_dir, "dict")
+    import pyarrow.parquet as _pq
+
     if not _stage_done(dict_dir):
         _fresh_dir(dict_dir)
         os.makedirs(dict_dir, exist_ok=True)
-        dict_pdf = build_dictionary_driver_fast(analyzed.select_columns(["terms", "tfs"]))
-        import pyarrow.parquet as _pq
-
+        # column-pruned re-read with few, large blocks: partial-combiner output
+        # is vocab × #blocks rows, so block count — not row count — is what the
+        # groupby shuffle pays for. The groupby-sum runs distributed; only the
+        # vocab-sized final aggregate ever reaches the driver.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        dict_src = ray.data.read_parquet(analyzed_dir, columns=["terms", "tfs"],
+                                         override_num_blocks=max(32, ncpu * 2))
+        dict_pdf = build_dictionary_driver(dict_src)
         _pq.write_table(pa.Table.from_pandas(dict_pdf, preserve_index=False),
                         os.path.join(dict_dir, "dictionary.parquet"))
         _mark_done(dict_dir)
@@ -148,7 +168,7 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
     idf_ref = ray.put(bm25_idf_by_tid(scalars["N"], df_by_tid))
     timings["broadcast_dict"] = time.time() - t0
 
-    # --- pass 2b: postings -------------------------------------------------
+    # --- pass 2b: postings (broadcast-join explode → disk exchange → encode)
     t0 = time.time()
     part_metrics = build_postings(
         analyzed.select_columns(["doc_id", "terms", "tfs", "doc_len"]),
@@ -159,6 +179,7 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
         num_parts=cfg.num_partitions,
         N=scalars["N"],
         avgdl=scalars["avgdl"],
+        timings=timings,
     )
     timings["postings"] = time.time() - t0
 

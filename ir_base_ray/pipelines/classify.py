@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray
 
+from ir_base_ray.perf import pool_size
+
 from ir_base_ray.functions.topk import BoundedTopK
 
 
@@ -127,7 +129,7 @@ def predict_naive_bayes(ds, model: NaiveBayesModel, *, id_col: str,
             })
 
     return ds.map_batches(Predictor, batch_format="pyarrow",
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=pool_size(concurrency), num_cpus=1)
 
 
 def knn_topk(ds, candidates: pd.DataFrame, *, k: int, id_col: str,
@@ -181,4 +183,4 @@ def knn_topk(ds, candidates: pd.DataFrame, *, k: int, id_col: str,
             })
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=pool_size(concurrency), num_cpus=1)

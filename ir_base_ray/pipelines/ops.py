@@ -221,23 +221,29 @@ _BM25_SQL_CORE = _TOKENS_CTE + """
 """
 
 
-def bm25_weights(sf_dir: str):
-    """W4: per-(doc, term) BM25 weight, k1=1.5 b=0.75, exact reference
-    expression (``Analyzer.java:235-263``), rounded to 4 decimals for the
-    cross-engine comparison."""
-    from ray.data.aggregate import Count, Sum
+def _tf_stats_pdf(sf_dir: str):
+    """Shared input for the W2-W6 comparison harness: distributed tokenize +
+    (doc_id, term) groupby, then doc_len / df / N / avgdl merged driver-side
+    (test-scale only — the 100 TB path is stages/weighting.py
+    ``set_feature_values``, which broadcasts the dictionary and streams)."""
+    from ray.data.aggregate import Count
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
-    tf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf"))
-    tf_pdf = tf.to_pandas()
-
+    tf_pdf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
     dl = tf_pdf.groupby("doc_id")["tf"].sum().rename("doc_len")
     dict_df = tf_pdf.groupby("term")["doc_id"].nunique().rename("df")
     N = int(dl.size)
     avgdl = float(dl.sum()) / N
-
     m = tf_pdf.merge(dl, on="doc_id").merge(dict_df, on="term")
+    return m, N, avgdl
+
+
+def bm25_weights(sf_dir: str):
+    """W4: per-(doc, term) BM25 weight, k1=1.5 b=0.75, exact reference
+    expression (``Analyzer.java:235-263``), rounded to 4 decimals for the
+    cross-engine comparison."""
+    m, N, avgdl = _tf_stats_pdf(sf_dir)
     tfv = m["tf"].to_numpy().astype(np.float64)
     dlv = m["doc_len"].to_numpy().astype(np.float64)
     dfv = m["df"].to_numpy().astype(np.float64)
@@ -260,15 +266,7 @@ FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 
 def tfidf_weights(sf_dir: str):
     """W2: TF/doclen · ln((N+1)/DF) (``Analyzer.java:193-213``), rounded 6."""
-    from ray.data.aggregate import Count
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
-    tf_pdf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
-    dl = tf_pdf.groupby("doc_id")["tf"].sum().rename("doc_len")
-    dict_df = tf_pdf.groupby("term")["doc_id"].nunique().rename("df")
-    N = int(dl.size)
-    m = tf_pdf.merge(dl, on="doc_id").merge(dict_df, on="term")
+    m, N, _avgdl = _tf_stats_pdf(sf_dir)
     TF = m["tf"].to_numpy().astype(np.float64) / m["doc_len"].to_numpy().astype(np.float64)
     IDF = np.log((N + 1) / m["df"].to_numpy().astype(np.float64))
     m["tfidf"] = np.round(TF * IDF, 6)
@@ -279,6 +277,68 @@ SQL_TFIDF_WEIGHTS = _BM25_SQL_CORE + """
 SELECT tf.doc_id, tf.term,
        round((tf.tf::DOUBLE / dl.doc_len) * ln((scal.n + 1)::DOUBLE / dict.df), 6) AS tfidf
 FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+"""
+
+
+def pln_weights(sf_dir: str):
+    """W5 (``Analyzer.java:264-291``): pivoted length normalization, s=0.5:
+    (1+ln(1+ln TF))/(1−s+s·n) · ln((N+1)/DF) with n=doclen/avgdl; rounded 6."""
+    m, N, avgdl = _tf_stats_pdf(sf_dir)
+    tf = m["tf"].to_numpy().astype(np.float64)
+    dl = m["doc_len"].to_numpy().astype(np.float64)
+    df = m["df"].to_numpy().astype(np.float64)
+    n = dl / avgdl
+    w = (1 + np.log(1 + np.log(tf))) / (0.5 + 0.5 * n) * np.log((N + 1) / df)
+    m["pln"] = np.round(w, 6)
+    return m[["doc_id", "term", "pln"]]
+
+
+SQL_PLN_WEIGHTS = _BM25_SQL_CORE + """
+SELECT tf.doc_id, tf.term,
+       round((1 + ln(1 + ln(tf.tf))) / (0.5 + 0.5 * (dl.doc_len / scal.avgdl))
+             * ln((scal.n + 1)::DOUBLE / dict.df), 6) AS pln
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+"""
+
+
+def tfidf_sublinear_weights(sf_dir: str):
+    """W3 (``Analyzer.java:214-234``): (1+log₁₀TF)·(1+log₁₀(N/DF)); rounded 6."""
+    m, N, _avgdl = _tf_stats_pdf(sf_dir)
+    tf = m["tf"].to_numpy().astype(np.float64)
+    df = m["df"].to_numpy().astype(np.float64)
+    w = (1 + np.log10(tf)) * (1 + np.log10(N / df))
+    m["tfidf_sub"] = np.round(w, 6)
+    return m[["doc_id", "term", "tfidf_sub"]]
+
+
+SQL_TFIDF_SUBLINEAR = _BM25_SQL_CORE + """
+SELECT tf.doc_id, tf.term,
+       round((1 + log10(tf.tf::DOUBLE)) * (1 + log10(scal.n::DOUBLE / dict.df)), 6) AS tfidf_sub
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+"""
+
+
+def tfidf_l2(sf_dir: str):
+    """W6 (``Utils.java:287-325``, norm=2): L2-normalize each doc's W2 TFIDF
+    vector — value/‖v‖₂ per (doc, term); rounded 6."""
+    m, N, _avgdl = _tf_stats_pdf(sf_dir)
+    TF = m["tf"].to_numpy().astype(np.float64) / m["doc_len"].to_numpy().astype(np.float64)
+    IDF = np.log((N + 1) / m["df"].to_numpy().astype(np.float64))
+    m["v"] = TF * IDF
+    m["v2"] = m["v"] * m["v"]
+    norms = np.sqrt(m.groupby("doc_id")["v2"].transform("sum").to_numpy())
+    m["tfidf_l2"] = np.round(m["v"].to_numpy() / norms, 6)
+    return m[["doc_id", "term", "tfidf_l2"]]
+
+
+SQL_TFIDF_L2 = _BM25_SQL_CORE + """
+, w AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf::DOUBLE / dl.doc_len) * ln((scal.n + 1)::DOUBLE / dict.df) AS v
+  FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+)
+SELECT doc_id, term, round(v / sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 6) AS tfidf_l2
+FROM w
 """
 
 
@@ -391,12 +451,12 @@ HAVING df > 5 AND df < 2000
 """
 
 
-def chi_select(sf_dir: str):
-    """F4: χ² score per term against lang classes, weighted by class prior
-    (``FeatureSelector.java:147-169``, ``Utils.ChiSquare``), min_df=5,
-    rounded 6."""
-    from ray.data.aggregate import Count
-    from ir_base_ray.stages.featsel import chi_scores
+def _per_class_df(sf_dir: str):
+    """Shared F2/F3/F4 input: per-(class, term) document frequency via
+    per-batch Counter partials (per-doc dedup inside the map — the combiner
+    that makes the downstream groupby vocab-sized, SURVEY.md §2.5 A1) plus
+    the class member counts. Returns (per_class pdf, {class: n})."""
+    from ray.data.aggregate import Count, Sum
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -412,13 +472,20 @@ def chi_select(sf_dir: str):
             "df_part": pa.array([acc[k] for k in keys], pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
-
     per_class = docs.map_batches(partial, batch_format="pyarrow").groupby(["class", "term"]).aggregate(
         Sum("df_part", alias_name="df_c")
     ).to_pandas()
     counts = _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
-    class_counts_d = dict(zip(counts["lang"], counts["n"].astype(int)))
+    return per_class, dict(zip(counts["lang"], counts["n"].astype(int)))
+
+
+def chi_select(sf_dir: str):
+    """F4: χ² score per term against lang classes, weighted by class prior
+    (``FeatureSelector.java:147-169``, ``Utils.ChiSquare``), min_df=5,
+    rounded 6."""
+    from ir_base_ray.stages.featsel import chi_scores
+
+    per_class, class_counts_d = _per_class_df(sf_dir)
     scored = chi_scores(per_class, class_counts_d, min_df=5, max_df=10**9)
     scored["chi2"] = scored["score"].round(6)
     return scored[["term", "chi2"]]
@@ -444,6 +511,72 @@ SELECT term, round(sum(
     * member / (SELECT n FROM nn)
   ), 6) AS chi2
 FROM grid WHERE df > 5 GROUP BY term
+"""
+
+_PER_CLASS_SQL = _TOKENS_CTE + """
+, per_class AS (
+  SELECT d.lang AS class, k.term AS term, count(DISTINCT k.doc_id) AS df_c
+  FROM toks k JOIN documents d USING (doc_id) GROUP BY d.lang, k.term
+), cls AS (SELECT lang AS class, count(*)::DOUBLE AS member FROM documents GROUP BY lang),
+  nn AS (SELECT sum(member) AS n FROM cls),
+  termdf AS (SELECT term, sum(df_c)::DOUBLE AS df FROM per_class GROUP BY term),
+  grid AS (
+    SELECT t.term, c.class, c.member, t.df, coalesce(p.df_c, 0)::DOUBLE AS a
+    FROM termdf t CROSS JOIN cls c
+    LEFT JOIN per_class p ON p.term = t.term AND p.class = c.class
+  )
+"""
+
+
+def ig_select(sf_dir: str):
+    """F2: Shannon information gain per term over lang classes
+    (``FeatureSelector.java:74-116``), min_df=5, max_df=N exclusive (a term
+    present in EVERY doc makes prt_not=0 → 0·(−inf)=NaN in the reference
+    formula, so such terms are excluded on both sides), rounded 6."""
+    from ir_base_ray.stages.featsel import ig_scores
+
+    per_class, class_counts_d = _per_class_df(sf_dir)
+    N = sum(class_counts_d.values())
+    scored = ig_scores(per_class, class_counts_d, min_df=5, max_df=N)
+    scored["ig"] = scored["score"].round(6)
+    return scored[["term", "ig"]]
+
+
+# pr_cit = (df_c/member)·pr(ci)/pr(t) simplifies to a/df (and the not-t analog
+# to (member−a)/(n−df)); DuckDB computes the simplified form, the Ray side the
+# reference's literal operator order — round(…, 6) absorbs the ulp gap.
+SQL_IG_SELECT = _PER_CLASS_SQL + """
+, prisum AS (SELECT -sum((member / (SELECT n FROM nn)) * ln(member / (SELECT n FROM nn))) AS s FROM cls)
+SELECT term, round(
+    (SELECT s FROM prisum)
+    + (df / (SELECT n FROM nn)) * sum(CASE WHEN a > 0 THEN (a / df) * ln(a / df) ELSE 0 END)
+    + (1 - df / (SELECT n FROM nn)) * sum(CASE WHEN (member - a) > 0
+          THEN ((member - a) / ((SELECT n FROM nn) - df)) * ln((member - a) / ((SELECT n FROM nn) - df))
+          ELSE 0 END)
+  , 6) AS ig
+FROM grid WHERE df > 5 AND df < (SELECT n FROM nn) GROUP BY term, df
+"""
+
+
+def mi_select(sf_dir: str):
+    """F3: avg pointwise MI (``FeatureSelector.java:119-144``, keeping the
+    reference's literal ``log(A·N/Ci·sumDF)`` operator order — a multiply by
+    sumDF, transcribed as-is), min_df=5; terms absent from any class are
+    excluded (log 0 → −inf), mirrored by ``HAVING min(a) > 0``; rounded 6."""
+    from ir_base_ray.stages.featsel import mi_scores
+
+    per_class, class_counts_d = _per_class_df(sf_dir)
+    scored = mi_scores(per_class, class_counts_d, min_df=5, max_df=10**9)
+    scored = scored[np.isfinite(scored["score"])].copy()
+    scored["mi"] = scored["score"].round(6)
+    return scored[["term", "mi"]]
+
+
+SQL_MI_SELECT = _PER_CLASS_SQL + """
+SELECT term, round(sum(
+    ln(a * (SELECT n FROM nn) / member * df) * (member / (SELECT n FROM nn))
+  ), 6) AS mi
+FROM grid WHERE df > 5 GROUP BY term HAVING min(a) > 0
 """
 
 
@@ -718,15 +851,34 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank < 10
 
 
 def embedding_near_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup (LSH-bucketed, cosine ≥ 0.99)."""
+    """Embedding-cosine near-dup via multi-table LSH (8 tables × 6 bits,
+    cosine ≥ 0.45 — the synthetic embeddings top out near 0.51, so a 0.9+
+    threshold would be vacuously empty). Recall vs the exact path is pinned
+    in tests/test_capability.py."""
     from ir_base_ray.stages.ann import embedding_near_dup
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
-    out = embedding_near_dup(emb, dim=dim, threshold=0.99).to_pandas()
-    if len(out):
-        out["cosine"] = out["cosine"].round(6)
-    return out
+    out = embedding_near_dup(emb, dim=dim, threshold=0.45, n_bits=6, n_tables=8).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_exact(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.45 (blocked cross-product, SQL-checked) —
+    the correctness anchor the LSH variant's recall is measured against."""
+    from ir_base_ray.stages.ann import exact_near_dup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = exact_near_dup(emb, threshold=0.45).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_NEAR_DUP_EXACT = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+"""
 
 
 def text_quality_scores(sf_dir: str):

@@ -41,6 +41,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ir_base_ray.config import AnalyzerSpec
+from ir_base_ray.perf import pool_size
 from ir_base_ray.functions.analyzer import Analyzer, analyze_simple
 from ir_base_ray.functions.codec import decode_postings
 from ir_base_ray.functions.scoring import bm25_idf_by_tid, bm25_weights_from_idf
@@ -248,6 +249,6 @@ def search(queries_ds, index_dir: str, *, concurrency=2, batch_size: int = 64,
         fn_constructor_kwargs={"index_dir": index_dir, "default_k": default_k, "prune": prune},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )

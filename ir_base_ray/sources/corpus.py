@@ -134,10 +134,15 @@ def write_synth_corpus(path: str, n_rows: int, seed: int = 42,
     return path
 
 
-def read_corpus(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def read_corpus(path: str, columns: list[str] | None = None,
+                override_num_blocks: int | None = None) -> "ray.data.Dataset":
     """Column-pruned corpus read (S1: prune at the read — never ship html
-    bytes into stages that only need text)."""
-    return ray.data.read_parquet(path, columns=columns or ["url", "text", "lang"])
+    bytes into stages that only need text). For a SINGLE large file pass
+    ``override_num_blocks`` ≈ its row-group count so the decompress runs as
+    parallel read tasks instead of one (a multi-file corpus parallelizes on
+    its own)."""
+    return ray.data.read_parquet(path, columns=columns or ["url", "text", "lang"],
+                                 override_num_blocks=override_num_blocks)
 
 
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":

@@ -20,17 +20,27 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+import ray
+
 from ir_base_ray.config import AnalyzerSpec
 from ir_base_ray.functions.analyzer import Analyzer, analyze_simple
 from ir_base_ray.sources.stopwords import load_stopwords
 
 
 class AnalyzerActor:
-    def __init__(self, spec: AnalyzerSpec | None = None, text_col: str = "text", keep_cols: tuple = ("doc_id",)):
+    def __init__(self, spec: AnalyzerSpec | None = None, text_col: str = "text",
+                 keep_cols: tuple = ("doc_id",), id_map_ref=None, id_key: str = "url",
+                 id_col: str = "doc_id"):
         spec = spec or AnalyzerSpec()
         self.spec = spec
         self.text_col = text_col
         self.keep_cols = keep_cols
+        # broadcast url→doc_id map (driver_key_id_map): resolved ONCE per
+        # actor from the local object store; id assignment happens inline so
+        # no separate map stage and no shuffle of the text column
+        self._id_index = ray.get(id_map_ref) if id_map_ref is not None else None
+        self._id_key = id_key
+        self._id_col = id_col
         if spec.mode == "full":
             stopwords = load_stopwords(spec.stopwords_path)
             self._analyzer = Analyzer(ngram=spec.ngram, stopwords=stopwords)
@@ -64,8 +74,14 @@ class AnalyzerActor:
 
         mask = pa.array(keep_mask, pa.bool_())
         cols = {}
+        if self._id_index is not None:
+            import numpy as np
+
+            keys = batch.column(self._id_key).to_numpy(zero_copy_only=False)
+            ids = self._id_index.get_indexer(keys)
+            cols[self._id_col] = pa.array(ids, pa.int64()).filter(mask)
         for c in self.keep_cols:
-            if c in batch.column_names:
+            if c in batch.column_names and c not in cols:
                 cols[c] = batch.column(c).filter(mask)
         cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
         cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int64()))
@@ -74,15 +90,49 @@ class AnalyzerActor:
         return pa.table(cols)
 
 
+_PROCESS_ANALYZERS: dict = {}
+
+
+def _analyze_batch(batch: pa.Table, *, spec, text_col, keep_cols, id_map_ref,
+                   id_key, id_col) -> pa.Table:
+    """Task-based analyzer with per-PROCESS state cache: the stemmer /
+    stopword set / broadcast id map are built once per worker process (same
+    load-once semantics as the actor pool) but the work runs on Ray's shared
+    pre-started task workers — no actor-pool spawn barrier, and the worker
+    processes (with warm allocator arenas) are reused by neighbouring stages."""
+    key = (spec, text_col, keep_cols, id_key, id_col,
+           id_map_ref.hex() if id_map_ref is not None else None)
+    analyzer = _PROCESS_ANALYZERS.get(key)
+    if analyzer is None:
+        analyzer = AnalyzerActor(spec, text_col, keep_cols, id_map_ref, id_key, id_col)
+        _PROCESS_ANALYZERS[key] = analyzer
+    return analyzer(batch)
+
+
 def analyze_dataset(ds, spec: AnalyzerSpec | None = None, *, text_col: str = "text",
                     keep_cols: tuple = ("doc_id",), concurrency=4, batch_size: int = 1024,
-                    num_cpus: float = 1):
-    """corpus Dataset → analyzed Dataset via the actor pool."""
+                    num_cpus: float = 1, id_map_ref=None, id_key: str = "url",
+                    id_col: str = "doc_id", use_actors: bool = False):
+    """corpus Dataset → analyzed Dataset. With ``id_map_ref`` (a ``ray.put``
+    sorted key Index), dense ids are assigned inline per batch instead of by
+    an upstream sort stage. Default is the task-based path (per-process state
+    cache — see :func:`_analyze_batch`); ``use_actors=True`` selects the
+    explicit actor pool (``concurrency``/``batch_size`` apply)."""
+    if use_actors:
+        return ds.map_batches(
+            AnalyzerActor,
+            fn_constructor_kwargs={"spec": spec, "text_col": text_col, "keep_cols": keep_cols,
+                                   "id_map_ref": id_map_ref, "id_key": id_key, "id_col": id_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
     return ds.map_batches(
-        AnalyzerActor,
-        fn_constructor_kwargs={"spec": spec, "text_col": text_col, "keep_cols": keep_cols},
+        _analyze_batch,
+        fn_kwargs={"spec": spec, "text_col": text_col, "keep_cols": keep_cols,
+                   "id_map_ref": id_map_ref, "id_key": id_key, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=num_cpus,
     )

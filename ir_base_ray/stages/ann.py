@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray
 
+from ir_base_ray.perf import pool_size
+
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch.column(vec_col)
@@ -75,7 +77,7 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 
     partial = ds.map_batches(
         BruteForceScorer,
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=pool_size(concurrency), num_cpus=1,
     ).to_pandas()
     out = []
     for qid, g in partial.groupby("query_id"):
@@ -113,28 +115,110 @@ def lsh_bucket_dataset(ds, *, dim: int, n_bits: int = 12, seed: int = 5,
             m = _normalize_rows(_batch_matrix(batch, vec_col))
             return batch.append_column("bucket", pa.array(self.lsh.signature(m), pa.int64()))
 
-    return ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=pool_size(2), num_cpus=1)
+
+
+def multi_lsh_bucket_dataset(ds, *, dim: int, n_bits: int = 8, n_tables: int = 8,
+                             seed: int = 5, id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """n_tables independent hyperplane tables (seeds seed..seed+n_tables−1);
+    each row is emitted once per table with a table-tagged bucket id, so ONE
+    downstream groupby covers all tables. Recall ≈ 1−(1−p^n_bits)^n_tables."""
+
+    class MultiBucketer:
+        def __init__(self):
+            self.tables = [HyperplaneLSH(dim, n_bits, seed + t) for t in range(n_tables)]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize_rows(_batch_matrix(batch, vec_col))
+            parts = []
+            for t, lsh in enumerate(self.tables):
+                sig = lsh.signature(m) | (np.int64(t) << n_bits)
+                parts.append(batch.append_column("bucket", pa.array(sig, pa.int64())))
+            return pa.concat_tables(parts)
+
+    return ds.map_batches(MultiBucketer, batch_format="pyarrow", concurrency=pool_size(2), num_cpus=1)
 
 
 def embedding_near_dup(ds, *, dim: int, threshold: float = 0.95, n_bits: int = 10,
-                       seed: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"):
+                       n_tables: int = 1, seed: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
     """Embedding-cosine near-dup pairs: LSH bucket groupby → exact cosine
-    within buckets → pairs with cosine ≥ threshold. (At 10^12 scale add
-    multi-probe / repeated seeds for recall.)"""
-    bucketed = lsh_bucket_dataset(ds, dim=dim, n_bits=n_bits, seed=seed,
-                                  id_col=id_col, vec_col=vec_col)
+    within buckets → pairs with cosine ≥ threshold (cosine rounded to 6 before
+    the cut so the boundary matches the exact oracle); multi-table recall via
+    n_tables>1 with a final (id_a, id_b) max-dedup groupby."""
+    if n_tables > 1:
+        bucketed = multi_lsh_bucket_dataset(ds, dim=dim, n_bits=n_bits, n_tables=n_tables,
+                                            seed=seed, id_col=id_col, vec_col=vec_col)
+    else:
+        bucketed = lsh_bucket_dataset(ds, dim=dim, n_bits=n_bits, seed=seed,
+                                      id_col=id_col, vec_col=vec_col)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = group[id_col].dtype
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            # typed empty frame: keeps block schemas consistent (an untyped
+            # empty frame would default id columns to float64)
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
+                                 "cosine": pd.Series([], dtype="float64")})
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         mat = _normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+        r = np.round(sims[ia, ib], 6)
+        keep = r >= threshold
         return pd.DataFrame({
-            "id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sims[ia, ib][keep],
+            "id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": r[keep],
         })
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    if n_tables > 1:
+        from ray.data.aggregate import Max
+
+        pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return pairs
+
+
+class _BlockPairScorer:
+    """Actor: broadcast (ids, normalized matrix) resolved once; each batch
+    computes its block-row of the N×N cosine matrix — a blocked O(N²/P)
+    exact cross product distributed over the batches."""
+
+    def __init__(self, all_ref, threshold: float, id_col: str, vec_col: str):
+        self.all_ids, self.all_mat = ray.get(all_ref)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        m = _normalize_rows(_batch_matrix(batch, self.vec_col))
+        r = np.round(m @ self.all_mat.T, 6)
+        ia, ib = np.nonzero(r >= self.threshold)
+        keep = ids[ia] < self.all_ids[ib]  # emit each unordered pair once
+        return pa.table({
+            "id_a": pa.array(ids[ia][keep], pa.int64()),
+            "id_b": pa.array(self.all_ids[ib][keep], pa.int64()),
+            "cosine": pa.array(r[ia, ib][keep], pa.float64()),
+        })
+
+
+def exact_near_dup(ds, *, threshold: float = 0.45, id_col: str = "vec_id",
+                   vec_col: str = "embedding", concurrency=4):
+    """Exact all-pairs near-dup (the correctness anchor for the LSH path):
+    gather the table once, ``ray.put`` it, stream the same table through a
+    block-row scorer. Small/medium-scale exact path — at 10^12 vectors use
+    :func:`embedding_near_dup`. Cosine rounded to 6 BEFORE the threshold cut
+    (mirrors the DuckDB oracle's round-then-filter)."""
+    pdf = ds.to_pandas()
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    mat = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _BlockPairScorer,
+        fn_constructor_kwargs={"all_ref": ref, "threshold": threshold,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=pool_size(concurrency), num_cpus=1,
+    )

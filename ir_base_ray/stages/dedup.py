@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ir_base_ray.perf import pool_size
+
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -181,7 +183,7 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n,
                                "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=pool_size(concurrency), num_cpus=1,
     )
     cand = minhash_candidate_pairs(minhash_bands(sig_ds, num_bands=num_bands, id_col=id_col))
 
@@ -318,7 +320,7 @@ def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text", concurre
     return ds.map_batches(
         SimHashActor,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=pool_size(concurrency), num_cpus=1,
     )
 
 

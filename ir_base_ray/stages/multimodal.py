@@ -17,6 +17,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ir_base_ray.perf import pool_size
+
 
 def synth_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media corpus: (media_id, media_type, payload,
@@ -73,5 +75,5 @@ def media_features(ds, *, concurrency=2, batch_size: int = 64):
     binary payloads are wide rows."""
     return ds.map_batches(
         MediaFeatureActor, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, concurrency=pool_size(concurrency), num_cpus=1,
     )

@@ -154,10 +154,14 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
 
 def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
                    block_doc_range: int, num_parts: int, N: int, avgdl: float,
-                   resume: bool = True):
+                   resume: bool = True, timings: dict | None = None):
     """Full posting-build stage (disk-exchange shuffle; see module docstring).
     Returns a small per-partition metrics DataFrame. With ``resume=True``,
-    partitions whose manifest already exists are skipped entirely."""
+    partitions whose manifest already exists are skipped entirely. Pass a
+    ``timings`` dict to get the scatter/encode wall-time split."""
+    if timings is None:
+        timings = {}
+    t_scatter0 = time.time()
     raw_dir = os.path.join(index_dir, "postings_raw")
     done_marker = os.path.join(raw_dir, "_DONE")
 
@@ -173,6 +177,9 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
         postings.write_parquet(raw_dir, partition_cols=["part"])
         with open(done_marker, "w") as f:
             f.write(str(time.time()))
+
+    timings["postings_scatter"] = time.time() - t_scatter0
+    t_encode0 = time.time()
 
     # stage 2: gather — one independent encode task per partition
     from ir_base_ray.state.manifest import finished_parts
@@ -200,4 +207,5 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
         )
 
     metrics = ray.get([encode_task.remote(p) for p in todo])
+    timings["postings_encode"] = time.time() - t_encode0
     return pd.DataFrame(metrics, columns=["part", "blocks", "postings"])

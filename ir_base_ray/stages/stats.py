@@ -49,11 +49,24 @@ def build_dictionary(analyzed_ds):
     reference's grow-on-first-sight arrival order, ``Analyzer.java:126-130``).
     Fully-distributed term_id assignment (sort + offset ranks) — use when the
     vocabulary is too large to finalize on the driver."""
-    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
+                                       batch_size=None)
     dictionary = partials.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
     )
     return assign_dense_ids(dictionary, key="term", id_col="term_id")
+
+
+def finalize_partials(partials_ds):
+    """(term, df, ttf) combiner partials Dataset → final dictionary pandas
+    frame: distributed groupby-sum (partial rows ≈ vocab × #blocks), then a
+    vocab-sized driver finalize (sort + dense term_id ranks)."""
+    agg = partials_ds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+    pdf = agg.to_pandas().sort_values("term").reset_index(drop=True)
+    pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
 
 
 def build_dictionary_driver(analyzed_ds):
@@ -63,13 +76,9 @@ def build_dictionary_driver(analyzed_ds):
     vocabularies (10^6-10^8 terms × ~24 B) fit driver memory comfortably; the
     distributed variant exists for when they don't. Returns a pandas frame
     sorted by term_id."""
-    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow")
-    agg = partials.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
-    )
-    pdf = agg.to_pandas().sort_values("term").reset_index(drop=True)
-    pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
-    return pdf
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
+                                       batch_size=None)  # one combiner output per block
+    return finalize_partials(partials)
 
 
 def build_dictionary_driver_fast(analyzed_ds):

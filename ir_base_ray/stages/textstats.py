@@ -9,6 +9,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ir_base_ray.perf import pool_size
+
 # small per-language function-word marker lists (public, common knowledge)
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
@@ -165,7 +167,7 @@ class FingerprintActor:
 def _actor_stage(ds, cls, concurrency=4, batch_size: int = 2048, **kwargs):
     return ds.map_batches(
         cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        batch_size=batch_size, concurrency=pool_size(concurrency), num_cpus=1,
     )
 
 

@@ -328,3 +328,31 @@ def test_media_features(ray_session):
     out2 = media_features(ray.data.from_arrow(tbl), concurrency=1).to_pandas()
     assert out.sort_values("media_id")["feature"].map(tuple).tolist() == \
         out2.sort_values("media_id")["feature"].map(tuple).tolist()
+
+
+def test_near_dup_lsh_subset_of_exact(ray_session):
+    """Multi-table LSH near-dup pairs are a subset of the exact all-pairs
+    result, with deterministic recall at fixed seeds/params."""
+    import ray.data
+
+    from ir_base_ray.stages.ann import embedding_near_dup, exact_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 16))
+    # plant 20 near-dup pairs: tiny perturbations of existing rows
+    dups = base[:20] + 0.03 * rng.standard_normal((20, 16))
+    mat = np.vstack([base, dups]).astype(np.float32)
+    tbl = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                        "embedding": [list(map(float, r)) for r in mat]})
+    ds = ray.data.from_pandas(tbl)
+
+    exact = exact_near_dup(ds, threshold=0.95).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert len(exact_pairs) >= 20  # all planted pairs found
+
+    lsh = embedding_near_dup(ds, dim=16, threshold=0.95, n_bits=6,
+                             n_tables=8).to_pandas()
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs  # no false positives (exact verify inside buckets)
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9  # high-threshold near-dups: multi-table LSH recall ~1
