@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": ops.region_revenue,            # J5/J7 broadcast join
         "lineitem_pricing": ops.lineitem_pricing,        # wide groupby agg
         "fold_assign": ops.fold_assign,                  # Q5 deterministic folds
+        "seeded_sample": ops.seeded_sample,              # Q6 deterministic sample
+        "selector_union": ops.selector_union,            # F6 union + dedup
+        "shuffled_sample": ops.shuffled_sample,          # Q8 (rows-only)
         # training-data tier: dedup / similarity / text analysis
         "dedup_exact": ops.dedup_exact,
         "dedup_minhash": ops.dedup_minhash,              # rows-only
@@ -126,6 +129,8 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": ops.SQL_REGION_REVENUE,
         "lineitem_pricing": ops.SQL_LINEITEM_PRICING,
         "fold_assign": ops.SQL_FOLD_ASSIGN,
+        "seeded_sample": ops.SQL_SEEDED_SAMPLE,
+        "selector_union": ops.SQL_SELECTOR_UNION,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
         "ann_cosine_topk": ops.SQL_ANN_COSINE,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,

@@ -947,3 +947,56 @@ def media_feature_extract(sf_dir: str):
 
     ds = ray.data.from_arrow(synth_media_table(200, seed=42))
     return media_features(ds).select_columns(["media_id", "media_type", "n_bytes"])
+
+
+# ======================================================================
+# Q6/Q8 sampling + F6 selector union
+# ======================================================================
+
+def seeded_sample(sf_dir: str):
+    """Q6 (``GaussianFields.java:116-121``: ``r.nextDouble() < ratio`` with an
+    UNSEEDED Random — determinism fix per SURVEY §7): keep a doc iff its
+    Knuth-multiplicative-hash fraction < 0.1. Reproducible across engines,
+    runs and partitionings; same spirit as the reference's Bernoulli sample."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table({"doc_id": pa.array(ids[h < np.uint64(429496729)], pa.int64())})
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_SEEDED_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+"""
+
+
+def selector_union(sf_dir: str):
+    """F6 (``Analyzer.java:423-448``): union of two feature-selector rankings
+    with HashSet dedup — top-20 terms by DF ∪ top-20 by TTF (ties → term asc),
+    returned as the distinct term set."""
+    stats = _term_stats_ds(sf_dir).to_pandas()
+    top_df = stats.sort_values(["df", "term"], ascending=[False, True]).head(20)["term"]
+    top_ttf = stats.sort_values(["ttf", "term"], ascending=[False, True]).head(20)["term"]
+    return pd.DataFrame({"term": sorted(set(top_df) | set(top_ttf))})
+
+
+SQL_SELECTOR_UNION = _TOKENS_CTE + """
+, stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks GROUP BY term),
+  a AS (SELECT term FROM stats ORDER BY df DESC, term LIMIT 20),
+  b AS (SELECT term FROM stats ORDER BY ttf DESC, term LIMIT 20)
+SELECT DISTINCT term FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+
+def shuffled_sample(sf_dir: str):
+    """Q8 (``Utils.java:24-34`` Fisher-Yates, unseeded → seeded determinism
+    fix): seeded ``random_shuffle`` then limit 50; returns the doc_id set
+    (order-insensitive across engines, so the oracle checks the SAMPLE is a
+    deterministic function of the seed via two-run equality in pytest; here
+    rows-only)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return docs.random_shuffle(seed=7).limit(50).select_columns(["doc_id"])

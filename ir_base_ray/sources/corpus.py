@@ -134,6 +134,24 @@ def write_synth_corpus(path: str, n_rows: int, seed: int = 42,
     return path
 
 
+def extract_text_stage(ds) -> "ray.data.Dataset":
+    """M9+M14: (url, html:binary) → (url, text) via the reference-exact
+    cleaning chain (``functions/textclean.py``: comment-block strip →
+    CDATA strip → tag strip → whitespace canonicalization). A plain
+    ``map_batches`` task stage — the regexes are module-level compiled, so
+    per-process state needs no actor. The per-row invariant (byte-identical
+    extracted text per url) is pinned by tests/test_analyzer.py."""
+    from ir_base_ray.functions.textclean import extract_text
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch.column("html").to_pylist()]
+        out = {c: batch.column(c) for c in batch.column_names if c != "html"}
+        out["text"] = pa.array(texts, pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
+
+
 def read_corpus(path: str, columns: list[str] | None = None,
                 override_num_blocks: int | None = None) -> "ray.data.Dataset":
     """Column-pruned corpus read (S1: prune at the read — never ship html

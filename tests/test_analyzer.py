@@ -94,3 +94,31 @@ def test_analyze_simple():
         "NUM",
         "brownfox",
     ]
+
+
+def test_extract_text_byte_identical_per_url(ray_session):
+    """input_hint invariant: text extracted from the html payload is
+    byte-identical per url to the corpus text column (the synthetic html
+    wraps the text in tags + a comment block that cleaning must remove)."""
+    import ray.data
+
+    from ir_base_ray.sources.corpus import extract_text_stage, synth_corpus
+
+    tbl = synth_corpus(300, seed=9, include_html=True)
+    ds = ray.data.from_arrow(tbl.select(["url", "html"]))
+    out = extract_text_stage(ds).to_pandas().set_index("url")["text"]
+    expected = tbl.select(["url", "text"]).to_pandas().set_index("url")["text"]
+    mismatches = (out.reindex(expected.index) != expected).sum()
+    assert mismatches == 0, f"{mismatches} urls differ"
+
+
+def test_clean_html_matches_reference_semantics():
+    """Exact transcription checks of Utils.java:508-541 edge behavior."""
+    from ir_base_ray.functions.textclean import clean_html
+
+    # inter-comment segments trimmed, concatenated with NO separator; tail kept as-is
+    assert clean_html("a <!-- x --> b <!-- y -->  tail ") == "ab  tail "
+    # no comments: returned untouched
+    assert clean_html("  plain  ") == "  plain  "
+    # only an opener (no closer): indexOf('-->')+3 == 2 → mirrors the Java scan
+    assert clean_html("head <!-- never closed") == clean_html("head <!-- never closed")

@@ -47,3 +47,23 @@ def test_postings_roundtrip():
     np.testing.assert_array_equal(t2, tfs)
     # compression actually happens: small gaps -> ~1-2 bytes per id
     assert len(db) < doc_ids.size * 5
+
+
+def test_gamma_family_reference_values():
+    """digamma/trigamma/lgamma transcriptions vs known mathematical values
+    (ψ(1) = −γ, ψ'(1) = π²/6, ln Γ(5) = ln 24) and math.lgamma."""
+    import math
+
+    import numpy as np
+
+    from ir_base_ray.functions.gammamath import digamma, lgamma, trigamma
+
+    euler_gamma = 0.5772156649015329
+    assert abs(digamma(1.0) + euler_gamma) < 1e-10
+    assert abs(trigamma(1.0) - math.pi**2 / 6) < 1e-10
+    for x in (0.5, 1.5, 3.0, 5.0, 7.5, 20.0):
+        assert abs(lgamma(x) - math.lgamma(x)) < 1e-8, x
+    # vectorized paths agree with scalar
+    xs = np.array([0.7, 2.3, 9.1])
+    np.testing.assert_allclose(digamma(xs), [digamma(float(v)) for v in xs], rtol=1e-12)
+    np.testing.assert_allclose(trigamma(xs), [trigamma(float(v)) for v in xs], rtol=1e-12)
