@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": ops.lang_id_predictions,              # rows-only
         "doc_fingerprints": ops.doc_fingerprints,        # rows-only
         "media_features": ops.media_feature_extract,     # rows-only (stub decode)
+        "plsa_topics": ops.plsa_topics,                  # A7 EM topic model (rows-only)
+        "sentence_stats": ops.sentence_stats,            # M11 (rows-only)
     }
 
 

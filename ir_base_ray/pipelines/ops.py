@@ -1000,3 +1000,54 @@ def shuffled_sample(sf_dir: str):
     rows-only)."""
     docs = _read(sf_dir, "documents", ["doc_id"])
     return docs.random_shuffle(seed=7).limit(50).select_columns(["doc_id"])
+
+
+# ======================================================================
+# topic model + sentence-split (capability tier; not SQL-expressible)
+# ======================================================================
+
+def plsa_topics(sf_dir: str):
+    """A7/T5: background-mixed pLSA (``topicmodels/pLSA/pLSA.java``) over the
+    documents table — distributed E-step partials, driver M-step. Returns the
+    top-10 terms per topic (topic, rank, term, p) with fixed seeds
+    (deterministic; rows-only check — EM is not SQL-expressible)."""
+    from ir_base_ray.pipelines.plsa import train_plsa
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    tf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
+    vocab = sorted(tf["term"].unique())
+    tindex = {t: i for i, t in enumerate(vocab)}
+    rows = []
+    for doc_id, g in tf.groupby("doc_id"):
+        rows.append({"doc_id": int(doc_id),
+                     "tids": [tindex[t] for t in g["term"]],
+                     "vals": [float(v) for v in g["tf"]]})
+    ds = ray.data.from_items(rows)
+    out = train_plsa(ds, n_topics=5, vocab_size=len(vocab), n_iters=5, seed=7)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.argsort(-phi[k])[:10]
+        for r, j in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[j],
+                         "p": round(float(phi[k, j]), 6)})
+    return pd.DataFrame(recs)
+
+
+def sentence_stats(sf_dir: str):
+    """M11: sentence-split analyzer over documents — per-doc kept-sentence
+    and distinct-term counts (rows-only: the splitter + analyzer chain is not
+    SQL-expressible)."""
+    from ir_base_ray.stages.sentences import analyze_with_sentences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = analyze_with_sentences(docs, stn_threshold=1).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["doc_id"],
+        "n_sentences": out["sentences"].map(len),
+        "n_terms": out["n_terms"],
+    })

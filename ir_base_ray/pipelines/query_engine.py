@@ -172,7 +172,10 @@ class IndexSegment:
         return docs[starts], np.add.reduceat(ws, starts)
 
     def topk(self, text: str, k: int, prune: bool = True) -> list[tuple[int, float]]:
-        """→ [(doc_id, score)] descending, exact MyPriorityQueue order."""
+        """Returns a LIST of ``(doc_id, score)`` tuples, best first, in the
+        reference's exact ``MyPriorityQueue`` tie order — e.g.
+        ``seg.topk("web search", 10)[0]`` is ``(best_doc_id, best_score)``.
+        Empty / all-OOV queries return ``[]``."""
         tids, qtfs = self.query_vector(text)
         if tids.size == 0:
             return []

@@ -356,3 +356,82 @@ def test_near_dup_lsh_subset_of_exact(ray_session):
     assert lsh_pairs <= exact_pairs  # no false positives (exact verify inside buckets)
     recall = len(lsh_pairs) / len(exact_pairs)
     assert recall >= 0.9  # high-threshold near-dups: multi-table LSH recall ~1
+
+
+def test_plsa_matches_serial_reference(ray_session):
+    """Distributed pLSA (A7 partial-sstat pattern) vs the serial oracle with
+    identical seeds/formulas: φ equal to float tolerance, loglik increasing."""
+    import ray.data
+
+    from ir_base_ray.pipelines.plsa import plsa_reference_serial, train_plsa
+
+    rng = np.random.default_rng(3)
+    V, K, n_docs = 60, 4, 80
+    tids_list, vals_list, rows = [], [], []
+    for d in range(n_docs):
+        n = rng.integers(5, 15)
+        jj = np.sort(rng.choice(V, size=n, replace=False))
+        vv = rng.integers(1, 5, size=n).astype(float)
+        tids_list.append(jj.tolist())
+        vals_list.append(vv.tolist())
+        rows.append({"doc_id": d, "tids": jj.tolist(), "vals": vv.tolist()})
+
+    ds = ray.data.from_items(rows)
+    dist = train_plsa(ds, n_topics=K, vocab_size=V, n_iters=8, seed=11)
+    ser = plsa_reference_serial(tids_list, vals_list, n_topics=K, vocab_size=V,
+                               n_iters=8, seed=11)
+    np.testing.assert_allclose(dist["topic_term"], ser["topic_term"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(dist["loglik_trace"], ser["loglik_trace"], rtol=1e-9)
+    # EM must not decrease the (complete-data) likelihood over the run
+    assert dist["loglik_trace"][-1] > dist["loglik_trace"][0]
+
+
+def test_sentence_split_analyzer(ray_session):
+    """M11: per-sentence vectors; sentence kept iff >2 distinct terms, doc
+    kept iff >= stn_threshold sentences (DocAnalyzer.java:491-541)."""
+    import ray.data
+
+    from ir_base_ray.stages.sentences import analyze_with_sentences, split_sentences
+
+    assert split_sentences("One ran far. Two jumped high! Three?") == \
+        ["One ran far.", "Two jumped high!", "Three?"]
+    assert split_sentences("Dr. J. Smith arrived. He sat down.")[-1] == "He sat down."
+
+    rows = [
+        {"doc_id": 0, "text": "Wolves hunted deer nightly. Rivers flooded valley plains. Extra words here matter."},
+        {"doc_id": 1, "text": "Short. Tiny. No."},  # every sentence <= 2 terms -> dropped
+    ]
+    out = analyze_with_sentences(ray.data.from_items(rows), concurrency=1).to_pandas()
+    assert list(out["doc_id"]) == [0]
+    assert len(out["sentences"].iloc[0]) >= 2
+    assert all(len(t) > 2 for t in out["stn_terms"].iloc[0])
+
+
+def test_lambdarank_parallel(ray_session):
+    """A10 weight averaging: 1-worker parallel == serial shard training
+    bit-for-bit; multi-worker training reduces pairwise misorder on linearly
+    rankable data."""
+    from ir_base_ray.pipelines.lambdarank import (
+        misorder_count, train_lambdarank_parallel, train_shard)
+
+    rng = np.random.default_rng(5)
+    w_true = np.array([2.0, -1.0, 0.5])
+    queries = []
+    for _ in range(24):
+        fv = rng.standard_normal((6, 3))
+        score = fv @ w_true + 0.05 * rng.standard_normal(6)
+        y = np.argsort(np.argsort(score))  # relevance = rank of true score
+        queries.append((fv, y.astype(np.int64)))
+
+    # exact equivalence: one worker == serial with the same seed
+    w_par, _ = train_lambdarank_parallel(queries, 3, n_workers=1, rounds=1,
+                                         max_iter=2, seed=17)
+    w_ser = train_shard(queries, np.zeros(3), max_iter=2, window_size=5,
+                        init_step=1.0, shrinkage=0.95, lam=1e-3, seed=17)
+    np.testing.assert_allclose(w_par, w_ser, rtol=0, atol=0)
+
+    # learning: 4-worker averaged training cuts misorder well below random
+    w4, trace = train_lambdarank_parallel(queries, 3, n_workers=4, rounds=6,
+                                          max_iter=2, seed=17)
+    assert trace[-1] < trace[0] * 0.35, trace
