@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_l2": ops.tfidf_l2,                        # W6 (norm=2)
         # flagship index + query engine (§7.1, Q1/J2/J3)
         "topk_bm25_indexed": ops.topk_bm25_indexed,
+        "topk_bm25_merged": ops.topk_bm25_merged,        # segment merge + docID remap
         # F. feature selection (§2.6)
         "df_band": ops.df_band,                          # F1
         "ig_select": ops.ig_select,                      # F2
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "pln_weights": ops.SQL_PLN_WEIGHTS,
         "tfidf_l2": ops.SQL_TFIDF_L2,
         "topk_bm25_indexed": ops.sql_topk_bm25(),
+        "topk_bm25_merged": ops.sql_topk_bm25(),
         "df_band": ops.SQL_DF_BAND,
         "ig_select": ops.SQL_IG_SELECT,
         "mi_select": ops.SQL_MI_SELECT,

@@ -1051,3 +1051,48 @@ def sentence_stats(sf_dir: str):
         "n_sentences": out["sentences"].map(len),
         "n_terms": out["n_terms"],
     })
+
+
+def topk_bm25_merged(sf_dir: str):
+    """Segment-merge flagship: split ``documents`` into two halves at a
+    block-aligned doc_id cutoff, build an independent index per half, MERGE
+    them (``pipelines/merge.py``: union dictionary, range-aligned docID
+    remapping, max-score recompute under merged stats), then answer the same
+    fixed queries — checked against the SAME full-corpus BM25 SQL oracle as
+    ``topk_bm25_indexed``, which proves the merged index is statistically
+    indistinguishable from a direct full build."""
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.pipelines.build_index import build_index
+    from ir_base_ray.pipelines.merge import merge_segments
+    from ir_base_ray.pipelines.query_engine import IndexSegment
+    from ir_base_ray.sources.corpus import corpus_from_documents
+
+    block = 64
+    n_docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                   columns=["doc_id"]).count()
+    cutoff = ((n_docs // 2) // block) * block  # block-aligned split point
+
+    base = f"/tmp/ir_index_merged_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    seg_dirs = []
+    for name, lo, hi in (("a", 0, cutoff), ("b", cutoff, n_docs)):
+        corpus = corpus_from_documents(sf_dir).filter(
+            lambda r, lo=lo, hi=hi: lo <= int(r["url"].rsplit("/", 1)[1]) < hi)
+        out = os.path.join(base, name)
+        cfg = IndexConfig(out_dir=out, block_doc_range=block, num_partitions=8,
+                          analyzer_concurrency=4,
+                          analyzer=AnalyzerSpec(ngram=1, mode="simple"))
+        build_index(corpus, cfg)
+        seg_dirs.append(out)
+
+    merged = os.path.join(base, "merged")
+    merge_segments(seg_dirs, merged, num_parts=8)
+    seg = IndexSegment(merged)
+    rows = []
+    for qid, text in _FIXED_QUERIES:
+        docs, scores = seg.scores(text)
+        sr = np.round(scores, 4)
+        order = np.lexsort((docs, -sr))[:_FIXED_K]
+        for rank, j in enumerate(order, start=1):
+            rows.append((qid, rank, int(docs[j]), float(sr[j])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
