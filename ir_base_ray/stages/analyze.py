@@ -30,11 +30,15 @@ from ir_base_ray.sources.stopwords import load_stopwords
 class AnalyzerActor:
     def __init__(self, spec: AnalyzerSpec | None = None, text_col: str = "text",
                  keep_cols: tuple = ("doc_id",), id_map_ref=None, id_key: str = "url",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", vocab_ref=None):
         spec = spec or AnalyzerSpec()
         self.spec = spec
         self.text_col = text_col
         self.keep_cols = keep_cols
+        # frozen controlled vocabulary (S8 LoadCV): when set, out-of-vocab
+        # tokens are silently dropped from the term vector AND from doc_len —
+        # ``constructSpVct`` with CV loaded, ``DocAnalyzer.java:406-419``
+        self._vocab = frozenset(ray.get(vocab_ref)) if vocab_ref is not None else None
         # broadcast url→doc_id map (driver_key_id_map): resolved ONCE per
         # actor from the local object store; id assignment happens inline so
         # no separate map stage and no shuffle of the text column
@@ -59,6 +63,9 @@ class AnalyzerActor:
         keep_mask: list[bool] = []
         for text in texts:
             counts = self._count(text or "")
+            if self._vocab is not None:  # frozen CV: drop OOV (J1 anti-join)
+                for t in [t for t in counts if t not in self._vocab]:
+                    del counts[t]
             keep = len(counts) > self.spec.length_threshold
             keep_mask.append(keep)
             if not keep:
@@ -94,17 +101,19 @@ _PROCESS_ANALYZERS: dict = {}
 
 
 def _analyze_batch(batch: pa.Table, *, spec, text_col, keep_cols, id_map_ref,
-                   id_key, id_col) -> pa.Table:
+                   id_key, id_col, vocab_ref=None) -> pa.Table:
     """Task-based analyzer with per-PROCESS state cache: the stemmer /
     stopword set / broadcast id map are built once per worker process (same
     load-once semantics as the actor pool) but the work runs on Ray's shared
     pre-started task workers — no actor-pool spawn barrier, and the worker
     processes (with warm allocator arenas) are reused by neighbouring stages."""
     key = (spec, text_col, keep_cols, id_key, id_col,
-           id_map_ref.hex() if id_map_ref is not None else None)
+           id_map_ref.hex() if id_map_ref is not None else None,
+           vocab_ref.hex() if vocab_ref is not None else None)
     analyzer = _PROCESS_ANALYZERS.get(key)
     if analyzer is None:
-        analyzer = AnalyzerActor(spec, text_col, keep_cols, id_map_ref, id_key, id_col)
+        analyzer = AnalyzerActor(spec, text_col, keep_cols, id_map_ref, id_key,
+                                 id_col, vocab_ref)
         _PROCESS_ANALYZERS[key] = analyzer
     return analyzer(batch)
 
@@ -112,7 +121,8 @@ def _analyze_batch(batch: pa.Table, *, spec, text_col, keep_cols, id_map_ref,
 def analyze_dataset(ds, spec: AnalyzerSpec | None = None, *, text_col: str = "text",
                     keep_cols: tuple = ("doc_id",), concurrency=4, batch_size: int = 1024,
                     num_cpus: float = 1, id_map_ref=None, id_key: str = "url",
-                    id_col: str = "doc_id", use_actors: bool = False):
+                    id_col: str = "doc_id", use_actors: bool = False,
+                    vocab_ref=None):
     """corpus Dataset → analyzed Dataset. With ``id_map_ref`` (a ``ray.put``
     sorted key Index), dense ids are assigned inline per batch instead of by
     an upstream sort stage. Default is the task-based path (per-process state
@@ -122,7 +132,8 @@ def analyze_dataset(ds, spec: AnalyzerSpec | None = None, *, text_col: str = "te
         return ds.map_batches(
             AnalyzerActor,
             fn_constructor_kwargs={"spec": spec, "text_col": text_col, "keep_cols": keep_cols,
-                                   "id_map_ref": id_map_ref, "id_key": id_key, "id_col": id_col},
+                                   "id_map_ref": id_map_ref, "id_key": id_key,
+                                   "id_col": id_col, "vocab_ref": vocab_ref},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -131,7 +142,8 @@ def analyze_dataset(ds, spec: AnalyzerSpec | None = None, *, text_col: str = "te
     return ds.map_batches(
         _analyze_batch,
         fn_kwargs={"spec": spec, "text_col": text_col, "keep_cols": keep_cols,
-                   "id_map_ref": id_map_ref, "id_key": id_key, "id_col": id_col},
+                   "id_map_ref": id_map_ref, "id_key": id_key, "id_col": id_col,
+                   "vocab_ref": vocab_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=num_cpus,

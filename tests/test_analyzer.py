@@ -122,3 +122,28 @@ def test_clean_html_matches_reference_semantics():
     assert clean_html("  plain  ") == "  plain  "
     # only an opener (no closer): indexOf('-->')+3 == 2 → mirrors the Java scan
     assert clean_html("head <!-- never closed") == clean_html("head <!-- never closed")
+
+
+def test_frozen_vocabulary_drops_oov(ray_session):
+    """S8/J1: with a loaded CV, OOV tokens are silently dropped from the
+    vector AND the doc length (DocAnalyzer.java:406-419)."""
+    import ray
+    import ray.data
+
+    from ir_base_ray.config import AnalyzerSpec
+    from ir_base_ray.stages.analyze import analyze_dataset
+
+    rows = [{"doc_id": 0, "text": "zebra elephants waterfalls chromium brackets zebra"}]
+    ds = ray.data.from_items(rows)
+    spec = AnalyzerSpec(ngram=1, mode="full")
+    open_pdf = analyze_dataset(ds, spec, keep_cols=("doc_id",)).to_pandas()
+    open_terms = set(open_pdf["terms"].iloc[0])
+    assert len(open_terms) >= 4
+
+    cv = sorted(open_terms)[:2]  # freeze only two stemmed terms
+    vocab_ref = ray.put(cv)
+    frozen_pdf = analyze_dataset(ds, spec, keep_cols=("doc_id",),
+                                 vocab_ref=vocab_ref).to_pandas()
+    assert set(frozen_pdf["terms"].iloc[0]) == set(cv)
+    assert int(frozen_pdf["doc_len"].iloc[0]) == \
+        sum(f for t, f in zip(open_pdf["terms"].iloc[0], open_pdf["tfs"].iloc[0]) if t in set(cv))
