@@ -64,7 +64,17 @@ def finalize_partials(partials_ds):
     agg = partials_ds.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
     )
-    pdf = agg.to_pandas().sort_values("term").reset_index(drop=True)
+    pdf = agg.to_pandas()
+    if "term" not in pdf.columns:
+        # a fully-empty Dataset loses its schema through to_pandas() (e.g.
+        # every doc dropped by a zero-overlap frozen CV) — normalize so the
+        # build produces a valid EMPTY index instead of a KeyError
+        import pandas as _pd
+
+        pdf = _pd.DataFrame({"term": _pd.Series([], dtype=object),
+                             "df": _pd.Series([], dtype="int64"),
+                             "ttf": _pd.Series([], dtype="int64")})
+    pdf = pdf.sort_values("term").reset_index(drop=True)
     pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
     return pdf
 
