@@ -70,6 +70,46 @@ def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return values
 
 
+def varbyte_decode_concat(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY varbyte buffers in one vectorized pass (varbyte is
+    self-delimiting, so buffers concatenate losslessly). Returns
+    ``(values, counts)`` where ``counts[i]`` is how many values came from
+    ``bufs[i]``. ~100× fewer numpy calls than per-buffer decode when buffers
+    are small (the hot path for chunk-aligned posting blocks)."""
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    joined = b"".join(bufs)
+    values = varbyte_decode(joined)
+    if values.size == 0:
+        return values, np.zeros(len(bufs), dtype=np.int64)
+    raw_offsets = np.concatenate(([0], np.cumsum(lens)))
+    # value count per buffer = #terminator bytes (high bit set) in its range
+    is_last_pos = np.flatnonzero(np.frombuffer(joined, dtype=np.uint8) & 0x80)
+    counts = np.diff(np.searchsorted(is_last_pos, raw_offsets))
+    return values, counts
+
+
+def delta_decode_blocks(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Delta-decode with a reset at each block boundary: within block i
+    (``counts[i]`` values) the first value is absolute, the rest are gaps —
+    equivalent to per-block ``delta_decode`` but one global cumsum."""
+    csum = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    corr = np.zeros(len(counts), dtype=np.int64)
+    nonzero_first = starts > 0
+    corr[nonzero_first] = csum[starts[nonzero_first] - 1]
+    return csum - np.repeat(corr, counts)
+
+
+def decode_postings_concat(
+    doc_bufs: list[bytes], tf_bufs: list[bytes]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode many posting blocks → (doc_ids, tfs, counts-per-block).
+    Bit-identical to per-block ``decode_postings`` concatenated."""
+    gaps, counts = varbyte_decode_concat(doc_bufs)
+    tfs, _ = varbyte_decode_concat(tf_bufs)
+    return delta_decode_blocks(gaps, counts), tfs.astype(np.int64), counts
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids → first id + positive gaps."""
     a = np.asarray(sorted_ids, dtype=np.int64)

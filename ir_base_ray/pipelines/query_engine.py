@@ -43,16 +43,26 @@ import pyarrow.parquet as pq
 from ir_base_ray.config import AnalyzerSpec
 from ir_base_ray.perf import pool_size
 from ir_base_ray.functions.analyzer import Analyzer, analyze_simple
-from ir_base_ray.functions.codec import decode_postings
+from ir_base_ray.functions.codec import decode_postings, decode_postings_concat
 from ir_base_ray.functions.scoring import bm25_idf_by_tid, bm25_weights_from_idf
 from ir_base_ray.functions.topk import BoundedTopK
 from ir_base_ray.sources.stopwords import load_stopwords
 
 
 class IndexSegment:
-    """In-memory view of one built index (dictionary + doclens + postings)."""
+    """In-memory view of one built index (dictionary + doclens + postings).
 
-    def __init__(self, index_dir: str, decoded_cache_blocks: int = 50_000):
+    Hot-term cache: the first query touching a term decodes ALL its posting
+    blocks once, computes the unit BM25 weight per posting (qtf excluded)
+    vectorized, and caches ``(docs, w_unit, block chunks, block offsets,
+    block maxes)``; later queries score that term with two array slices. The
+    cache is capped by total cached postings (``term_cache_postings``,
+    default 32M ≈ 0.5 GB) — cold terms beyond the cap are built transiently.
+    At multi-node scale each segment actor holds one doc-range partition, so
+    the cap bounds per-actor memory regardless of corpus size."""
+
+    def __init__(self, index_dir: str, term_cache_postings: int = 32_000_000,
+                 prune_group_chunks: int = 64):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.N = int(self.meta["N"])
@@ -73,6 +83,10 @@ class IndexSegment:
         doc_lens = docs_tbl.column("doc_len").to_numpy()
         self.doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 0, dtype=np.int64)
         self.doc_len[doc_ids] = doc_lens
+        # k1*(1-b+b*doclen/avgdl): the BM25 denominator's doc norm, shared by
+        # every term (same association order as scoring.bm25_weights_from_idf)
+        n = self.doc_len.astype(np.float64) / self.avgdl
+        self._bm25_norm = self.k1 * (1 - self.b + self.b * n)
 
         post_tbl = _read_parquet_dir(os.path.join(index_dir, "postings"))
         tid = post_tbl.column("term_id").to_numpy()
@@ -94,8 +108,10 @@ class IndexSegment:
             ends = np.concatenate((bounds, [self._blk_tid.size]))
             for s, e in zip(starts, ends):
                 self._tid_starts[int(self._blk_tid[s])] = (int(s), int(e))
-        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        self._decoded_cap = decoded_cache_blocks
+        self._terms: dict[int, tuple] = {}
+        self._terms_postings = 0
+        self._terms_cap = term_cache_postings
+        self._prune_group = prune_group_chunks
 
         spec = self.meta.get("analyzer", {})
         self.mode = spec.get("mode", "full")
@@ -108,13 +124,58 @@ class IndexSegment:
             self._term_counts = lambda text: Counter(analyze_simple(text))
 
     def _decode_block(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
-        hit = self._decoded.get(idx)
+        """Uncached single-block decode (LM ranker / diagnostics)."""
+        return decode_postings(self._blk_doc_bytes[idx], self._blk_tf_bytes[idx])
+
+    def _term_postings(self, tid: int):
+        """tid → (docs asc, w_unit, blk_chunks, blk_offsets, blk_maxes) or
+        None for index-absent terms. w_unit is the index-time BM25 weight per
+        posting (query tf excluded); blk_offsets[i]:blk_offsets[i+1] is block
+        i's slice of the concatenated arrays."""
+        hit = self._terms.get(tid)
         if hit is not None:
             return hit
-        out = decode_postings(self._blk_doc_bytes[idx], self._blk_tf_bytes[idx])
-        if len(self._decoded) < self._decoded_cap:
-            self._decoded[idx] = out
-        return out
+        rng = self._tid_starts.get(tid)
+        if rng is None:
+            return None
+        s, e = rng
+        docs, tfs, counts = decode_postings_concat(
+            self._blk_doc_bytes[s:e], self._blk_tf_bytes[s:e])
+        # W4 with the denominator's doc-length norm precomputed per segment:
+        # idf*TF*(k1+1) / (k1*(1-b+b*n) + TF) — identical op/association
+        # order to scoring.bm25_weights_from_idf, so bit-identical float64.
+        TF = tfs.astype(np.float64)
+        w = self.idf_by_tid[tid] * TF * (self.k1 + 1) / (self._bm25_norm[docs] + TF)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        entry = (docs, w, self._blk_chunk[s:e], offsets, self._blk_max[s:e])
+        if self._terms_postings + docs.size <= self._terms_cap:
+            self._terms[tid] = entry
+            self._terms_postings += docs.size
+        return entry
+
+    def _query_terms(self, text: str) -> list[tuple[float, tuple]]:
+        tids, qtfs = self.query_vector(text)
+        terms = []
+        for tid, qtf in zip(tids.tolist(), qtfs.tolist()):
+            tp = self._term_postings(int(tid))
+            if tp is not None:
+                terms.append((float(qtf), tp))
+        return terms
+
+    @staticmethod
+    def _merge_terms(parts_d: list[np.ndarray], parts_w: list[np.ndarray]):
+        """Posting slices appended in (chunk asc, tid asc) order → (unique
+        docs asc, summed scores). The stable sort keeps each doc's
+        contributions in ascending term_id order, so reduceat's left-to-right
+        float64 adds replicate the reference's sorted-sparse-dot sum order
+        bit-for-bit (utils/Utils.java:380-399)."""
+        docs = np.concatenate(parts_d)
+        ws = np.concatenate(parts_w)
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        ws = ws[order]
+        starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+        return docs[starts], np.add.reduceat(ws, starts)
 
     def query_vector(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """query text → (tids ascending, qtfs). OOV dropped."""
@@ -133,77 +194,84 @@ class IndexSegment:
         """Full candidate scoring: → (doc_ids ascending, scores) numpy arrays
         over every doc sharing ≥1 query term (no top-k truncation). Used by
         SQL-parity checks and downstream rankers."""
-        tids, qtfs = self.query_vector(text)
-        out_docs, out_scores = [], []
-        if tids.size:
-            chunk_set: dict[int, list[tuple[int, float, int]]] = {}
-            for tid, qtf in zip(tids, qtfs):
-                rng = self._tid_starts.get(int(tid))
-                if rng is None:
-                    continue
-                for i in range(rng[0], rng[1]):
-                    chunk_set.setdefault(int(self._blk_chunk[i]), []).append((i, qtf, int(tid)))
-            for chunk in sorted(chunk_set):
-                docs, ws = self._score_chunk(chunk_set[chunk])
-                out_docs.append(docs)
-                out_scores.append(ws)
-        if not out_docs:
+        terms = self._query_terms(text)
+        if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        return np.concatenate(out_docs), np.concatenate(out_scores)
+        return self._merge_terms([tp[0] for _, tp in terms],
+                                 [qtf * tp[1] for qtf, tp in terms])
 
-    def _score_chunk(self, blocks):
-        """blocks (tid-ascending) of ONE chunk → (unique docs asc, scores);
-        float64 sum order = ascending term_id (J2 walk order)."""
-        doc_parts, w_parts = [], []
-        for i, qtf, tid in blocks:
-            d, tf = self._decode_block(i)
-            w = qtf * bm25_weights_from_idf(
-                tf, self.doc_len[d], self.idf_by_tid[tid], self.avgdl,
-                self.k1, self.b,
-            )
-            doc_parts.append(d)
-            w_parts.append(w)
-        docs = np.concatenate(doc_parts)
-        ws = np.concatenate(w_parts)
-        order = np.argsort(docs, kind="stable")
-        docs = docs[order]
-        ws = ws[order]
-        starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
-        return docs[starts], np.add.reduceat(ws, starts)
+    @staticmethod
+    def _queue_insert(queue: BoundedTopK, uniq: np.ndarray, scores: np.ndarray):
+        """Feed (docs asc, scores) into the bounded queue. Once the queue is
+        full, only scores STRICTLY above the admission threshold can enter and
+        the threshold is non-decreasing, so prefiltering each slice by the
+        threshold at slice start discards only candidates add() would reject —
+        the surviving insertion sequence is identical to the naive loop."""
+        i, n = 0, uniq.size
+        while i < n:
+            j = min(i + 4096, n)
+            if queue.full:
+                idx = np.flatnonzero(scores[i:j] > queue.threshold)
+                for t in idx.tolist():
+                    queue.add(float(scores[i + t]), int(uniq[i + t]))
+            else:
+                for d, s in zip(uniq[i:j].tolist(), scores[i:j].tolist()):
+                    queue.add(s, d)
+            i = j
 
     def topk(self, text: str, k: int, prune: bool = True) -> list[tuple[int, float]]:
         """Returns a LIST of ``(doc_id, score)`` tuples, best first, in the
         reference's exact ``MyPriorityQueue`` tie order — e.g.
         ``seg.topk("web search", 10)[0]`` is ``(best_doc_id, best_score)``.
-        Empty / all-OOV queries return ``[]``."""
-        tids, qtfs = self.query_vector(text)
-        if tids.size == 0:
-            return []
-        # per query term: (block range, df)
-        term_blocks = []
-        chunk_set: dict[int, list[tuple[int, float, int]]] = {}
-        for tid, qtf in zip(tids, qtfs):
-            rng = self._tid_starts.get(int(tid))
-            if rng is None:
-                continue
-            s, e = rng
-            term_blocks.append((tid, qtf, s, e))
-            for i in range(s, e):
-                chunk_set.setdefault(int(self._blk_chunk[i]), []).append((i, qtf, tid))
-        if not chunk_set:
+        Empty / all-OOV queries return ``[]``.
+
+        ``prune=True`` is block-max WAND at chunk granularity, vectorized in
+        groups of ``prune_group_chunks``: chunks whose summed block-max upper
+        bound ≤ the current admission threshold are dropped before any
+        merge/score work. A skipped chunk can only contain docs whose add()
+        would have been rejected (sound upper bound + strict > admission +
+        non-decreasing threshold), so pruned results are bit- and
+        tie-identical to the full scan."""
+        terms = self._query_terms(text)
+        if not terms:
             return []
         queue = BoundedTopK(k)
-        for chunk in sorted(chunk_set):
-            blocks = chunk_set[chunk]  # appended in tid-ascending order
-            if prune and queue.full:
-                ub = 0.0
-                for i, qtf, _tid in blocks:
-                    ub += qtf * self._blk_max[i]
-                if ub <= queue.threshold:
+        if not prune:
+            uniq, scores = self._merge_terms([tp[0] for _, tp in terms],
+                                             [qtf * tp[1] for qtf, tp in terms])
+            self._queue_insert(queue, uniq, scores)
+            return [(doc, score) for score, doc in queue.result()]
+        # per-query weighted posting arrays (one vectorized multiply per term)
+        wq = [qtf * tp[1] for qtf, tp in terms]
+        # chunk upper bounds: Σ_t qtf · block_max(t, chunk)
+        all_chunks = np.concatenate([tp[2] for _, tp in terms])
+        all_ub = np.concatenate([qtf * tp[4] for qtf, tp in terms])
+        order = np.argsort(all_chunks, kind="stable")
+        sc = all_chunks[order]
+        starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
+        uchunks = sc[starts]
+        chunk_ub = np.add.reduceat(all_ub[order], starts)
+        G = self._prune_group
+        for g0 in range(0, uchunks.size, G):
+            cs = uchunks[g0:g0 + G]
+            if queue.full:
+                m = chunk_ub[g0:g0 + G] > queue.threshold
+                if not m.any():
                     continue
-            uniq_docs, scores = self._score_chunk(blocks)
-            for d, s in zip(uniq_docs.tolist(), scores.tolist()):
-                queue.add(s, d)
+                cs = cs[m]
+            # vectorized per-term block ranges for the surviving chunks
+            bounds = [(np.searchsorted(tp[2], cs), np.searchsorted(tp[2], cs, "right"))
+                      for _, tp in terms]
+            parts_d, parts_w = [], []
+            for j in range(cs.size):  # chunk ascending; terms tid-ascending
+                for (_, tp), w, (lo, hi) in zip(terms, wq, bounds):
+                    b0, b1 = lo[j], hi[j]
+                    if b0 < b1:
+                        s_, e_ = tp[3][b0], tp[3][b1]
+                        parts_d.append(tp[0][s_:e_])
+                        parts_w.append(w[s_:e_])
+            uniq, scores = self._merge_terms(parts_d, parts_w)
+            self._queue_insert(queue, uniq, scores)
         return [(doc, score) for score, doc in queue.result()]
 
 
