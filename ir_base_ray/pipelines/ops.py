@@ -790,10 +790,13 @@ def dedup_minhash(sf_dir: str):
     SQL-expressible; exactness is covered by pytest vs brute-force Jaccard)."""
     from ir_base_ray.stages.dedup import minhash_lsh_dedup
 
-    _, verified = minhash_lsh_dedup(
+    verified = minhash_lsh_dedup(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         num_perm=64, num_bands=16, shingle_n=3, threshold=0.5,
-    )
+    ).to_pandas()
+    if len(verified) == 0:  # empty Dataset loses its schema through to_pandas
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    verified = verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     verified["jaccard"] = verified["jaccard"].round(6)
     return verified
 

@@ -168,17 +168,17 @@ def minhash_candidate_pairs(band_ds, id_col: str = "doc_id"):
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
                       id_col: str = "doc_id", text_col: str = "text",
-                      concurrency=4):
+                      concurrency=4, num_partitions: int = 8):
     """Full MinHash-LSH near-dup pipeline:
     shingle→minhash (actor pool) → band explode → bucket groupby → candidate
-    pairs → exact Jaccard verification (broadcast re-read of the pair texts is
-    avoided by re-shingling inside the verify stage against a small joined
-    text column).
+    pairs → exact Jaccard verification. The verify stage is fully
+    distributed: candidate pairs hash-join back to the corpus texts on id_a
+    then id_b (``Dataset.join``, shuffle keyed by doc id — no corpus-sized
+    data ever reaches the driver), and the exact re-shingle + Jaccard runs
+    inside ``map_batches`` over the joined pairs.
 
-    Returns Dataset of (id_a, id_b, jaccard) with jaccard >= threshold.
+    Returns a Dataset of (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    import ray
-
     sig_ds = ds.map_batches(
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n,
@@ -186,30 +186,48 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
         batch_format="pyarrow", concurrency=pool_size(concurrency), num_cpus=1,
     )
     cand = minhash_candidate_pairs(minhash_bands(sig_ds, num_bands=num_bands, id_col=id_col))
+    texts_ds = ds.select_columns([id_col, text_col])
+    j1 = cand.join(texts_ds, "inner", num_partitions,
+                   on=("id_a",), right_on=(id_col,), right_suffix="_r")
+    j1 = _rename_join_text(j1, id_col, text_col, "text_a")
+    j2 = j1.join(texts_ds, "inner", num_partitions,
+                 on=("id_b",), right_on=(id_col,), right_suffix="_r")
+    j2 = _rename_join_text(j2, id_col, text_col, "text_b")
 
-    # verify: broadcast id->text for candidate ids only (candidate set is
-    # orders of magnitude smaller than the corpus; at larger scale this
-    # becomes a hash join on id_a/id_b)
-    cand_tbl = cand.to_pandas()
-    if len(cand_tbl) == 0:
-        return ray.data.from_items([]), cand_tbl
-    need_ids = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
-    texts = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            if i in need_ids:
-                texts[i] = t or ""
-    ja, out_a, out_b = [], [], []
-    for id_a, id_b in zip(cand_tbl["id_a"], cand_tbl["id_b"]):
-        sa = _word_shingles(texts[id_a].split(), shingle_n)
-        sb = _word_shingles(texts[id_b].split(), shingle_n)
-        j = jaccard(sa, sb)
-        if j >= threshold:
-            out_a.append(int(id_a))
-            out_b.append(int(id_b))
-            ja.append(j)
-    verified = pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": ja})
-    return ray.data.from_pandas(verified) if len(verified) else ray.data.from_items([]), verified
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, ja = [], [], []
+        for id_a, id_b, ta, tb in zip(batch.column("id_a").to_pylist(),
+                                      batch.column("id_b").to_pylist(),
+                                      batch.column("text_a").to_pylist(),
+                                      batch.column("text_b").to_pylist()):
+            j = jaccard(_word_shingles((ta or "").split(), shingle_n),
+                        _word_shingles((tb or "").split(), shingle_n))
+            if j >= threshold:
+                out_a.append(int(id_a))
+                out_b.append(int(id_b))
+                ja.append(j)
+        return pa.table({
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(ja, pa.float64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _rename_join_text(joined, id_col: str, text_col: str, new_name: str):
+    """After an inner join against (id_col, text_col), rename the text column
+    and drop any surviving right-side key column."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        for drop in (id_col, f"{id_col}_r"):
+            if drop in batch.column_names:
+                batch = batch.drop_columns([drop])
+        src = text_col if text_col in batch.column_names else f"{text_col}_r"
+        names = [new_name if c == src else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    return joined.map_batches(fix, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------- n-gram Jaccard

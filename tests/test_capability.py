@@ -249,7 +249,7 @@ def test_minhash_and_jaccard_agree(ray_session):
     rows.append({"doc_id": 51, "text": base + " extra"})
     ds = ray.data.from_items(rows)
     exact = ngram_jaccard_pairs(ds, shingle_n=3, threshold=0.5).to_pandas()
-    _, lsh = minhash_lsh_dedup(ds, num_perm=64, num_bands=32, shingle_n=3, threshold=0.5)
+    lsh = minhash_lsh_dedup(ds, num_perm=64, num_bands=32, shingle_n=3, threshold=0.5).to_pandas()
     exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
     lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
     assert (50, 51) in exact_pairs
