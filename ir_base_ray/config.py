@@ -50,3 +50,9 @@ class IndexConfig:
     # optional: the corpus parquet path(s); lets the url→doc_id map read the
     # key column with parallel row-group tasks instead of via the Dataset
     corpus_paths: tuple[str, ...] | None = None
+    # auto-dispatch threshold for doc-id assignment: corpora up to this many
+    # rows use the driver-sorted broadcast url map (text never shuffles);
+    # larger corpora switch to the distributed sort + hash join
+    # (stages/docids.assign_dense_ids) — ~50M urls ≈ 4 GB driver heap is the
+    # safe single-driver bound
+    driver_id_map_max_rows: int = 50_000_000

@@ -87,23 +87,42 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
     if not _stage_done(analyzed_dir):
         _fresh_dir(analyzed_dir)
         t0 = time.time()
-        # doc_id = rank of url under the global sort, computed WITHOUT sorting
-        # the corpus: only the url column is gathered + sorted, then broadcast
-        # so the analyzer actors assign ids inline (the text payload never
-        # enters a shuffle — see docids.driver_key_id_map for the scale bound)
+        # doc_id = rank of url under the global sort. Size-based dispatch:
+        # up to cfg.driver_id_map_max_rows the url column (~1% of corpus
+        # bytes) is gathered + sorted on the driver and broadcast so the
+        # analyzer assigns ids inline (text never enters a shuffle); above
+        # the bound the ids come from a distributed sort of the url column
+        # and a hash join back onto the corpus (text shuffles once — the
+        # unavoidable cost once the url set exceeds driver memory).
         if cfg.corpus_paths:
-            from ir_base_ray.stages.docids import driver_key_id_map_from_parquet
+            import pyarrow.parquet as _pqm
 
-            url_index = driver_key_id_map_from_parquet(list(cfg.corpus_paths), key="url")
+            n_rows = sum(_pqm.read_metadata(p).num_rows for p in cfg.corpus_paths)
         else:
-            url_index = driver_key_id_map(corpus_ds, key="url")
-        id_map_ref = ray.put(url_index)
+            n_rows = corpus_ds.count()
+        id_map_ref = None
+        if n_rows <= cfg.driver_id_map_max_rows:
+            if cfg.corpus_paths:
+                from ir_base_ray.stages.docids import driver_key_id_map_from_parquet
+
+                url_index = driver_key_id_map_from_parquet(list(cfg.corpus_paths), key="url")
+            else:
+                url_index = driver_key_id_map(corpus_ds, key="url")
+            id_map_ref = ray.put(url_index)
+        else:
+            from ir_base_ray.stages.docids import assign_dense_ids
+
+            urls_ds = (ray.data.read_parquet(list(cfg.corpus_paths), columns=["url"])
+                       if cfg.corpus_paths else corpus_ds.select_columns(["url"]))
+            mapping = assign_dense_ids(urls_ds, "url", "doc_id")
+            corpus_ds = corpus_ds.join(mapping, "inner", cfg.num_partitions,
+                                       on=("url",))
         timings["url_id_map"] = time.time() - t0
         t0 = time.time()
         analyzed = analyze_dataset(
             corpus_ds,
             cfg.analyzer,
-            keep_cols=("url",),
+            keep_cols=("doc_id", "url"),
             concurrency=cfg.analyzer_concurrency,
             batch_size=cfg.analyzer_batch_size,
             id_map_ref=id_map_ref,

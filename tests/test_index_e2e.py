@@ -114,6 +114,42 @@ def test_search_actor_pool(built_index, corpus_table, oracle_index):
         assert sub["score"].tolist() == [s for _, s in expected]
 
 
+def test_distributed_docid_path_matches_driver_path(
+        ray_session, built_index, corpus_table, tmp_path, oracle_index):
+    """Force the distributed doc-id path (sort + hash join; the >max_rows
+    dispatch branch) and require the SAME index as the broadcast-map build:
+    identical docs/dict tables and bit-identical topk."""
+    out = str(tmp_path / "index_dist")
+    cfg = IndexConfig(
+        out_dir=out, block_doc_range=64, num_partitions=8,
+        analyzer_concurrency=2, analyzer_batch_size=128,
+        analyzer=AnalyzerSpec(ngram=1),
+        driver_id_map_max_rows=0,  # always take the distributed branch
+    )
+    corpus_ds = ray.data.from_arrow(corpus_table).select_columns(["url", "text"])
+    meta = build_index(corpus_ds, cfg)
+    import pyarrow.parquet as pq
+
+    base, base_meta = built_index
+    assert meta["N"] == base_meta["N"] and meta["avgdl"] == base_meta["avgdl"]
+
+    def _tbl(root, sub, sort_cols):
+        files = sorted(glob.glob(os.path.join(root, sub, "**", "*.parquet"), recursive=True))
+        t = pa.concat_tables(pq.read_table(f) for f in files).to_pandas()
+        return t.sort_values(sort_cols).reset_index(drop=True)
+
+    for sub, cols in (("docs", ["doc_id"]), ("dict", ["term_id"])):
+        a = _tbl(base, sub, cols)
+        b = _tbl(out, sub, cols)
+        assert a[sorted(a.columns)].equals(b[sorted(b.columns)]), f"{sub} differs"
+
+    seg_a, seg_b = IndexSegment(base), IndexSegment(out)
+    queries = synth_queries(corpus_table, n_queries=20, seed=3)
+    for text, k in zip(queries.column("text").to_pylist(),
+                       queries.column("k").to_pylist()):
+        assert seg_a.topk(text, int(k)) == seg_b.topk(text, int(k))
+
+
 def _hash_dir(path: str) -> dict:
     out = {}
     for f in sorted(glob.glob(os.path.join(path, "postings", "**", "*.parquet"), recursive=True)):
