@@ -155,8 +155,30 @@ class Analyzer:
     def term_counts(self, text: str) -> Counter:
         """token sequence → {term: count} (``constructSpVct`` semantics,
         ``DocAnalyzer.java:377-423``, open-vocabulary path: every emitted
-        token counts; DF/TTF aggregation happens downstream)."""
-        return Counter(self.analyze(text).tokens)
+        token counts; DF/TTF aggregation happens downstream).
+
+        ngram==1 fast path: count raw whitespace chunks first (C-speed
+        ``Counter``), then analyze each UNIQUE chunk once and accumulate its
+        count — per-unique-chunk work instead of per-occurrence. Insertion
+        order is unchanged: unique chunks iterate in first-occurrence order,
+        and the first chunk emitting a token IS the chunk of that token's
+        first occurrence, so the resulting dict order equals the
+        per-occurrence walk's first-occurrence order exactly."""
+        if self.ngram != 1:
+            return Counter(self.analyze(text).tokens)
+        out: dict = {}
+        get_hit = self._chunk_cache.get
+        for chunk, c in Counter(text.split()).items():
+            hit = get_hit(chunk)
+            if hit is None:
+                hit = self._analyze_chunk(chunk)
+            for t, legit in hit:
+                if legit:
+                    if t in out:
+                        out[t] += c
+                    else:
+                        out[t] = c
+        return Counter(out)
 
 
 _SIMPLE_STRIP = re.compile(r"[^a-zA-Z0-9_]+")
