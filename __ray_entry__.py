@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": ops.media_feature_extract,     # rows-only (stub decode)
         "plsa_topics": ops.plsa_topics,                  # A7 EM topic model (rows-only)
         "sentence_stats": ops.sentence_stats,            # M11 (rows-only)
+        # R6 supervised classifiers (distributed L-BFGS partials; rows-only)
+        "lr_classify": ops.lr_classify,
+        "svm_classify": ops.svm_classify,
     }
 
 

@@ -1009,26 +1009,66 @@ def shuffled_sample(sf_dir: str):
 # topic model + sentence-split (capability tier; not SQL-expressible)
 # ======================================================================
 
+def _doc_vectors(sf_dir: str, *, label_col: str | None = None):
+    """Distributed doc-vector builder: documents → (doc_id, tids asc, vals
+    [, label]) in ONE ``map_batches`` pass. The vocabulary (sorted terms from
+    the distributed A1/A2 groupby) is broadcast via ``ray.put``; each batch
+    tokenizes its own docs and maps term→tid locally — no per-doc driver loop,
+    no shuffle of the token stream (the vector rows stay block-local).
+    Returns (vectors Dataset, vocab list[, classes list])."""
+    vocab = sorted(_term_stats_ds(sf_dir).to_pandas()["term"])
+    vocab_ref = ray.put(pd.Index(vocab))
+    cols = ["doc_id", "text"] + ([label_col] if label_col else [])
+    docs = _read(sf_dir, "documents", cols)
+    classes = None
+    class_ref = None
+    if label_col:
+        classes = sorted(
+            _read(sf_dir, "documents", [label_col]).groupby(label_col)
+            .count().to_pandas()[label_col].astype(str)
+        )
+        class_ref = ray.put({c: i for i, c in enumerate(classes)})
+
+    def vec(batch: pa.Table) -> pa.Table:
+        tindex = ray.get(vocab_ref)
+        ids = batch.column("doc_id").to_pylist()
+        tids_col, vals_col = [], []
+        for t in batch.column("text").to_pylist():
+            counts = Counter(analyze_simple(t or ""))
+            terms = list(counts.keys())
+            tids = tindex.get_indexer(terms)
+            keep = tids >= 0
+            tids = tids[keep]
+            vals = np.array([counts[t] for t, k in zip(terms, keep) if k],
+                            dtype=np.float64)
+            order = np.argsort(tids, kind="stable")
+            tids_col.append(tids[order].tolist())
+            vals_col.append(vals[order].tolist())
+        out = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "tids": pa.array(tids_col, pa.list_(pa.int64())),
+            "vals": pa.array(vals_col, pa.list_(pa.float64())),
+        }
+        if label_col:
+            cmap = ray.get(class_ref)
+            out["label"] = pa.array(
+                [cmap[str(l)] for l in batch.column(label_col).to_pylist()],
+                pa.int64())
+        return pa.table(out)
+
+    ds = docs.map_batches(vec, batch_format="pyarrow")
+    return (ds, vocab, classes) if label_col else (ds, vocab)
+
+
 def plsa_topics(sf_dir: str):
     """A7/T5: background-mixed pLSA (``topicmodels/pLSA/pLSA.java``) over the
-    documents table — distributed E-step partials, driver M-step. Returns the
-    top-10 terms per topic (topic, rank, term, p) with fixed seeds
-    (deterministic; rows-only check — EM is not SQL-expressible)."""
+    documents table — distributed E-step partials, driver M-step, distributed
+    vector prep (see :func:`_doc_vectors`). Returns the top-10 terms per
+    topic (topic, rank, term, p) with fixed seeds (deterministic; rows-only
+    check — EM is not SQL-expressible)."""
     from ir_base_ray.pipelines.plsa import train_plsa
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-
-    tf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
-    vocab = sorted(tf["term"].unique())
-    tindex = {t: i for i, t in enumerate(vocab)}
-    rows = []
-    for doc_id, g in tf.groupby("doc_id"):
-        rows.append({"doc_id": int(doc_id),
-                     "tids": [tindex[t] for t in g["term"]],
-                     "vals": [float(v) for v in g["tf"]]})
-    ds = ray.data.from_items(rows)
+    ds, vocab = _doc_vectors(sf_dir)
     out = train_plsa(ds, n_topics=5, vocab_size=len(vocab), n_iters=5, seed=7)
     phi = out["topic_term"]
     recs = []
@@ -1039,6 +1079,38 @@ def plsa_topics(sf_dir: str):
             recs.append({"topic": k, "rank": r, "term": varr[j],
                          "p": round(float(phi[k, j]), 6)})
     return pd.DataFrame(recs)
+
+
+def lr_classify(sf_dir: str):
+    """R6 style=SUP mainline: multi-class Logistic Regression
+    (``Classifier/supervised/LogisticRegression.java``) trained with
+    distributed L-BFGS gradient partials over the doc term vectors
+    (label = lang), then broadcast-model prediction. Rows-only check
+    (iterative training is not SQL-expressible); correctness is pinned by
+    tests/test_linear.py serial-parity + accuracy assertions."""
+    from ir_base_ray.pipelines.linear import (predict_linear,
+                                              train_logistic_regression)
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    beta, _f, _it = train_logistic_regression(
+        ds, n_classes=len(classes), n_features=len(vocab), lam=1.0, max_iter=60)
+    pred = predict_linear(beta, ds).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
+def svm_classify(sf_dir: str):
+    """R6: linear SVM one-vs-rest (primal L2-regularized squared hinge — the
+    reference wraps liblinear, ``SVM.java:104-121``), same distributed
+    L-BFGS-partials shape as LR. Rows-only; pinned by tests/test_linear.py."""
+    from ir_base_ray.pipelines.linear import predict_linear, train_linear_svm
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    W, _f, _it = train_linear_svm(
+        ds, n_classes=len(classes), n_features=len(vocab), C_reg=1.0, max_iter=60)
+    pred = predict_linear(W, ds).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
 def sentence_stats(sf_dir: str):
