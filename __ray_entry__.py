@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # R6 supervised classifiers (distributed L-BFGS partials; rows-only)
         "lr_classify": ops.lr_classify,
         "svm_classify": ops.svm_classify,
+        "lda_topics": ops.lda_topics,                    # R7 LDA Gibbs (rows-only)
     }
 
 

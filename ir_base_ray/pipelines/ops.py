@@ -1081,6 +1081,27 @@ def plsa_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def lda_topics(sf_dir: str):
+    """R7: LDA collapsed Gibbs (``topicmodels/LDA/LDA_Gibbs.java``; AD-LDA
+    block parallelism, seeded Philox streams) over the documents table —
+    top-10 terms per topic. Deterministic; rows-only (Gibbs sampling is not
+    SQL-expressible); 1-block == serial pinned by tests/test_lda.py."""
+    from ir_base_ray.pipelines.lda import train_lda_gibbs
+
+    ds, vocab = _doc_vectors(sf_dir)
+    out = train_lda_gibbs(ds, n_topics=5, vocab_size=len(vocab), n_iters=12,
+                          seed=11)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, j in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[j],
+                         "p": round(float(phi[k, j]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with

@@ -1,0 +1,62 @@
+"""LDA Gibbs (R7): 1-block distributed == serial bit-exact (AD-LDA with one
+block IS collapsed Gibbs), determinism, and topic recovery on a synthetic
+two-topic corpus."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ir_base_ray.pipelines.lda import lda_gibbs_serial, train_lda_gibbs
+
+
+def _toy_corpus(seed=3):
+    """Two planted topics: word ids 0-4 vs 5-9."""
+    rng = np.random.default_rng(seed)
+    tids_list, vals_list = [], []
+    for d in range(30):
+        topic = d % 2
+        base = 0 if topic == 0 else 5
+        tids = np.arange(base, base + 5)
+        vals = rng.integers(1, 5, size=5)
+        tids_list.append(tids.tolist())
+        vals_list.append(vals.tolist())
+    return tids_list, vals_list, 10
+
+
+def _as_ds(tids_list, vals_list):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(tids_list)), pa.int64()),
+        "tids": pa.array(tids_list, pa.list_(pa.int64())),
+        "vals": pa.array(vals_list, pa.list_(pa.float64())),
+    }))
+
+
+def test_single_block_matches_serial(ray_session):
+    tids_list, vals_list, V = _toy_corpus()
+    ds = _as_ds(tids_list, vals_list).repartition(1)
+    dist = train_lda_gibbs(ds, n_topics=3, vocab_size=V, n_iters=12, seed=11)
+    ser = lda_gibbs_serial(tids_list, vals_list, n_topics=3, vocab_size=V,
+                           n_iters=12, seed=11)
+    assert np.array_equal(dist["topic_term"], ser["topic_term"])
+    assert np.array_equal(dist["doc_topics"][0], ser["doc_topics"])
+
+
+def test_multiblock_deterministic(ray_session):
+    tids_list, vals_list, V = _toy_corpus()
+    ds = _as_ds(tids_list, vals_list).repartition(3)
+    a = train_lda_gibbs(ds, n_topics=3, vocab_size=V, n_iters=10, seed=11)
+    b = train_lda_gibbs(ds, n_topics=3, vocab_size=V, n_iters=10, seed=11)
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+
+
+def test_topic_recovery(ray_session):
+    """With two disjoint planted word sets, the learned topics separate them:
+    for each planted set there is a topic putting >80% mass on it."""
+    tids_list, vals_list, V = _toy_corpus()
+    ds = _as_ds(tids_list, vals_list).repartition(2)
+    out = train_lda_gibbs(ds, n_topics=2, vocab_size=V, n_iters=40,
+                          alpha=0.5, beta=0.1, seed=11)
+    phi = out["topic_term"]
+    mass_low = phi[:, :5].sum(axis=1)   # per-topic mass on planted set A
+    assert mass_low.max() > 0.8 and mass_low.min() < 0.2, mass_low
