@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_classify": ops.lr_classify,
         "svm_classify": ops.svm_classify,
         "lda_topics": ops.lda_topics,                    # R7 LDA Gibbs (rows-only)
+        "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
     }
 
 

@@ -1134,6 +1134,46 @@ def svm_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def l2r_rank_training(sf_dir: str):
+    """R2→R3/R4 pipeline: 10-dim L2R ranking features + reference z-score
+    (``L2RMetricLearning.java:298-383``) over a seeded 100-doc subset
+    (binary relevance: lang=='en'), feeding parallel LambdaRank, RankNet and
+    RankSVM. Returns the three weight vectors as (model, feature_idx, weight)
+    rows. Deterministic (seeded); rows-only — iterative ranker training is
+    not SQL-expressible; semantics pinned by tests/test_l2r.py +
+    tests/test_ranknet.py."""
+    from ir_base_ray.pipelines.l2r import RANK_FV_SIZE, build_l2r_queries
+    from ir_base_ray.pipelines.lambdarank import train_lambdarank_parallel
+    from ir_base_ray.pipelines.ranknet import train_ranknet, train_ranksvm
+
+    vec_ds, _vocab, _classes = _doc_vectors(sf_dir, label_col="lang")
+    pdf = vec_ds.to_pandas().sort_values("doc_id").head(100)
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    lang_by_id = dict(zip(langs["doc_id"], langs["lang"]))
+    docs = []
+    for _, r in pdf.iterrows():
+        vals = np.asarray(list(r["vals"]), dtype=np.float64)
+        docs.append({
+            "tids": np.asarray(list(r["tids"]), dtype=np.int64),
+            "vals": vals / max(1.0, float(np.abs(vals).sum())),  # L1-scaled dot
+            "label": 1 if lang_by_id[int(r["doc_id"])] == "en" else 0,
+            "doc_len": int(vals.sum()),
+        })
+    queries, _mean, _std = build_l2r_queries(docs, top_k=10)
+    rows = []
+    if queries:
+        w_lam, _ = train_lambdarank_parallel(queries, RANK_FV_SIZE,
+                                             n_workers=2, rounds=3, seed=17)
+        w_rn, _ = train_ranknet(queries, lam=1.0, n_shards=2, seed=23)
+        w_rs, _ = train_ranksvm(queries, C_reg=1.0, n_shards=2)
+        for name, w in (("lambdarank", w_lam), ("ranknet", w_rn),
+                        ("ranksvm", w_rs)):
+            for i, v in enumerate(w):
+                rows.append({"model": name, "feature_idx": i,
+                             "weight": round(float(v), 6)})
+    return pd.DataFrame(rows, columns=["model", "feature_idx", "weight"])
+
+
 def sentence_stats(sf_dir: str):
     """M11: sentence-split analyzer over documents — per-doc kept-sentence
     and distinct-term counts (rows-only: the splitter + analyzer chain is not
