@@ -40,6 +40,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
+
 from ir_base_ray.config import AnalyzerSpec
 from ir_base_ray.perf import pool_size
 from ir_base_ray.functions.analyzer import Analyzer, analyze_simple
@@ -62,7 +64,14 @@ class IndexSegment:
     the cap bounds per-actor memory regardless of corpus size."""
 
     def __init__(self, index_dir: str, term_cache_postings: int = 32_000_000,
-                 prune_group_chunks: int = 64):
+                 prune_group_chunks: int = 64,
+                 doc_range: tuple[int, int] | None = None):
+        """``doc_range=(lo, hi)`` (chunk-aligned, i.e. multiples of
+        block_doc_range) loads ONLY that doc-id slice of the index — the
+        multi-node shape where each query actor holds one range shard and a
+        merge combines per-shard heaps (see :class:`ShardedIndex`). Global
+        stats (N, avgdl, dictionary, IDF) stay corpus-wide so shard scores
+        are bit-identical to the whole-index scores."""
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.N = int(self.meta["N"])
@@ -70,6 +79,8 @@ class IndexSegment:
         self.k1 = float(self.meta["bm25"]["k1"])
         self.b = float(self.meta["bm25"]["b"])
         self.block_doc_range = int(self.meta["block_doc_range"])
+        if doc_range is not None and (doc_range[0] % self.block_doc_range):
+            raise ValueError("doc_range must be chunk-aligned")
 
         dict_tbl = _read_parquet_dir(os.path.join(index_dir, "dict"))
         dict_pdf = dict_tbl.to_pandas().sort_values("term_id").reset_index(drop=True)
@@ -81,14 +92,28 @@ class IndexSegment:
         docs_tbl = _read_parquet_dir(os.path.join(index_dir, "docs"))
         doc_ids = docs_tbl.column("doc_id").to_numpy()
         doc_lens = docs_tbl.column("doc_len").to_numpy()
-        self.doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 0, dtype=np.int64)
-        self.doc_len[doc_ids] = doc_lens
+        if doc_range is not None:
+            keep = (doc_ids >= doc_range[0]) & (doc_ids < doc_range[1])
+            doc_ids, doc_lens = doc_ids[keep], doc_lens[keep]
+            self._doc_off = int(doc_range[0])
+            size = int(doc_range[1] - doc_range[0])
+        else:
+            self._doc_off = 0
+            size = int(doc_ids.max()) + 1 if len(doc_ids) else 0
+        self.doc_len = np.zeros(size, dtype=np.int64)
+        self.doc_len[doc_ids - self._doc_off] = doc_lens
         # k1*(1-b+b*doclen/avgdl): the BM25 denominator's doc norm, shared by
         # every term (same association order as scoring.bm25_weights_from_idf)
         n = self.doc_len.astype(np.float64) / self.avgdl
         self._bm25_norm = self.k1 * (1 - self.b + self.b * n)
 
         post_tbl = _read_parquet_dir(os.path.join(index_dir, "postings"))
+        if doc_range is not None:
+            chunks = post_tbl.column("chunk").to_numpy()
+            lo_c = doc_range[0] // self.block_doc_range
+            hi_c = -(-doc_range[1] // self.block_doc_range)
+            post_tbl = post_tbl.filter(
+                pa.array((chunks >= lo_c) & (chunks < hi_c)))
         tid = post_tbl.column("term_id").to_numpy()
         order = np.lexsort((post_tbl.column("chunk").to_numpy(), tid))
         self._blk_tid = tid[order]
@@ -145,7 +170,8 @@ class IndexSegment:
         # idf*TF*(k1+1) / (k1*(1-b+b*n) + TF) — identical op/association
         # order to scoring.bm25_weights_from_idf, so bit-identical float64.
         TF = tfs.astype(np.float64)
-        w = self.idf_by_tid[tid] * TF * (self.k1 + 1) / (self._bm25_norm[docs] + TF)
+        rel = docs - self._doc_off if self._doc_off else docs
+        w = self.idf_by_tid[tid] * TF * (self.k1 + 1) / (self._bm25_norm[rel] + TF)
         offsets = np.concatenate(([0], np.cumsum(counts)))
         entry = (docs, w, self._blk_chunk[s:e], offsets, self._blk_max[s:e])
         if self._terms_postings + docs.size <= self._terms_cap:
@@ -310,6 +336,62 @@ class QueryScorer:
             "doc_id": pa.array(docs, pa.int64()),
             "score": pa.array(scores, pa.float64()),
         })
+
+
+@ray.remote
+class _ShardActor:
+    """One doc-range shard of the index, resident in an actor (T7 multi-node
+    shape: each actor holds one range partition's postings + doc norms)."""
+
+    def __init__(self, index_dir: str, doc_range: tuple[int, int]):
+        self.seg = IndexSegment(index_dir, doc_range=doc_range)
+
+    def topk_batch(self, texts, ks, prune=True):
+        return [self.seg.topk(t or "", int(k), prune) for t, k in zip(texts, ks)]
+
+
+class ShardedIndex:
+    """Doc-range-sharded query engine: N shard actors, each loading only its
+    chunk-aligned doc-id slice, plus a driver-side heap merge.
+
+    Exactness: a shard's bounded queue rejects a candidate only when its
+    score ≤ the shard-local threshold, which is ≤ the global queue's
+    threshold at the same point of the global ascending-doc walk, so local
+    survivors are a superset of the global queue's admissions; re-feeding
+    each shard's survivors in ascending doc_id order (their original
+    insertion order), shards in ascending range order, replays the exact
+    global insertion sequence — results are bit- and tie-identical to a
+    single whole-index segment (pytest-pinned)."""
+
+    def __init__(self, index_dir: str, n_shards: int = 2):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        n_docs = int(meta["N"])
+        bdr = int(meta["block_doc_range"])
+        n_chunks = -(-n_docs // bdr)
+        per = max(1, -(-n_chunks // n_shards))
+        self.ranges = []
+        lo_c = 0
+        while lo_c < n_chunks:
+            hi_c = min(lo_c + per, n_chunks)
+            self.ranges.append((lo_c * bdr, hi_c * bdr))
+            lo_c = hi_c
+        self.actors = [_ShardActor.remote(index_dir, r) for r in self.ranges]
+
+    def topk(self, text: str, k: int, prune: bool = True) -> list[tuple[int, float]]:
+        return self.topk_batch([text], [k], prune)[0]
+
+    def topk_batch(self, texts, ks, prune: bool = True):
+        per_shard = ray.get([a.topk_batch.remote(texts, ks, prune)
+                             for a in self.actors])
+        out = []
+        for qi in range(len(texts)):
+            queue = BoundedTopK(int(ks[qi]))
+            for shard_res in per_shard:       # ascending doc-range order
+                for doc, score in sorted(shard_res[qi]):  # ascending doc_id
+                    queue.add(score, doc)
+            out.append([(doc, score) for score, doc in queue.result()])
+        return out
 
 
 def search(queries_ds, index_dir: str, *, concurrency=2, batch_size: int = 64,

@@ -150,6 +150,22 @@ def test_distributed_docid_path_matches_driver_path(
         assert seg_a.topk(text, int(k)) == seg_b.topk(text, int(k))
 
 
+def test_sharded_topk_bit_identical(ray_session, built_index, corpus_table):
+    """T7 multi-node shape: doc-range shard actors + heap merge must equal
+    the whole-index segment bit-exactly, ties included."""
+    from ir_base_ray.pipelines.query_engine import ShardedIndex
+
+    out, _ = built_index
+    seg = IndexSegment(out)
+    sharded = ShardedIndex(out, n_shards=3)
+    queries = synth_queries(corpus_table, n_queries=25, seed=9)
+    texts = queries.column("text").to_pylist()
+    ks = queries.column("k").to_pylist()
+    got = sharded.topk_batch(texts, ks)
+    for text, k, res in zip(texts, ks, got):
+        assert res == seg.topk(text, int(k)), text[:40]
+
+
 def _hash_dir(path: str) -> dict:
     out = {}
     for f in sorted(glob.glob(os.path.join(path, "postings", "**", "*.parquet"), recursive=True)):
