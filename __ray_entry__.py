@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svm_classify": ops.svm_classify,
         "lda_topics": ops.lda_topics,                    # R7 LDA Gibbs (rows-only)
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
+        "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank
     }
 
 
@@ -145,4 +146,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
         "text_quality": ops.SQL_TEXT_QUALITY,
         "token_counts": ops.SQL_TOKEN_COUNTS,
+        "pagerank_weights": ops.SQL_PAGERANK,
     }

@@ -1134,6 +1134,81 @@ def svm_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def pagerank_item_weights(sf_dir: str):
+    """J8: per-item PageRank instance weighting
+    (``influence/PageRank.java:46-170``) — docs grouped by ``source``,
+    dense exp(cosine-dot) transition graph, 3 fixed power iterations with
+    per-iteration L2 normalization, weight = 1 + 10·score. Fixed iteration
+    count makes it SQL-mirrorable (the oracle runs the same 3 unrolled
+    iterations in DuckDB)."""
+    from ir_base_ray.pipelines.pagerank import pagerank_weights
+
+    ds, _vocab, classes = _doc_vectors(sf_dir, label_col="source")
+
+    def l2norm(batch: pa.Table) -> pa.Table:
+        vals = batch.column("vals").to_pylist()
+        out = []
+        for v in vals:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.sqrt(float(a @ a))
+            out.append((a / n if n else a).tolist())
+        return batch.set_column(batch.column_names.index("vals"), "vals",
+                                pa.array(out, pa.list_(pa.float64())))
+
+    normed = ds.map_batches(l2norm, batch_format="pyarrow")
+    out = pagerank_weights(normed, item_col="label", alpha=0.15,
+                           top_k=1 << 30, max_iter=3, converge=0.0,
+                           min_group_size=10).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"source": [], "doc_id": [], "weight": []})
+    out["source"] = [classes[int(l)] for l in out["label"]]
+    out["weight"] = out["weight"].round(6)
+    return (out[["source", "doc_id", "weight"]]
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+SQL_PAGERANK = _TOKENS_CTE + """
+, tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(tf*tf)) AS nn FROM tf GROUP BY 1),
+vec AS (SELECT t.doc_id, t.term, t.tf / n.nn AS v FROM tf t JOIN nrm n USING (doc_id)),
+ds AS (SELECT doc_id, source FROM documents),
+grp AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1 HAVING count(*) > 10),
+pairs AS (
+  SELECT d1.source, d1.doc_id AS i, d2.doc_id AS j
+  FROM ds d1 JOIN ds d2 ON d1.source = d2.source AND d1.doc_id <> d2.doc_id
+  WHERE d1.source IN (SELECT source FROM grp)),
+dots AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, sum(a.v * b.v) AS dot
+  FROM vec a JOIN vec b USING (term) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+E AS (
+  SELECT p.source, p.i, p.j, exp(coalesce(d.dot, 0)) AS e
+  FROM pairs p LEFT JOIN dots d ON d.i = p.i AND d.j = p.j),
+T AS (SELECT source, i, j, e / sum(e) OVER (PARTITION BY i) AS t FROM E),
+r0 AS (SELECT g.source, d.doc_id, 1.0 / sqrt(g.n) AS r
+       FROM ds d JOIN grp g ON d.source = g.source),
+i1 AS (SELECT t.source, t.j AS doc_id,
+              0.15 / any_value(g.n) + 0.85 * sum(t.t * r.r) AS rr
+       FROM T t JOIN r0 r ON r.doc_id = t.i JOIN grp g ON g.source = t.source
+       GROUP BY 1, 2),
+r1 AS (SELECT source, doc_id,
+              rr / sqrt(sum(rr*rr) OVER (PARTITION BY source)) AS r FROM i1),
+i2 AS (SELECT t.source, t.j AS doc_id,
+              0.15 / any_value(g.n) + 0.85 * sum(t.t * r.r) AS rr
+       FROM T t JOIN r1 r ON r.doc_id = t.i JOIN grp g ON g.source = t.source
+       GROUP BY 1, 2),
+r2 AS (SELECT source, doc_id,
+              rr / sqrt(sum(rr*rr) OVER (PARTITION BY source)) AS r FROM i2),
+i3 AS (SELECT t.source, t.j AS doc_id,
+              0.15 / any_value(g.n) + 0.85 * sum(t.t * r.r) AS rr
+       FROM T t JOIN r2 r ON r.doc_id = t.i JOIN grp g ON g.source = t.source
+       GROUP BY 1, 2),
+r3 AS (SELECT source, doc_id,
+              rr / sqrt(sum(rr*rr) OVER (PARTITION BY source)) AS r FROM i3)
+SELECT source, doc_id, round(1.0 + 10.0 * r, 6) AS weight
+FROM r3 ORDER BY source, doc_id
+"""
+
+
 def l2r_rank_training(sf_dir: str):
     """R2→R3/R4 pipeline: 10-dim L2R ranking features + reference z-score
     (``L2RMetricLearning.java:298-383``) over a seeded 100-doc subset
