@@ -147,4 +147,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ops.SQL_TEXT_QUALITY,
         "token_counts": ops.SQL_TOKEN_COUNTS,
         "pagerank_weights": ops.SQL_PAGERANK,
+        "dedup_ngram_jaccard": ops.SQL_NGRAM_JACCARD,
+        "lang_id": ops.SQL_LANG_ID,
     }

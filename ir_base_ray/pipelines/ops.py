@@ -812,6 +812,39 @@ def dedup_ngram_jaccard(sf_dir: str):
     return pdf
 
 
+SQL_NGRAM_JACCARD = r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  FROM documents),
+tk AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+       FROM raw WHERE tok <> ''),
+cnt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+sh3 AS (
+  SELECT t.doc_id,
+         t.tok || ' ' || lead(t.tok, 1) OVER w || ' ' || lead(t.tok, 2) OVER w AS shingle
+  FROM tk t JOIN cnt c USING (doc_id)
+  WHERE c.n >= 3
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.p)
+  QUALIFY lead(t.tok, 2) OVER w IS NOT NULL),
+shsmall AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS shingle
+  FROM tk t JOIN cnt c USING (doc_id) WHERE c.n < 3 GROUP BY t.doc_id),
+shing AS (SELECT DISTINCT doc_id, shingle
+          FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall)),
+sz AS (SELECT doc_id, count(*) AS s FROM shing GROUP BY 1),
+co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS co
+       FROM shing a JOIN shing b
+         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b, round(co / (sa.s + sb.s - co), 6) AS jaccard
+FROM co JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE co / (sa.s + sb.s - co) >= 0.5
+"""
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 6 over 64-bit tf-weighted simhash)."""
     from ir_base_ray.stages.dedup import simhash_dataset, simhash_near_pairs
@@ -934,6 +967,43 @@ def lang_id_predictions(sf_dir: str):
     from ir_base_ray.stages.textstats import lang_id
 
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_LANG_ID = r"""
+WITH markers(lang, marker) AS (VALUES
+  ('en','the'),('en','and'),('en','of'),('en','to'),('en','is'),('en','in'),
+  ('en','that'),('en','it'),('en','was'),('en','for'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+  ('de','nicht'),('de','ein'),('de','mit'),('de','auf'),('de','von'),
+  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),('fr','une'),
+  ('fr','dans'),('fr','pour'),('fr','que'),('fr','pas'),
+  ('es','el'),('es','la'),('es','los'),('es','y'),('es','es'),('es','en'),
+  ('es','que'),('es','por'),('es','con'),('es','para')),
+words AS (
+  SELECT doc_id, lower(unnest(string_split_regex(text, '\s+'))) AS w
+  FROM documents),
+cjk AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0 AND
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+                   / length(text) > 0.2
+              THEN 1 ELSE 0 END AS is_zh
+  FROM documents),
+hits AS (
+  SELECT w.doc_id, m.lang, count(*) AS h
+  FROM words w JOIN markers m ON w.w = m.marker
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+  FROM hits WHERE h > 0)
+SELECT d.doc_id,
+       CASE WHEN c.is_zh = 1 THEN 'zh'
+            ELSE coalesce(b.lang, 'und') END AS pred_lang
+FROM documents d
+JOIN cjk c USING (doc_id)
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+"""
 
 
 def doc_fingerprints(sf_dir: str):
