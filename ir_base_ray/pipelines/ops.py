@@ -221,37 +221,66 @@ _BM25_SQL_CORE = _TOKENS_CTE + """
 """
 
 
-def _tf_stats_pdf(sf_dir: str):
-    """Shared input for the W2-W6 comparison harness: distributed tokenize +
-    (doc_id, term) groupby, then doc_len / df / N / avgdl merged driver-side
-    (test-scale only — the 100 TB path is stages/weighting.py
-    ``set_feature_values``, which broadcasts the dictionary and streams)."""
-    from ray.data.aggregate import Count
+def _weighted_rows(sf_dir: str, scheme: str, norm: int = 0) -> pd.DataFrame:
+    """Shared W2-W6 harness routed through the SCALE path
+    (``stages/weighting.set_feature_values``): distributed simple-mode
+    analyzed vectors, broadcast dictionary (term→df), broadcast scalars, one
+    vectorized weighting map, then a row explode — the same code the 100-TB
+    pipeline runs; only the final ~vocab·docs projection reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ir_base_ray.stages.weighting import set_feature_values
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    toks = docs.map_batches(_explode_tokens, batch_format="pyarrow")
-    tf_pdf = toks.groupby(["doc_id", "term"]).aggregate(Count(alias_name="tf")).to_pandas()
-    dl = tf_pdf.groupby("doc_id")["tf"].sum().rename("doc_len")
-    dict_df = tf_pdf.groupby("term")["doc_id"].nunique().rename("df")
-    N = int(dl.size)
-    avgdl = float(dl.sum()) / N
-    m = tf_pdf.merge(dl, on="doc_id").merge(dict_df, on="term")
-    return m, N, avgdl
+
+    def analyzed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        terms_col, tfs_col, dls = [], [], []
+        for t in batch.column("text").to_pylist():
+            c = Counter(analyze_simple(t or ""))
+            terms_col.append(list(c.keys()))
+            tfs_col.append([int(v) for v in c.values()])
+            dls.append(int(sum(c.values())))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "terms": pa.array(terms_col, pa.list_(pa.string())),
+            "tfs": pa.array(tfs_col, pa.list_(pa.int64())),
+            "doc_len": pa.array(dls, pa.int64()),
+        })
+
+    ads = docs.map_batches(analyzed, batch_format="pyarrow").materialize()
+    stats = _term_stats_ds(sf_dir).to_pandas().sort_values("term").reset_index(drop=True)
+    dict_ref = ray.put((pd.Index(stats["term"]), stats["df"].to_numpy()))
+    agg = ads.aggregate(Count(alias_name="n"), Sum("doc_len", alias_name="total"))
+    N = int(agg["n"])
+    avgdl = float(agg["total"]) / N
+    weighted = set_feature_values(ads, dict_ref, N=N, avgdl=avgdl,
+                                  scheme=scheme, norm=norm)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms = batch.column("terms")
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        tfs = batch.column("tfs")
+        tfs = tfs.combine_chunks() if isinstance(tfs, pa.ChunkedArray) else tfs
+        vals = batch.column("values")
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        lengths = np.asarray(pa.compute.list_value_length(terms))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(batch.column("doc_id").to_numpy(), lengths), pa.int64()),
+            "term": terms.flatten(),
+            "tf": tfs.flatten(),
+            "weight": vals.flatten(),
+        })
+
+    return weighted.map_batches(explode, batch_format="pyarrow").to_pandas()
 
 
 def bm25_weights(sf_dir: str):
     """W4: per-(doc, term) BM25 weight, k1=1.5 b=0.75, exact reference
     expression (``Analyzer.java:235-263``), rounded to 4 decimals for the
-    cross-engine comparison."""
-    m, N, avgdl = _tf_stats_pdf(sf_dir)
-    tfv = m["tf"].to_numpy().astype(np.float64)
-    dlv = m["doc_len"].to_numpy().astype(np.float64)
-    dfv = m["df"].to_numpy().astype(np.float64)
-    k1, b = 1.5, 0.75
-    n = dlv / avgdl
-    idf = np.log((N - dfv + 0.5) / (dfv + 0.5))
-    w = idf * tfv * (k1 + 1) / (k1 * (1 - b + b * n) + tfv)
-    m["bm25"] = np.round(w, 4)
+    cross-engine comparison. Runs through the scale path (:func:`_weighted_rows`)."""
+    m = _weighted_rows(sf_dir, "BM25")
+    m["bm25"] = m["weight"].round(4)
     return m[["doc_id", "term", "tf", "bm25"]]
 
 
@@ -266,10 +295,8 @@ FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 
 def tfidf_weights(sf_dir: str):
     """W2: TF/doclen · ln((N+1)/DF) (``Analyzer.java:193-213``), rounded 6."""
-    m, N, _avgdl = _tf_stats_pdf(sf_dir)
-    TF = m["tf"].to_numpy().astype(np.float64) / m["doc_len"].to_numpy().astype(np.float64)
-    IDF = np.log((N + 1) / m["df"].to_numpy().astype(np.float64))
-    m["tfidf"] = np.round(TF * IDF, 6)
+    m = _weighted_rows(sf_dir, "TFIDF")
+    m["tfidf"] = m["weight"].round(6)
     return m[["doc_id", "term", "tfidf"]]
 
 
@@ -283,19 +310,14 @@ FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 def pln_weights(sf_dir: str):
     """W5 (``Analyzer.java:264-291``): pivoted length normalization, s=0.5:
     (1+ln(1+ln TF))/(1−s+s·n) · ln((N+1)/DF) with n=doclen/avgdl; rounded 6."""
-    m, N, avgdl = _tf_stats_pdf(sf_dir)
-    tf = m["tf"].to_numpy().astype(np.float64)
-    dl = m["doc_len"].to_numpy().astype(np.float64)
-    df = m["df"].to_numpy().astype(np.float64)
-    n = dl / avgdl
-    w = (1 + np.log(1 + np.log(tf))) / (0.5 + 0.5 * n) * np.log((N + 1) / df)
-    m["pln"] = np.round(w, 6)
+    m = _weighted_rows(sf_dir, "PLN")
+    m["pln"] = m["weight"].round(6)
     return m[["doc_id", "term", "pln"]]
 
 
 SQL_PLN_WEIGHTS = _BM25_SQL_CORE + """
 SELECT tf.doc_id, tf.term,
-       round((1 + ln(1 + ln(tf.tf))) / (0.5 + 0.5 * (dl.doc_len / scal.avgdl))
+       round((1 + ln(1 + ln(tf.tf)) / (0.5 + 0.5 * (dl.doc_len / scal.avgdl)))
              * ln((scal.n + 1)::DOUBLE / dict.df), 6) AS pln
 FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 """
@@ -303,11 +325,8 @@ FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 
 def tfidf_sublinear_weights(sf_dir: str):
     """W3 (``Analyzer.java:214-234``): (1+log₁₀TF)·(1+log₁₀(N/DF)); rounded 6."""
-    m, N, _avgdl = _tf_stats_pdf(sf_dir)
-    tf = m["tf"].to_numpy().astype(np.float64)
-    df = m["df"].to_numpy().astype(np.float64)
-    w = (1 + np.log10(tf)) * (1 + np.log10(N / df))
-    m["tfidf_sub"] = np.round(w, 6)
+    m = _weighted_rows(sf_dir, "TFIDF-sublinear")
+    m["tfidf_sub"] = m["weight"].round(6)
     return m[["doc_id", "term", "tfidf_sub"]]
 
 
@@ -321,13 +340,8 @@ FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
 def tfidf_l2(sf_dir: str):
     """W6 (``Utils.java:287-325``, norm=2): L2-normalize each doc's W2 TFIDF
     vector — value/‖v‖₂ per (doc, term); rounded 6."""
-    m, N, _avgdl = _tf_stats_pdf(sf_dir)
-    TF = m["tf"].to_numpy().astype(np.float64) / m["doc_len"].to_numpy().astype(np.float64)
-    IDF = np.log((N + 1) / m["df"].to_numpy().astype(np.float64))
-    m["v"] = TF * IDF
-    m["v2"] = m["v"] * m["v"]
-    norms = np.sqrt(m.groupby("doc_id")["v2"].transform("sum").to_numpy())
-    m["tfidf_l2"] = np.round(m["v"].to_numpy() / norms, 6)
+    m = _weighted_rows(sf_dir, "TFIDF", norm=2)
+    m["tfidf_l2"] = m["weight"].round(6)
     return m[["doc_id", "term", "tfidf_l2"]]
 
 
