@@ -37,6 +37,10 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(logging.ERROR)
 
 
 def _warm_page_cache(sf_dir: str):
