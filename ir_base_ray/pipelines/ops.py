@@ -1333,6 +1333,40 @@ def l2r_rank_training(sf_dir: str):
     return pd.DataFrame(rows, columns=["model", "feature_idx", "weight"])
 
 
+def semi_supervised_walk(sf_dir: str):
+    """R6 style=SEMI: GaussianFields by random walk
+    (``GaussianFieldsByRandomWalk.java:61-92``) — even doc_ids are the
+    labeled set (lang class), odd doc_ids are unlabeled with a
+    majority-class baseline classifier; weighted-sum propagation over the
+    distributed kNN similarity graph. Rows-only (iterative propagation);
+    semantics pinned by tests/test_gaussianfields.py."""
+    from ir_base_ray.pipelines.gaussianfields import gaussian_fields_predict
+
+    ds, _vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    pdf = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = []
+    for _, r in pdf.iterrows():
+        vals = np.asarray(list(r["vals"]), dtype=np.float64)
+        nrm = np.sqrt(float(vals @ vals))
+        docs.append({"doc_id": int(r["doc_id"]),
+                     "tids": np.asarray(list(r["tids"]), dtype=np.int64),
+                     "vals": vals / nrm if nrm else vals,
+                     "label": int(r["label"]),
+                     "doc_len": int(vals.sum())})
+    labeled = [d for d in docs if d["doc_id"] % 2 == 0]
+    unlabeled = [d for d in docs if d["doc_id"] % 2 == 1]
+    counts = Counter(d["label"] for d in labeled)
+    baseline = float(counts.most_common(1)[0][0])
+    clf = np.full(len(unlabeled), baseline)
+    _pred, hard = gaussian_fields_predict(
+        unlabeled, labeled, clf, n_classes=len(classes), k=8, k_prime=8,
+        eta=0.9)
+    return pd.DataFrame({
+        "doc_id": [d["doc_id"] for d in unlabeled],
+        "pred_lang": [classes[int(h)] for h in hard],
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def sentence_stats(sf_dir: str):
     """M11: sentence-split analyzer over documents — per-doc kept-sentence
     and distinct-term counts (rows-only: the splitter + analyzer chain is not
