@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
         "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank
         "semi_supervised_walk": ops.semi_supervised_walk,  # R6 SEMI (rows-only)
+        "pos_adjadv_vector": ops.pos_adjadv_vector,      # M12 (rule tagger)
+        "senti_scores": ops.senti_doc_scores,            # M13 (lexicon)
     }
 
 
@@ -150,4 +152,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weights": ops.SQL_PAGERANK,
         "dedup_ngram_jaccard": ops.SQL_NGRAM_JACCARD,
         "lang_id": ops.SQL_LANG_ID,
+        "pos_adjadv_vector": ops.SQL_POS_ADJADV,
+        "senti_scores": ops.SQL_SENTI,
     }

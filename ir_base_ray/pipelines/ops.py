@@ -1333,6 +1333,93 @@ def l2r_rank_training(sf_dir: str):
     return pd.DataFrame(rows, columns=["model", "feature_idx", "weight"])
 
 
+def pos_adjadv_vector(sf_dir: str):
+    """M12 (rule-tagger substitution, ``DocAnalyzer.java:426-452``): per-doc
+    adjective/adverb term counts — the reference's POS sparse vector keeps
+    only JJ*/RB* tokens. Pinned rule tagger (functions/postag.py) makes it
+    SQL-mirrorable."""
+    from ir_base_ray.functions.postag import rule_pos_tag
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def vec(batch: pa.Table) -> pa.Table:
+        ids_o, terms_o, cnt_o = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            acc = Counter(tok for tok in analyze_simple(t or "")
+                          if rule_pos_tag(tok) in ("JJ", "RB"))
+            for term in sorted(acc):
+                ids_o.append(i)
+                terms_o.append(term)
+                cnt_o.append(acc[term])
+        return pa.table({
+            "doc_id": pa.array(ids_o, pa.int64()),
+            "term": pa.array(terms_o, pa.string()),
+            "cnt": pa.array(cnt_o, pa.int64()),
+        })
+
+    return docs.map_batches(vec, batch_format="pyarrow")
+
+
+SQL_POS_ADJADV = _TOKENS_CTE + r"""
+SELECT doc_id, term, count(*) AS cnt
+FROM toks
+WHERE term IN ('very','quite','too','so','rather','almost','always','never',
+               'often','really','soon','now','then','here','there')
+   OR (length(term) > 3 AND regexp_matches(term, 'ly$'))
+   OR (length(term) > 4 AND
+       regexp_matches(term, '(able|ible|ful|ous|ive|ish|less|ic|al)$')
+       AND NOT (length(term) > 3 AND regexp_matches(term, 'ly$')))
+GROUP BY doc_id, term
+"""
+
+
+def senti_doc_scores(sf_dir: str):
+    """M13 (lexicon substitution, ``DocAnalyzer.java:198-220``): per-doc
+    average sentiment — Σ lexicon hits / #tokens; misses skipped like the
+    reference's extract()==-2 sentinel."""
+    from ir_base_ray.functions.postag import senti_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        vals = [round(senti_score(analyze_simple(t or "")), 6)
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "senti": pa.array(vals, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_SENTI = _TOKENS_CTE + r"""
+, lex(word, score) AS (VALUES
+  ('good',0.625),('great',0.75),('excellent',0.875),('best',0.75),
+  ('better',0.5),('nice',0.5),('love',0.625),('like',0.25),
+  ('happy',0.625),('amazing',0.75),('wonderful',0.75),('perfect',0.875),
+  ('fine',0.375),('helpful',0.5),('useful',0.5),('fast',0.25),
+  ('easy',0.375),('clean',0.375),('fresh',0.375),('right',0.25),
+  ('bad',-0.625),('worst',-0.875),('worse',-0.625),('terrible',-0.75),
+  ('awful',-0.75),('hate',-0.625),('poor',-0.5),('wrong',-0.375),
+  ('broken',-0.5),('slow',-0.25),('hard',-0.25),('sad',-0.5),
+  ('ugly',-0.5),('dirty',-0.5),('boring',-0.5),('annoying',-0.625),
+  ('horrible',-0.875),('useless',-0.625),('expensive',-0.25),('fail',-0.5)),
+hits AS (
+  SELECT t.doc_id, sum(l.score) AS total
+  FROM toks t JOIN lex l ON t.term = l.word GROUP BY 1),
+ntok AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1)
+SELECT d.doc_id,
+       -- round_even: the lexicon's 1/8-grid sums land exactly on rounding
+       -- boundaries, where python's banker's rounding != SQL round()
+       round_even(coalesce(h.total, 0) / coalesce(n.n, 1), 6) AS senti
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN ntok n USING (doc_id)
+"""
+
+
 def semi_supervised_walk(sf_dir: str):
     """R6 style=SEMI: GaussianFields by random walk
     (``GaussianFieldsByRandomWalk.java:61-92``) — even doc_ids are the
