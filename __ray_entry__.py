@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_supervised_walk": ops.semi_supervised_walk,  # R6 SEMI (rows-only)
         "pos_adjadv_vector": ops.pos_adjadv_vector,      # M12 (rule tagger)
         "senti_scores": ops.senti_doc_scores,            # M13 (lexicon)
+        "kmeans_clusters": ops.kmeans_clusters,          # R6 KMeans (rows-only)
     }
 
 

@@ -1420,6 +1420,25 @@ LEFT JOIN ntok n USING (doc_id)
 """
 
 
+def kmeans_clusters(sf_dir: str):
+    """R6 tail: KMeans with cosine distance (``clustering/KMeansAlg.java``;
+    seeded k-means++ init, distributed per-block partials). Returns
+    (doc_id, cluster). Deterministic; rows-only — iterative clustering is
+    not SQL-expressible; parity pinned by tests/test_kmeans.py."""
+    from ir_base_ray.pipelines.kmeans import train_kmeans
+
+    ds, vocab = _doc_vectors(sf_dir)
+    ds = ds.materialize()  # one block set for BOTH training and id readback
+    out = train_kmeans(ds, k=5, vocab_size=len(vocab), n_iters=15, seed=19)
+    ids = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids.append(b.column("doc_id").to_numpy())
+    return pd.DataFrame({
+        "doc_id": np.concatenate(ids),
+        "cluster": np.concatenate(out["assignments"]).astype(np.int64),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def semi_supervised_walk(sf_dir: str):
     """R6 style=SEMI: GaussianFields by random walk
     (``GaussianFieldsByRandomWalk.java:61-92``) — even doc_ids are the
