@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_classify": ops.lr_classify,
         "svm_classify": ops.svm_classify,
         "lda_topics": ops.lda_topics,                    # R7 LDA Gibbs (rows-only)
+        "lda_var_topics": ops.lda_var_topics,            # R7 LDA variational (rows-only)
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
         "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank
         "semi_supervised_walk": ops.semi_supervised_walk,  # R6 SEMI (rows-only)

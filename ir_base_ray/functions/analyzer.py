@@ -152,7 +152,7 @@ class Analyzer:
                         out.append(gram)
         return TokenizeResult(tokens=out, stopword_cnt=stopword_cnt, raw_cnt=len(pairs))
 
-    def term_counts(self, text: str) -> Counter:
+    def term_counts(self, text: str) -> dict:
         """token sequence → {term: count} (``constructSpVct`` semantics,
         ``DocAnalyzer.java:377-423``, open-vocabulary path: every emitted
         token counts; DF/TTF aggregation happens downstream).
@@ -178,7 +178,9 @@ class Analyzer:
                         out[t] += c
                     else:
                         out[t] = c
-        return Counter(out)
+        # plain dict, not Counter(out): saves one dict copy per doc in the
+        # hot path; every consumer uses dict-compatible ops only
+        return out
 
 
 _SIMPLE_STRIP = re.compile(r"[^a-zA-Z0-9_]+")

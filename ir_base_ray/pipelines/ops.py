@@ -1186,6 +1186,27 @@ def lda_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def lda_var_topics(sf_dir: str):
+    """R7: LDA variational EM (``topicmodels/LDA/LDA_Variational.java`` —
+    mean-field φ/γ updates, β−1-smoothed M-step, constrained-Newton α with
+    the 0.001 step quirk) over the documents table; top-10 terms per topic.
+    Deterministic; rows-only (variational EM is not SQL-expressible)."""
+    from ir_base_ray.pipelines.lda_variational import train_lda_variational
+
+    ds, vocab = _doc_vectors(sf_dir)
+    out = train_lda_variational(ds, n_topics=5, vocab_size=len(vocab),
+                                n_iters=6, var_max_iter=5, seed=31)
+    phi = np.exp(out["log_topic_term"])
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with
