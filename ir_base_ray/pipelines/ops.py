@@ -1207,6 +1207,45 @@ def lda_var_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def htmm_topics(sf_dir: str):
+    """R7 tail: HTMM (``topicmodels/markovmodel/HTMM.java`` — sentence-level
+    restricted HMM over topics) on the M11 sentence-split vectors. Returns
+    per-doc MAP sentence-topic paths plus the learned ε. Deterministic
+    (seeded); rows-only — forward-backward EM is not SQL-expressible;
+    semantics pinned by tests/test_htmm.py."""
+    from ir_base_ray.pipelines.htmm import train_htmm
+    from ir_base_ray.stages.sentences import analyze_with_sentences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sent = analyze_with_sentences(docs, stn_threshold=1).to_pandas()
+    sent = sent.sort_values("doc_id").reset_index(drop=True).head(200)
+    vocab = sorted({t for terms in sent["stn_terms"] for s in terms for t in s})
+    tindex = {t: i for i, t in enumerate(vocab)}
+    doc_vecs, doc_ids = [], []
+    for _, r in sent.iterrows():
+        sents = []
+        for terms, tfs in zip(r["stn_terms"], r["stn_tfs"]):
+            jj = np.array([tindex[t] for t in terms], dtype=np.int64)
+            vv = np.asarray(list(tfs), dtype=np.float64)
+            sents.append((jj, vv))
+        if sents:
+            doc_vecs.append(sents)
+            doc_ids.append(int(r["doc_id"]))
+    out = train_htmm(doc_vecs, n_topics=4, vocab_size=len(vocab),
+                     n_iters=10, seed=37, n_blocks=4)
+    # re-flatten block-split paths back to doc order (round-robin split)
+    n_blocks = out["block_split"]
+    paths_by_doc: dict[int, np.ndarray] = {}
+    for b, blk in enumerate(out["paths"]):
+        for d, p in enumerate(blk):
+            paths_by_doc[b + d * n_blocks] = p
+    rows = []
+    for i, did in enumerate(doc_ids):
+        for t, topic in enumerate(paths_by_doc[i]):
+            rows.append({"doc_id": did, "stn": t, "topic": int(topic)})
+    return pd.DataFrame(rows, columns=["doc_id", "stn", "topic"])
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with
