@@ -1246,6 +1246,29 @@ def htmm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic"])
 
 
+def dcmlda_topics(sf_dir: str):
+    """R7 tail: DCM-LDA (``topicmodels/DCM/DCMLDA.java`` — per-doc
+    word-topic multinomials under shared per-topic Dirichlet priors learned
+    by Minka fixed points over count histograms). Top-10 terms per topic by
+    the normalized β. Deterministic; rows-only."""
+    from ir_base_ray.pipelines.dcmlda import train_dcmlda
+
+    ds, vocab = _doc_vectors(sf_dir)
+    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
+    out = train_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
+                       n_em_iters=3, inner_iters=4, seed=41)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with
