@@ -48,27 +48,32 @@ def _warm_page_cache(sf_dir: str):
              if n.endswith(".parquet")]
     # the synthetic bench corpus lives in /tmp — warm it too, or the first
     # build pays a cold 337 MB read that the drop_caches isolation just evicted
-    corpus, _ = _bench_corpus_path(sf_dir)
-    for p in paths + [corpus]:
+    corpus_files, _ = _bench_corpus_path(sf_dir)
+    for p in paths + corpus_files:
         with open(p, "rb") as f:
             while f.read(1 << 22):
                 pass
 
 
-def _bench_corpus_path(sf_dir: str) -> tuple[str, int]:
+def _bench_corpus_path(sf_dir: str) -> tuple[list, int]:
     """Deterministic synthetic web corpus for the throughput headline, sized
-    40× the sf's documents table (the driver documents tables are tiny; the
-    north-rule metric is docs/sec on a web-page corpus). Generated once,
-    cached in /tmp, seed fixed — both scaling runs read the same file."""
+    200× the sf's documents table (the driver documents tables are tiny; the
+    north-rule metric is docs/sec on a web-page corpus). Written as a
+    16-file DIRECTORY — the realistic many-file crawl layout, so the read
+    parallelizes into one task per file instead of one task streaming
+    blocks. Generated once, cached in /tmp, seed fixed — all scaling levels
+    read the same shards. Returns (sorted shard paths, n_docs)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows * 200
-    path = f"/tmp/ir_bench_corpus_{n_docs}.parquet"
-    if not os.path.exists(path):
-        from ir_base_ray.sources.corpus import write_synth_corpus
+    path = f"/tmp/ir_bench_corpus_dir_{n_docs}"
+    if not os.path.isdir(path) or not _glob.glob(os.path.join(path, "*.parquet")):
+        from ir_base_ray.sources.corpus import write_synth_corpus_dir
 
-        write_synth_corpus(path, n_docs, seed=42, include_html=False)
-    return path, n_docs
+        write_synth_corpus_dir(path, n_docs, seed=42, include_html=False)
+    return sorted(_glob.glob(os.path.join(path, "*.parquet"))), n_docs
 
 
 def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
@@ -80,13 +85,13 @@ def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
     from ir_base_ray.pipelines.build_index import build_index
     from ir_base_ray.sources.corpus import read_corpus
 
-    corpus_path, n_docs = _bench_corpus_path(sf_dir)
+    corpus_files, n_docs = _bench_corpus_path(sf_dir)
     shutil.rmtree(index_dir, ignore_errors=True)
     # actor pool must leave free CPU slots or upstream read / downstream write
     # tasks starve behind the pinned actors (observed wedge at num_cpus=2)
     conc = max(1, num_cpus - 2)
     cfg = IndexConfig(
-        corpus_paths=(corpus_path,),
+        corpus_paths=tuple(corpus_files),
         out_dir=index_dir,
         block_doc_range=4096,
         num_partitions=32,  # fixed physical layout: identical across cluster sizes
@@ -99,7 +104,7 @@ def bench_index_build(sf_dir: str, num_cpus: int, index_dir: str) -> dict:
     # ONE task, so finer granularity just starves the pool behind the stream
     # (measured 12.1 s → 4.7 s for the analyze stage at 32 cpus moving from
     # 200 to 60 blocks on the 1M-doc corpus)
-    meta = build_index(read_corpus(corpus_path, columns=["url", "text"],
+    meta = build_index(read_corpus(corpus_files, columns=["url", "text"],
                                       override_num_blocks=max(20, 2 * conc)), cfg)
     elapsed = time.time() - t0
     return {"sec": elapsed, "docs": n_docs, "docs_per_sec": n_docs / elapsed, "meta": meta}
@@ -114,8 +119,18 @@ def bench_queries(sf_dir: str, index_dir: str, n_queries: int = 200) -> dict:
     from ir_base_ray.pipelines.query_engine import IndexSegment
     from ir_base_ray.sources.queries import synth_queries
 
-    corpus_path, _ = _bench_corpus_path(sf_dir)
-    docs_tbl = pq.read_table(corpus_path, columns=["text"]).slice(0, 20000)
+    corpus_files, _ = _bench_corpus_path(sf_dir)
+    # first shards hold the corpus's first rows (deterministic layout)
+    parts = []
+    rows = 0
+    for f in corpus_files:
+        parts.append(pq.read_table(f, columns=["text"]))
+        rows += len(parts[-1])
+        if rows >= 20000:
+            break
+    import pyarrow as pa
+
+    docs_tbl = pa.concat_tables(parts).slice(0, 20000)
     queries = synth_queries(docs_tbl, n_queries=n_queries, seed=13)
     seg = IndexSegment(index_dir)
     texts = queries.column("text").to_pylist()

@@ -134,6 +134,31 @@ def write_synth_corpus(path: str, n_rows: int, seed: int = 42,
     return path
 
 
+def write_synth_corpus_dir(dir_path: str, n_rows: int, seed: int = 42,
+                           include_html: bool = True, n_files: int = 16,
+                           row_group_size: int = 50_000) -> str:
+    """Write the synthetic corpus as a DIRECTORY of ``n_files`` parquet
+    shards — the realistic web-corpus layout (a 100 TB crawl is many files,
+    never one): the read then parallelizes into one task per file instead of
+    one task streaming blocks to everyone. Deterministic: shard i holds the
+    same rows as rows [i·n/n_files, (i+1)·n/n_files) of the single-file
+    corpus with the same seed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    tbl = synth_corpus(n_rows, seed, include_html=include_html)
+    per = -(-n_rows // n_files)
+    for i in range(n_files):
+        sl = tbl.slice(i * per, per)
+        if len(sl) == 0:
+            break
+        pq.write_table(sl, os.path.join(dir_path, f"part-{i:05d}.parquet"),
+                       row_group_size=row_group_size)
+    return dir_path
+
+
 def extract_text_stage(ds) -> "ray.data.Dataset":
     """M9+M14: (url, html:binary) → (url, text) via the reference-exact
     cleaning chain (``functions/textclean.py``: comment-block strip →
