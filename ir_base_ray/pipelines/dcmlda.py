@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections import Counter
 
 import numpy as np
-import pyarrow as pa
+
 
 import ray
 

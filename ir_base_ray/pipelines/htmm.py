@@ -30,7 +30,7 @@ partial, lot, total, loglik, θ'_block); driver merges in fixed block order.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
+
 
 import ray
 
@@ -101,12 +101,6 @@ def viterbi_path(emission: np.ndarray, theta_log: np.ndarray,
     for t in range(T - 2, -1, -1):
         path[t] = back[t + 1, path[t + 1]]
     return path % K
-
-
-def _block_docs(tbl: pa.Table):
-    """(doc_id, stn_tids:list<list<int64>>-flattened form) — we carry
-    sentences as parallel list columns: stn_offsets delimits sentences."""
-    return tbl
 
 
 def _doc_emission(stn_vecs, log_phi):
