@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,  # rows-only
         "dedup_simhash": ops.dedup_simhash,              # rows-only
         "ann_cosine_topk": ops.ann_cosine_topk,
+        "ann_ivf_topk": ops.ann_ivf_topk,                # IVF-Flat (full probe == exact)
         "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only (LSH)
         "embedding_near_dup_exact": ops.embedding_near_dup_exact,
         "text_quality": ops.text_quality_scores,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "selector_union": ops.SQL_SELECTOR_UNION,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
         "ann_cosine_topk": ops.SQL_ANN_COSINE,
+        "ann_ivf_topk": ops.SQL_ANN_COSINE,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
         "text_quality": ops.SQL_TEXT_QUALITY,
         "token_counts": ops.SQL_TOKEN_COUNTS,

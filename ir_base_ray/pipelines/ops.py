@@ -900,6 +900,25 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank < 10
 """
 
 
+def ann_ivf_topk(sf_dir: str):
+    """Similarity search, IVF-Flat scale path (`stages/ann.ivf_topk`:
+    cosine-KMeans coarse quantizer → probe-masked single-pass scoring →
+    brute-force-identical merge). Run here with FULL probing
+    (n_probe == n_clusters), which is provably exact — so the same cosine
+    SQL oracle hash-checks the whole IVF machinery; the approximate regime's
+    recall is pinned by pytest."""
+    from ir_base_ray.stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.take(5)
+    q_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in head])
+    out = ivf_topk(emb, q_ids, q_mat, k=10, n_clusters=8, n_probe=8, seed=19)
+    out = out.copy()
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
 def embedding_near_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup via multi-table LSH (8 tables × 6 bits,
     cosine ≥ 0.45 — the synthetic embeddings top out near 0.51, so a 0.9+

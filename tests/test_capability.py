@@ -435,3 +435,39 @@ def test_lambdarank_parallel(ray_session):
     w4, trace = train_lambdarank_parallel(queries, 3, n_workers=4, rounds=6,
                                           max_iter=2, seed=17)
     assert trace[-1] < trace[0] * 0.35, trace
+
+
+def test_ivf_topk_recall_vs_exact(ray_session):
+    """IVF-Flat with generous probing must recover most of the exact top-k;
+    with n_probe == n_clusters it IS exact (every bucket scanned)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ir_base_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(12)
+    n, dim = 400, 16
+    mat = rng.normal(size=(n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    q_ids = np.arange(5, dtype=np.int64)
+    q_mat = mat[:5]
+    exact = brute_force_topk(ds, q_ids, q_mat, k=10)
+    # full probe == exact (same tie-break: score desc, vec_id asc)
+    full = ivf_topk(ds, q_ids, q_mat, k=10, n_clusters=8, n_probe=8, seed=19)
+    for qid in q_ids:
+        e = exact[exact["query_id"] == qid]["vec_id"].tolist()
+        f = full[full["query_id"] == qid]["vec_id"].tolist()
+        assert e == f, (qid, e, f)
+    # partial probe: recall ≥ 0.6 on random data with 8 clusters / 3 probes
+    approx = ivf_topk(ds, q_ids, q_mat, k=10, n_clusters=8, n_probe=3, seed=19)
+    hits = total = 0
+    for qid in q_ids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6, hits / total
