@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": ops.token_count_scores,
         "lang_id": ops.lang_id_predictions,              # rows-only
         "doc_fingerprints": ops.doc_fingerprints,        # rows-only
-        "media_features": ops.media_feature_extract,     # rows-only (stub decode)
+        "media_features": ops.media_feature_extract,     # metadata hash-checked; stub decode pytest-pinned
         "plsa_topics": ops.plsa_topics,                  # A7 EM topic model (rows-only)
         "sentence_stats": ops.sentence_stats,            # M11 (rows-only)
         # R6 supervised classifiers (distributed L-BFGS partials; rows-only)
@@ -160,4 +160,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ops.SQL_LANG_ID,
         "pos_adjadv_vector": ops.SQL_POS_ADJADV,
         "senti_scores": ops.SQL_SENTI,
+        "media_features": ops.SQL_MEDIA_FEATURES,
     }

@@ -1047,12 +1047,42 @@ def doc_fingerprints(sf_dir: str):
 
 
 def media_feature_extract(sf_dir: str):
-    """Multimodal plumbing: synthetic binary media table → actor-pool decode
-    (stubbed deterministic fake) + feature extraction."""
-    from ir_base_ray.stages.multimodal import media_features, synth_media_table
+    """Multimodal plumbing over a DRIVER table: documents become binary
+    media rows (payload = utf-8 text bytes, type cycled by doc_id) and run
+    through the real actor-pool decode stage (stubbed codec). The surfaced
+    metadata columns are SQL-mirrorable (octet_length of the utf-8 text), so
+    the batch sizing / actor signature / binary schema path is now
+    hash-checked end to end; the 8-dim stub features stay pytest-pinned."""
+    from ir_base_ray.stages.multimodal import media_features
 
-    ds = ray.data.from_arrow(synth_media_table(200, seed=42))
-    return media_features(ds).select_columns(["media_id", "media_type", "n_bytes"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kinds = ("image/png", "audio/wav", "video/mp4")
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [(t or "").encode("utf-8")
+                    for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array([kinds[i % 3] for i in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([64] * len(ids), pa.int32()),
+            "height": pa.array([64] * len(ids), pa.int32()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media_features(media).select_columns(
+        ["media_id", "media_type", "n_bytes"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
 
 
 # ======================================================================
