@@ -90,17 +90,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_sample": ops.shuffled_sample,          # Q8 (rows-only)
         # training-data tier: dedup / similarity / text analysis
         "dedup_exact": ops.dedup_exact,
-        "dedup_minhash": ops.dedup_minhash,              # rows-only
-        "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,  # rows-only
-        "dedup_simhash": ops.dedup_simhash,              # rows-only
+        "dedup_minhash": ops.dedup_minhash,              # SQL-mirrored LSH
+        "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,
+        "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
         "ann_cosine_topk": ops.ann_cosine_topk,
         "ann_ivf_topk": ops.ann_ivf_topk,                # IVF-Flat (full probe == exact)
         "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only (LSH)
         "embedding_near_dup_exact": ops.embedding_near_dup_exact,
         "text_quality": ops.text_quality_scores,
         "token_counts": ops.token_count_scores,
-        "lang_id": ops.lang_id_predictions,              # rows-only
-        "doc_fingerprints": ops.doc_fingerprints,        # rows-only
+        "lang_id": ops.lang_id_predictions,
+        "doc_fingerprints": ops.doc_fingerprints,        # SQL-mirrored rolling hash
         "media_features": ops.media_feature_extract,     # metadata hash-checked; stub decode pytest-pinned
         "plsa_topics": ops.plsa_topics,                  # A7 EM topic model (rows-only)
         "sentence_stats": ops.sentence_stats,            # M11 (rows-only)
@@ -150,6 +150,9 @@ def oracle_sql() -> dict[str, str]:
         "seeded_sample": ops.SQL_SEEDED_SAMPLE,
         "selector_union": ops.SQL_SELECTOR_UNION,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
+        "dedup_minhash": ops.sql_minhash_lsh(),
+        "dedup_simhash": ops.SQL_SIMHASH,
+        "doc_fingerprints": ops.sql_fingerprints(),
         "ann_cosine_topk": ops.SQL_ANN_COSINE,
         "ann_ivf_topk": ops.SQL_ANN_COSINE,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,

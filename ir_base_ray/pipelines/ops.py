@@ -800,8 +800,13 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
 
 
 def dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup pairs (no SQL oracle: LSH bucketing is not
-    SQL-expressible; exactness is covered by pytest vs brute-force Jaccard)."""
+    """MinHash-LSH near-dup pairs. Hash-checked end to end: the md5-prefix
+    shingle hash plus the embedded (a, b) permutation constants make the whole
+    signature → 16-band bucket → candidate-pair → exact-Jaccard-verify
+    pipeline mirrorable in pure SQL (sql_minhash_lsh() below recomputes the
+    64-perm signatures with HUGEINT mod-2^64 arithmetic, buckets on the raw
+    band value tuple — equality of band values == equality of band hashes —
+    and verifies candidates with the same distinct-shingle Jaccard)."""
     from ir_base_ray.stages.dedup import minhash_lsh_dedup
 
     verified = minhash_lsh_dedup(
@@ -813,6 +818,76 @@ def dedup_minhash(sf_dir: str):
     verified = verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     verified["jaccard"] = verified["jaccard"].round(6)
     return verified
+
+
+def sql_minhash_lsh(num_perm: int = 64, num_bands: int = 16,
+                    threshold: float = 0.5, seed: int = 7) -> str:
+    """DuckDB mirror of minhash_lsh_dedup (same defaults as the query entry).
+
+    Recomputes the exact pipeline: distinct 3-word shingles → md5-prefix
+    64-bit shingle hash → per-permutation min of (h*a + b) mod 2^64 (HUGEINT
+    intermediate: h < 2^64, a < 2^61 ⇒ product < 2^125 < HUGEINT max; numpy's
+    uint64 wraparound IS mod 2^64) → band rows keyed by the joined decimal
+    band values (value equality ≡ band-hash equality) → distinct candidate
+    pairs → exact distinct-shingle Jaccard ≥ threshold. Permutation constants
+    come from the same seeded generator as stages/dedup._minhash_params."""
+    from ir_base_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    width = num_perm // num_bands
+    perm_vals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                          for p in range(num_perm))
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  FROM documents),
+tk AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+       FROM raw WHERE tok <> ''),
+cnt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+sh3 AS (
+  SELECT t.doc_id,
+         t.tok || ' ' || lead(t.tok, 1) OVER w || ' ' || lead(t.tok, 2) OVER w AS shingle
+  FROM tk t JOIN cnt c USING (doc_id)
+  WHERE c.n >= 3
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.p)
+  QUALIFY lead(t.tok, 2) OVER w IS NOT NULL),
+shsmall AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS shingle
+  FROM tk t JOIN cnt c USING (doc_id) WHERE c.n < 3 GROUP BY t.doc_id),
+shing AS (SELECT DISTINCT doc_id, shingle
+          FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall)),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM shing),
+perms(p, a, b) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, p, min((h * a + b) % 18446744073709551616::HUGEINT) AS v
+  FROM hashed JOIN perms ON true GROUP BY doc_id, p),
+bands AS (
+  SELECT doc_id, p // {width} AS band_id,
+         string_agg(v, '-' ORDER BY p) AS band_key
+  FROM sig GROUP BY doc_id, band_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS s FROM shing GROUP BY 1),
+co AS (SELECT c.id_a, c.id_b, count(*)::DOUBLE AS co
+       FROM cand c
+       JOIN shing x ON x.doc_id = c.id_a
+       JOIN shing y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       GROUP BY 1, 2)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       round(coalesce(co.co, 0) / (sa.s + sb.s - coalesce(co.co, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+WHERE coalesce(co.co, 0) / (sa.s + sb.s - coalesce(co.co, 0)) >= {threshold}
+ORDER BY 1, 2
+"""
 
 
 def dedup_ngram_jaccard(sf_dir: str):
@@ -860,11 +935,47 @@ WHERE co / (sa.s + sb.s - co) >= 0.5
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming ≤ 6 over 64-bit tf-weighted simhash)."""
+    """SimHash near-dup pairs (hamming ≤ 6 over 64-bit tf-weighted simhash).
+    Hash-checked: the md5-prefix token hash makes the whole signature + banded
+    candidate + hamming-verify pipeline mirrorable in pure SQL (SQL_SIMHASH
+    recomputes the 64-bit simhash per doc from the text and filters all pairs
+    by bit_count(xor) — the banding is a recall-lossless optimization, so the
+    outputs coincide)."""
     from ir_base_ray.stages.dedup import simhash_dataset, simhash_near_pairs
 
     sim = simhash_dataset(_read(sf_dir, "documents", ["doc_id", "text"]))
-    return simhash_near_pairs(sim, max_hamming=6)
+    out = simhash_near_pairs(sim, max_hamming=6).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, t AS tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2),
+th AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY 1, 2
+"""
 
 
 def ann_cosine_topk(sf_dir: str):
@@ -1040,10 +1151,49 @@ LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
 
 
 def doc_fingerprints(sf_dir: str):
-    """Rolling-hash fingerprints (rows-only: polynomial mod-arith)."""
+    """Rolling-hash fingerprints. Hash-checked: the polynomial mod-(2^61-1)
+    arithmetic is mirrored in SQL (sql_fingerprints(): full fingerprint via a
+    recursive-CTE Horner fold over the characters, min-window hash via a
+    windowed power-weighted sum — the rolling update is congruent to the
+    direct polynomial, so both forms agree exactly). The text is ASCII at the
+    oracle scale, where codepoint == utf-8 byte."""
     from ir_base_ray.stages.textstats import fingerprints
 
     return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def sql_fingerprints(window: int = 16, base: int = 257) -> str:
+    """DuckDB mirror of stages/textstats.FingerprintActor (same defaults)."""
+    mod = (1 << 61) - 1
+    pows = [pow(base, k, mod) for k in range(window)]
+    ks = ", ".join(f"({k}, {pows[window - 1 - k]}::HUGEINT)" for k in range(window))
+    return f"""
+WITH RECURSIVE roll AS (
+  SELECT doc_id, 0::HUGEINT AS h, 0 AS i, octet_length(encode(text)) AS n, text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (h * {base} + unicode(substr(text, i + 1, 1))) % {mod}::HUGEINT,
+         i + 1, n, text
+  FROM roll WHERE i < n),
+fp AS (SELECT doc_id, h AS fingerprint FROM roll WHERE i = n),
+ks(k, pw) AS (VALUES {ks}),
+wins AS (
+  SELECT doc_id, text, unnest(range(octet_length(encode(text)) - {window - 1})) AS j
+  FROM documents WHERE octet_length(encode(text)) >= {window}),
+wh AS (
+  SELECT doc_id, j,
+         (sum(unicode(substr(text, j + k + 1, 1))::HUGEINT * pw) % {mod}::HUGEINT) AS rh
+  FROM wins JOIN ks ON true GROUP BY doc_id, j),
+mw AS (SELECT doc_id, min(rh) AS min_window_hash FROM wh GROUP BY doc_id),
+short AS (
+  SELECT f.doc_id, f.fingerprint AS min_window_hash
+  FROM fp f JOIN documents d USING (doc_id)
+  WHERE octet_length(encode(d.text)) < {window})
+SELECT f.doc_id, f.fingerprint::UBIGINT AS fingerprint,
+       coalesce(m.min_window_hash, s.min_window_hash)::UBIGINT AS min_window_hash
+FROM fp f LEFT JOIN mw m USING (doc_id) LEFT JOIN short s USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def media_feature_extract(sf_dir: str):

@@ -81,8 +81,11 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def _shingle_hashes(shingles: set[str]) -> np.ndarray:
+    """First 8 bytes (big-endian) of md5 per shingle. md5 — not blake2b — so
+    the DuckDB SQL oracle can mirror the hash bit-exactly:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
     return np.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") for s in shingles],
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in shingles],
         dtype=np.uint64,
     )
 
@@ -375,7 +378,7 @@ def ngram_jaccard_pairs(ds, *, shingle_n: int = 3, threshold: float = 0.5,
 # -------------------------------------------------------------------- simhash
 
 class SimHashActor:
-    """64-bit simhash over blake2b token hashes, tf-weighted."""
+    """64-bit simhash over md5-prefix token hashes, tf-weighted."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
@@ -383,9 +386,11 @@ class SimHashActor:
         self._cache: dict[str, int] = {}
 
     def _token_hash(self, tok: str) -> int:
+        # md5 prefix — not blake2b — so the DuckDB oracle can mirror it
+        # (('0x' || substr(md5(tok),1,16))::UBIGINT); see SQL_SIMHASH.
         h = self._cache.get(tok)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             if len(self._cache) < 1_000_000:
                 self._cache[tok] = h
         return h

@@ -268,8 +268,8 @@ def test_simhash_near_pairs(ray_session):
             {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(60))}]
     sim = simhash_dataset(ray.data.from_items(rows), concurrency=1)
     # one-token edits on short uniform-weight docs still flip ~25% of the
-    # near-zero accumulator bits (deterministic here: d(0,1)=16, d(0,2)=30),
-    # so the near-dup budget is 20 bits
+    # near-zero accumulator bits (deterministic here with the md5 token hash:
+    # d(0,1)=10, d(0,2)=36, d(1,2)=32), so the near-dup budget is 20 bits
     pairs = simhash_near_pairs(sim, max_hamming=20).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (0, 1) in got
