@@ -1486,6 +1486,27 @@ def lr_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def prlr_classify(sf_dir: str):
+    """R6: Posterior-Regularized LR
+    (``Classifier/supervised/PRLogisticRegression.java`` +
+    ``posteriorRegularization/logisticRegression/PairwisePR.java``) — EM with
+    a per-doc projected-gradient dual E-step (distributed, one task per
+    pinned block) and the PR-scaled-posterior L-BFGS M-step. Rows-only check
+    (iterative training is not SQL-expressible); correctness pinned by
+    tests/test_prlr.py (reference-table parity, dual-optimum pin,
+    serial-parity, determinism, accuracy)."""
+    from ir_base_ray.pipelines.linear import predict_linear
+    from ir_base_ray.pipelines.prlr import train_pr_logistic_regression
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    beta, _f, _rounds = train_pr_logistic_regression(
+        ds, n_classes=len(classes), n_features=len(vocab), lam=1.0,
+        max_iter=60, em_rounds=4)
+    pred = predict_linear(beta, ds).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
 def svm_classify(sf_dir: str):
     """R6: linear SVM one-vs-rest (primal L2-regularized squared hinge — the
     reference wraps liblinear, ``SVM.java:104-121``), same distributed
