@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": ops.sentence_stats,            # M11 (rows-only)
         # R6 supervised classifiers (distributed L-BFGS partials; rows-only)
         "lr_classify": ops.lr_classify,
+        "nbem_classify": ops.nbem_classify,
         "prlr_classify": ops.prlr_classify,
         "svm_classify": ops.svm_classify,
         "lda_topics": ops.lda_topics,                    # R7 LDA Gibbs (rows-only)

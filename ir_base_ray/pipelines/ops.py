@@ -1486,6 +1486,33 @@ def lr_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def nbem_classify(sf_dir: str):
+    """R6 semi-supervised: NaiveBayes-EM
+    (``Classifier/semisupervised/NaiveBayesEM.java``) — labels kept on every
+    4th doc (deterministic mask), the rest train as unlabeled soft counts
+    through the fused distributed E+M rounds. Rows-only; pinned by
+    tests/test_nbem.py (serial-parity, monotone likelihood, accuracy)."""
+    from ir_base_ray.pipelines.nbem import (predict_naive_bayes_em,
+                                            train_naive_bayes_em)
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+
+    def mask(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        lab = batch.column("label").to_numpy()
+        return batch.set_column(
+            batch.schema.get_field_index("label"), "label",
+            pa.array(np.where(ids % 4 == 0, lab, -1), pa.int64()))
+
+    semi = ds.map_batches(mask, batch_format="pyarrow")
+    lpy, lpxy, _lik, _it = train_naive_bayes_em(
+        semi, n_classes=len(classes), n_features=len(vocab), max_iter=30)
+    pred = (predict_naive_bayes_em(lpy, lpxy, semi)
+            .to_pandas().sort_values("doc_id"))
+    pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
 def prlr_classify(sf_dir: str):
     """R6: Posterior-Regularized LR
     (``Classifier/supervised/PRLogisticRegression.java`` +
