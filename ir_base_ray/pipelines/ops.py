@@ -1445,6 +1445,47 @@ def htmm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic"])
 
 
+def htsm_topics(sf_dir: str):
+    """R7 tail: HTSM (``topicmodels/markovmodel/HTSM.java`` — 3K-state
+    sentiment-topic restricted HMM, Rahman & Wang WWW'16) on the M11
+    sentence-split vectors; sentences unannotated (the general
+    stnSentiLabel=-1 path). Returns per-doc MAP sentence (topic, sentiment)
+    paths plus learned ε and σ. Rows-only; semantics pinned by
+    tests/test_htsm.py brute-force FB parity."""
+    from ir_base_ray.pipelines.htsm import train_htsm
+    from ir_base_ray.stages.sentences import analyze_with_sentences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sent = analyze_with_sentences(docs, stn_threshold=1).to_pandas()
+    sent = sent.sort_values("doc_id").reset_index(drop=True).head(200)
+    vocab = sorted({t for terms in sent["stn_terms"] for s in terms for t in s})
+    tindex = {t: i for i, t in enumerate(vocab)}
+    doc_vecs, doc_ids = [], []
+    for _, r in sent.iterrows():
+        sents = []
+        for terms, tfs in zip(r["stn_terms"], r["stn_tfs"]):
+            jj = np.array([tindex[t] for t in terms], dtype=np.int64)
+            vv = np.asarray(list(tfs), dtype=np.float64)
+            sents.append((jj, vv))
+        if sents:
+            doc_vecs.append(sents)
+            doc_ids.append(int(r["doc_id"]))
+    out = train_htsm(doc_vecs, n_topics=4, vocab_size=len(vocab),
+                     n_iters=10, seed=37, n_blocks=4)
+    n_blocks = out["block_split"]
+    by_doc: dict[int, tuple] = {}
+    for b in range(n_blocks):
+        for d, (p, s) in enumerate(zip(out["paths"][b], out["senti_paths"][b])):
+            by_doc[b + d * n_blocks] = (p, s)
+    rows = []
+    for i, did in enumerate(doc_ids):
+        p, s = by_doc[i]
+        for t in range(len(p)):
+            rows.append({"doc_id": did, "stn": t, "topic": int(p[t]),
+                         "sentiment": int(s[t])})
+    return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
+
+
 def dcmlda_topics(sf_dir: str):
     """R7 tail: DCM-LDA (``topicmodels/DCM/DCMLDA.java`` — per-doc
     word-topic multinomials under shared per-topic Dirichlet priors learned
