@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lda_var_topics": ops.lda_var_topics,            # R7 LDA variational (rows-only)
         "htmm_topics": ops.htmm_topics,                  # R7 HTMM (rows-only)
         "htsm_topics": ops.htsm_topics,                  # R7 HTSM (rows-only)
+        "acctm_topics": ops.acctm_topics,                # R7 ACCTM (rows-only)
         "dcmlda_topics": ops.dcmlda_topics,              # R7 DCM-LDA (rows-only)
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
         "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank

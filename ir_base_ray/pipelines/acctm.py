@@ -1,0 +1,301 @@
+"""ACCTM — Article-Comment Correspondence Topic Model (the correspondence
+family's trainable mainline, ``topicmodels/correspondenceModels/ACCTM.java``
+extending ``corrLDA_Gibbs.java`` / ``LDAGibbs4AC.java``; run by
+``mains/TopicModelMain.java``). Collapsed Gibbs over parent (article) docs
+and their child (comment) docs sharing one K×V count table.
+
+Transcribed semantics (``ACCTM.java``):
+
+- init (:40-67): word_topic_sstat = β, m_sstat = β·V; random topic per token
+  (doc sstats are RAW counts, the α prior enters in the samplers); every
+  child's μ = cosine(parent tf vector, child tf vector) (``computeMu4Doc``
+  :69-73, mirroring ``Utils.cosine``).
+- parent token resample (:83-125): p_k ∝ (wts[k][w]/m[k]) · (α + npar[k]) ·
+  parentChildInfluenceProb(k), where for k>0 the influence is
+  Π_children gammaFuncRatio(nchild_c[k], μ_c/Σnpar, α + npar[k]·μ_c/Σnpar)
+                / gammaFuncRatio(nchild_c[0], μ_c/Σnpar, α + npar[0]·μ_c/Σnpar)
+  with gammaFuncRatio(nc, m, A) = Π_{n=1..nc} (1 + m/(A+n−1))  (:127-152).
+- child token resample (:154-208): p_k ∝ (wts[k][w]/m[k]) ·
+  (α + μ·npar[k]/Σnpar + nchild[k]) / (Kα + μ + Σnchild).
+- the draw walks the prob cache subtracting until ≤ 0 → first k with
+  cum[k] ≥ u (searchsorted left).
+- sample accumulation after burn-in every ``lag`` iterations
+  (``LDA_Gibbs:171`` protocol): parent m_topics += sstat + α
+  (``corrLDA_Gibbs.collectParentStats``), child m_topics += sstat + α +
+  μ·npar[k]/Σnpar (``ACCTM.collectChildStats`` :210-218); corpus
+  topic_term += word_topic_sstat; all L1-normalized at the end.
+
+Determinism policy as ``pipelines/lda.py``: the reference's unseeded
+``Random`` and per-E-step ``d.permutation()`` are a per-block seeded Philox
+stream and fixed token order.
+
+Distributed execution: a UNIT is one parent plus all its children —
+units never split across blocks (the parent/child sstats are sampled
+together), so only the K×V table is shared; blocks are pinned once and each
+iteration is one remote epoch per block against a local copy of the global
+counts, AD-LDA delta-merged in fixed block order (Newman et al., JMLR 2009).
+1-block == serial bit-exact (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+
+def cosine_mu(p_tids, p_vals, c_tids, c_vals) -> float:
+    """``Utils.cosine`` over sparse tf vectors (0 when either norm is 0)."""
+    pi = {int(t): float(v) for t, v in zip(p_tids, p_vals)}
+    dot = sum(pi.get(int(t), 0.0) * float(v) for t, v in zip(c_tids, c_vals))
+    np_ = np.sqrt(sum(v * v for v in pi.values()))
+    nc = np.sqrt(sum(float(v) ** 2 for v in c_vals))
+    if np_ == 0 or nc == 0:
+        return 0.0
+    return dot / (np_ * nc)
+
+
+def _expand(tids, vals):
+    """tf-expand a sparse vector into Gibbs tokens."""
+    j = np.asarray(tids, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.int64)
+    return np.repeat(j, v)
+
+
+def _gamma_func_ratio(nc: int, mu_dp: float, alpha_mu_np: float) -> float:
+    if nc == 0:
+        return 1.0
+    n = np.arange(1, nc + 1, dtype=np.float64)
+    return float(np.prod(1.0 + mu_dp / (alpha_mu_np + n - 1.0)))
+
+
+def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng):
+    """One Gibbs sweep over a unit (parent tokens then each child's tokens,
+    reference E-step order). Mutates unit_state/wts/m_sstat in place."""
+    (p_words, p_z, p_sstat, children) = unit_state
+    k_alpha = alpha * K
+    # ---- parent (ACCTM.sampleInParentDoc)
+    for i in range(p_words.size):
+        wid = p_words[i]
+        t = p_z[i]
+        p_sstat[t] -= 1.0
+        wts[t, wid] -= 1.0
+        m_sstat[t] -= 1.0
+        topic_sum = p_sstat.sum()
+        p_word = wts[:, wid] / m_sstat
+        p_doc = alpha + p_sstat
+        infl = np.ones(K)
+        for (_cw, _cz, c_sstat, mu) in children:
+            mu_dp = mu / topic_sum
+            denom = _gamma_func_ratio(int(c_sstat[0]), mu_dp,
+                                      alpha + p_sstat[0] * mu_dp)
+            for k in range(1, K):
+                infl[k] *= _gamma_func_ratio(
+                    int(c_sstat[k]), mu_dp,
+                    alpha + p_sstat[k] * mu_dp) / denom
+        cache = p_word * p_doc * infl
+        cum = np.cumsum(cache)
+        u = cum[-1] * rng.random()
+        t = int(np.searchsorted(cum, u, side="left"))
+        if t >= K:
+            t = K - 1
+        p_z[i] = t
+        p_sstat[t] += 1.0
+        wts[t, wid] += 1.0
+        m_sstat[t] += 1.0
+    # ---- children (ACCTM.sampleInChildDoc)
+    p_sum = p_sstat.sum()
+    for (c_words, c_z, c_sstat, mu) in children:
+        for i in range(c_words.size):
+            wid = c_words[i]
+            t = c_z[i]
+            c_sstat[t] -= 1.0
+            wts[t, wid] -= 1.0
+            m_sstat[t] -= 1.0
+            c_sum = c_sstat.sum()
+            cache = (wts[:, wid] / m_sstat) \
+                * (alpha + mu * p_sstat / p_sum + c_sstat) \
+                / (k_alpha + mu + c_sum)
+            cum = np.cumsum(cache)
+            u = cum[-1] * rng.random()
+            t = int(np.searchsorted(cum, u, side="left"))
+            if t >= K:
+                t = K - 1
+            c_z[i] = t
+            c_sstat[t] += 1.0
+            wts[t, wid] += 1.0
+            m_sstat[t] += 1.0
+
+
+def _init_unit(parent_vec, child_vecs, K, rng):
+    """setTopics4Gibbs(·, 0): random topics, raw-count sstats; μ per child."""
+    p_tids, p_vals = parent_vec
+    p_words = _expand(p_tids, p_vals)
+    p_z = rng.integers(0, K, size=p_words.size)
+    p_sstat = np.zeros(K, dtype=np.float64)
+    np.add.at(p_sstat, p_z, 1.0)
+    children = []
+    for (c_tids, c_vals) in child_vecs:
+        c_words = _expand(c_tids, c_vals)
+        c_z = rng.integers(0, K, size=c_words.size)
+        c_sstat = np.zeros(K, dtype=np.float64)
+        np.add.at(c_sstat, c_z, 1.0)
+        mu = cosine_mu(p_tids, p_vals, c_tids, c_vals)
+        children.append([c_words, c_z, c_sstat, mu])
+    return [p_words, p_z, p_sstat, children]
+
+
+@ray.remote
+def _acctm_block_epoch(units, state, global_wts, global_m, K, V, alpha,
+                       seed, it, collect):
+    """One AD-LDA epoch over a block of units. state carries (unit_states,
+    parent_acc, child_acc)."""
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[it, 0, 0, 0]))
+    wts = global_wts.copy()
+    m_sstat = global_m.copy()
+    if state is None:
+        unit_states = []
+        for (pv, cvs) in units:
+            us = _init_unit(pv, cvs, K, rng)
+            np.add.at(wts, (us[1], us[0]), 1.0)
+            np.add.at(m_sstat, us[1], 1.0)
+            for (cw, cz, _cs, _mu) in us[3]:
+                np.add.at(wts, (cz, cw), 1.0)
+                np.add.at(m_sstat, cz, 1.0)
+            unit_states.append(us)
+        p_acc = [np.zeros(K) for _ in units]
+        c_acc = [[np.zeros(K) for _ in u[3]] for u in unit_states]
+        return (unit_states, p_acc, c_acc), wts, m_sstat
+    unit_states, p_acc, c_acc = state
+    unit_states = [[u[0], u[1].copy(), u[2].copy(),
+                    [[c[0], c[1].copy(), c[2].copy(), c[3]] for c in u[3]]]
+                   for u in unit_states]
+    p_acc = [a.copy() for a in p_acc]
+    c_acc = [[a.copy() for a in ua] for ua in c_acc]
+    for ui, us in enumerate(unit_states):
+        _sample_unit(us, wts, m_sstat, K, alpha, rng)
+        if collect:
+            p_sstat = us[2]
+            p_acc[ui] += p_sstat + alpha      # corrLDA collectParentStats
+            p_sum = p_sstat.sum()
+            for ci, (_cw, _cz, c_sstat, mu) in enumerate(us[3]):
+                c_acc[ui][ci] += c_sstat + alpha + mu * p_sstat / p_sum
+    return (unit_states, p_acc, c_acc), wts, m_sstat
+
+
+def train_acctm(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
+                alpha: float = 1.01, beta: float = 1.001,
+                burn_in: float = 0.4, lag: int = 2, seed: int = 19,
+                n_blocks: int = 4):
+    """units: list of (parent_vec, [child_vec, ...]) with vec = (tids, vals).
+    → dict with L1-normalized topic_term (K×V), per-unit parent_topics and
+    child_topics, μ values. α/β follow the reference mains (alpha−1 quirk:
+    TopicModelMain passes ``alpha-1`` to the Gibbs correspondence models)."""
+    K, V = n_topics, vocab_size
+    n_blocks = max(1, min(n_blocks, len(units)))
+    splits = [units[i::n_blocks] for i in range(n_blocks)]
+    refs = [ray.put(s) for s in splits]
+    n_burn = int(burn_in * n_iters)
+
+    wts = np.full((K, V), beta, dtype=np.float64)
+    m_sstat = np.full(K, beta * V, dtype=np.float64)
+    states = [None] * n_blocks
+
+    outs = ray.get([
+        _acctm_block_epoch.remote(r, None, wts, m_sstat, K, V, alpha,
+                                  seed + i, 0, False)
+        for i, r in enumerate(refs)
+    ])
+    new_wts, new_m = wts.copy(), m_sstat.copy()
+    for i, (st, lw, lm) in enumerate(outs):
+        states[i] = st
+        new_wts += lw - wts
+        new_m += lm - m_sstat
+    wts, m_sstat = new_wts, new_m
+
+    topic_term_acc = np.zeros((K, V))
+    for it in range(1, n_iters + 1):
+        collect = it > n_burn and it % lag == 0
+        outs = ray.get([
+            _acctm_block_epoch.remote(r, states[i], wts, m_sstat, K, V,
+                                      alpha, seed + i, it, collect)
+            for i, r in enumerate(refs)
+        ])
+        new_wts, new_m = wts.copy(), m_sstat.copy()
+        for i, (st, lw, lm) in enumerate(outs):
+            states[i] = st
+            new_wts += lw - wts          # AD-LDA merge, fixed block order
+            new_m += lm - m_sstat
+        wts, m_sstat = new_wts, new_m
+        if collect:
+            topic_term_acc += wts
+
+    def l1(a):
+        s = a.sum()
+        return a / s if s > 0 else a
+
+    parent_topics = [None] * len(units)
+    child_topics = [None] * len(units)
+    mus = [None] * len(units)
+    for b in range(n_blocks):
+        unit_states, p_acc, c_acc = states[b]
+        for d in range(len(p_acc)):
+            gi = b + d * n_blocks
+            parent_topics[gi] = l1(p_acc[d])
+            child_topics[gi] = [l1(a) for a in c_acc[d]]
+            mus[gi] = [c[3] for c in unit_states[d][3]]
+    norm = topic_term_acc.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return {"topic_term": topic_term_acc / norm,
+            "parent_topics": parent_topics, "child_topics": child_topics,
+            "mus": mus, "block_split": n_blocks}
+
+
+def acctm_serial(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
+                 alpha: float = 1.01, beta: float = 1.001,
+                 burn_in: float = 0.4, lag: int = 2, seed: int = 19):
+    """Serial transcription (single Philox stream, same sweep order as a
+    1-block distributed run) — the parity oracle."""
+    K, V = n_topics, vocab_size
+    n_burn = int(burn_in * n_iters)
+    wts = np.full((K, V), beta, dtype=np.float64)
+    m_sstat = np.full(K, beta * V, dtype=np.float64)
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    unit_states = []
+    for (pv, cvs) in units:
+        us = _init_unit(pv, cvs, K, rng)
+        np.add.at(wts, (us[1], us[0]), 1.0)
+        np.add.at(m_sstat, us[1], 1.0)
+        for (cw, cz, _cs, _mu) in us[3]:
+            np.add.at(wts, (cz, cw), 1.0)
+            np.add.at(m_sstat, cz, 1.0)
+        unit_states.append(us)
+    p_acc = [np.zeros(K) for _ in units]
+    c_acc = [[np.zeros(K) for _ in u[3]] for u in unit_states]
+    topic_term_acc = np.zeros((K, V))
+    for it in range(1, n_iters + 1):
+        rng = np.random.Generator(np.random.Philox(key=seed,
+                                                   counter=[it, 0, 0, 0]))
+        collect = it > n_burn and it % lag == 0
+        for ui, us in enumerate(unit_states):
+            _sample_unit(us, wts, m_sstat, K, alpha, rng)
+            if collect:
+                p_sstat = us[2]
+                p_acc[ui] += p_sstat + alpha
+                p_sum = p_sstat.sum()
+                for ci, (_cw, _cz, c_sstat, mu) in enumerate(us[3]):
+                    c_acc[ui][ci] += c_sstat + alpha + mu * p_sstat / p_sum
+        if collect:
+            topic_term_acc += wts
+
+    def l1(a):
+        s = a.sum()
+        return a / s if s > 0 else a
+
+    norm = topic_term_acc.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return {"topic_term": topic_term_acc / norm,
+            "parent_topics": [l1(a) for a in p_acc],
+            "child_topics": [[l1(a) for a in ua] for ua in c_acc]}

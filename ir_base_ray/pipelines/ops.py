@@ -1486,6 +1486,48 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+def acctm_topics(sf_dir: str):
+    """R7 correspondence tail: ACCTM
+    (``topicmodels/correspondenceModels/ACCTM.java``) — articles and their
+    comments sharing one topic space with a cosine-μ correspondence prior.
+    Units are derived deterministically from the driver tables: docs grouped
+    by ``source``; the lowest doc_id in each source is the parent, the next
+    up-to-4 are its children. Rows-only (Gibbs training is not
+    SQL-expressible); pinned by tests/test_acctm.py (1-block == serial
+    bit-exact, gamma-ratio identity, recovery)."""
+    from ir_base_ray.pipelines.acctm import train_acctm
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="source")
+    pdf = ds.to_pandas().sort_values("doc_id")
+    units, unit_ids = [], []
+    for src, grp in sorted(pdf.groupby("label"), key=lambda kv: kv[0]):
+        grp = grp.sort_values("doc_id")
+        rows = list(grp.itertuples())
+        if len(rows) < 2:
+            continue
+        parent = rows[0]
+        kids = rows[1:5]
+        p_vec = (np.asarray(parent.tids, dtype=np.int64),
+                 np.asarray(parent.vals, dtype=np.float64))
+        c_vecs = [(np.asarray(r.tids, dtype=np.int64),
+                   np.asarray(r.vals, dtype=np.float64)) for r in kids]
+        units.append((p_vec, c_vecs))
+        unit_ids.append((int(parent.doc_id), [int(r.doc_id) for r in kids]))
+    out = train_acctm(units, n_topics=4, vocab_size=len(vocab),
+                      n_iters=15, seed=19, n_blocks=4)
+    rows = []
+    for (pid, cids), pt, cts in zip(unit_ids, out["parent_topics"],
+                                    out["child_topics"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt))})
+        for cid, ct in zip(cids, cts):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct))})
+    return (pd.DataFrame(rows,
+                         columns=["doc_id", "role", "parent_id", "top_topic"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def dcmlda_topics(sf_dir: str):
     """R7 tail: DCM-LDA (``topicmodels/DCM/DCMLDA.java`` — per-doc
     word-topic multinomials under shared per-topic Dirichlet priors learned
