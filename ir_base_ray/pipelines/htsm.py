@@ -89,15 +89,19 @@ def _mask_first_emission(em: np.ndarray, label: int, K: int):
 
 def doc_forward_backward_htsm(emission: np.ndarray, theta_log: np.ndarray,
                               epsilon: float, sigma: float,
-                              senti_labels: np.ndarray | None = None):
+                              senti_labels: np.ndarray | None = None,
+                              trans_stack: np.ndarray | None = None):
     """One doc's 3K-state restricted FB → (p (T,3K) real-space posteriors,
-    loglik). ``senti_labels``: per-sentence labels, −1 = unannotated."""
+    loglik). ``senti_labels``: per-sentence labels, −1 = unannotated.
+    ``trans_stack``: optional per-step matrices (T−1, 3K, 3K) — the LR-HTSM
+    path, where ε/σ vary by sentence; step t uses trans_stack[t−1]."""
     T, K = emission.shape
     S3 = 3 * K
     tk, _sk, _ak = state_maps(K)
     lab = (np.full(T, -1, dtype=np.int64) if senti_labels is None
            else np.asarray(senti_labels, dtype=np.int64))
-    M = transition_matrix(theta_log, epsilon, sigma, K)
+    if trans_stack is None:
+        M = transition_matrix(theta_log, epsilon, sigma, K)
     alpha = np.full((T, S3), -np.inf)
     norms = np.empty(T)
     a0 = emission[0] + theta_log                       # block 0 only
@@ -107,6 +111,8 @@ def doc_forward_backward_htsm(emission: np.ndarray, theta_log: np.ndarray,
     loglik = n0
     em_state = emission[:, tk]                          # (T, 3K) topic-mapped
     for t in range(1, T):
+        if trans_stack is not None:
+            M = trans_stack[t - 1]
         trans = alpha[t - 1][:, None] + M               # (3K, 3K)
         mx = trans.max(axis=0)
         with np.errstate(invalid="ignore"):
@@ -124,6 +130,8 @@ def doc_forward_backward_htsm(emission: np.ndarray, theta_log: np.ndarray,
         loglik += n
     beta = np.zeros((T, S3))
     for t in range(T - 2, -1, -1):
+        if trans_stack is not None:
+            M = trans_stack[t]          # reference indexes matrix at t+1
         # rows of M for the three blocks sharing a topic are identical, so
         # beta is computed per topic on the block-0 rows and broadcast
         B = M[:K] + (em_state[t + 1] + beta[t + 1])[None, :]   # (K, 3K)
@@ -142,7 +150,8 @@ def doc_forward_backward_htsm(emission: np.ndarray, theta_log: np.ndarray,
 
 def viterbi_path_htsm(emission: np.ndarray, theta_log: np.ndarray,
                       epsilon: float, sigma: float,
-                      senti_labels: np.ndarray | None = None) -> np.ndarray:
+                      senti_labels: np.ndarray | None = None,
+                      trans_stack: np.ndarray | None = None) -> np.ndarray:
     """MAP state path with the reference's exact quirk: the predecessor is
     chosen by α[t−1] alone among the target block's admissible sources
     (``FindBestInLevel(t, i)`` :311-357), THEN the normalised transition
@@ -150,13 +159,16 @@ def viterbi_path_htsm(emission: np.ndarray, theta_log: np.ndarray,
     T, K = emission.shape
     S3 = 3 * K
     tk, sk, ak = state_maps(K)
-    M = transition_matrix(theta_log, epsilon, sigma, K)
+    M = (transition_matrix(theta_log, epsilon, sigma, K)
+         if trans_stack is None else trans_stack[0])
     admissible = np.isfinite(M)                         # (src, dst) mask
     alpha = np.full((T, S3), -np.inf)
     back = np.zeros((T, S3), dtype=np.int64)
     alpha[0, :K] = emission[0] + theta_log
     em_state = emission[:, tk]
     for t in range(1, T):
+        if trans_stack is not None:
+            M = trans_stack[t - 1]
         for i in range(S3):
             srcs = np.where(admissible[:, i])[0]
             prev = srcs[int(np.argmax(alpha[t - 1][srcs]))]

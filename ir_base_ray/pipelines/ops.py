@@ -1486,6 +1486,80 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+def lrhtmm_topics(sf_dir: str):
+    """R7 tail: LR-HTMM (``topicmodels/markovmodel/LRHTMM.java``) — HTMM
+    with per-transition logistic ε over the 4 sentence-transition features,
+    ω fitted by distributed cross-entropy L-BFGS each M-step. Rows-only;
+    pinned by tests/test_lrhtmm.py (constant-ε parity with HTMM, feature
+    hand-checks, supervised ω recovery)."""
+    from ir_base_ray.pipelines.lrhtmm import train_lrhtmm
+
+    doc_vecs, doc_ids, _tokens, _vocab_n = _sentence_doc_vecs(sf_dir)
+    out = train_lrhtmm(doc_vecs, n_topics=4, vocab_size=_vocab_n,
+                       n_iters=10, seed=37, n_blocks=4)
+    n_blocks = out["block_split"]
+    by_doc: dict[int, np.ndarray] = {}
+    for b, blk in enumerate(out["paths"]):
+        for d, p in enumerate(blk):
+            by_doc[b + d * n_blocks] = p
+    rows = []
+    for i, did in enumerate(doc_ids):
+        for t, topic in enumerate(by_doc[i]):
+            rows.append({"doc_id": did, "stn": t, "topic": int(topic)})
+    return pd.DataFrame(rows, columns=["doc_id", "stn", "topic"])
+
+
+def lrhtsm_topics(sf_dir: str):
+    """R7 tail: LR-HTSM (``topicmodels/markovmodel/LRHTSM.java``) — HTSM
+    with per-transition logistic ε (topic) and σ (sentiment) over the 4+6
+    transition features (built-in lexicon/tagger substitutions). Rows-only;
+    pinned by tests/test_lrhtsm.py."""
+    from ir_base_ray.pipelines.lrhtsm import train_lrhtsm
+
+    doc_vecs, doc_ids, tokens, vocab_n = _sentence_doc_vecs(sf_dir)
+    out = train_lrhtsm(doc_vecs, tokens, n_topics=4, vocab_size=vocab_n,
+                       n_iters=10, seed=37, n_blocks=4)
+    n_blocks = out["block_split"]
+    by_doc: dict[int, tuple] = {}
+    for b in range(n_blocks):
+        for d, (p, s) in enumerate(zip(out["paths"][b],
+                                       out["senti_paths"][b])):
+            by_doc[b + d * n_blocks] = (p, s)
+    rows = []
+    for i, did in enumerate(doc_ids):
+        p, s = by_doc[i]
+        for t in range(len(p)):
+            rows.append({"doc_id": did, "stn": t, "topic": int(p[t]),
+                         "sentiment": int(s[t])})
+    return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
+
+
+def _sentence_doc_vecs(sf_dir: str):
+    """Shared prep for the sentence-HMM topic models: M11 sentence split →
+    per-doc [(tids, vals)] sentence vectors + per-sentence analyzed-token
+    lists (the rule-substitution inputs for the LR features)."""
+    from ir_base_ray.stages.sentences import analyze_with_sentences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sent = analyze_with_sentences(docs, stn_threshold=1).to_pandas()
+    sent = sent.sort_values("doc_id").reset_index(drop=True).head(200)
+    vocab = sorted({t for terms in sent["stn_terms"] for s in terms for t in s})
+    tindex = {t: i for i, t in enumerate(vocab)}
+    doc_vecs, doc_ids, doc_tokens = [], [], []
+    for _, r in sent.iterrows():
+        sents, toks = [], []
+        for terms, tfs in zip(r["stn_terms"], r["stn_tfs"]):
+            jj = np.array([tindex[t] for t in terms], dtype=np.int64)
+            vv = np.asarray(list(tfs), dtype=np.float64)
+            sents.append((jj, vv))
+            toks.append(list(terms))
+        if sents:
+            doc_vecs.append(sents)
+            doc_ids.append(int(r["doc_id"]))
+            doc_tokens.append(toks)
+    return doc_vecs, doc_ids, doc_tokens, len(vocab)
+
+
 def acctm_topics(sf_dir: str):
     """R7 correspondence tail: ACCTM
     (``topicmodels/correspondenceModels/ACCTM.java``) — articles and their
