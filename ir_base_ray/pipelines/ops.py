@@ -1486,6 +1486,24 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+def two_topic_mix(sf_dir: str):
+    """R7: twoTopic model (``topicmodels/twoTopic.java``) — per-doc
+    single-topic EM against the add-one-smoothed corpus background LM
+    (λ=0.9 mixture). Embarrassingly parallel: one broadcast background
+    vector, per-doc EM inside map_batches. Rows-only (seeded random θ init
+    is not SQL-mirrorable); pinned by tests/test_twotopic.py hand-checked
+    E/M steps."""
+    from ir_base_ray.pipelines.twotopic import two_topic_stage
+
+    stats = _term_stats_ds(sf_dir).to_pandas().sort_values("term")
+    ttf = stats["ttf"].to_numpy(dtype=np.float64)   # _doc_vectors vocab order
+    ds, vocab = _doc_vectors(sf_dir)
+    out = (two_topic_stage(ds, ttf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    out["top_term"] = [vocab[t] if t >= 0 else "" for t in out["top_tid"]]
+    return out[["doc_id", "loglik", "iters", "top_term"]]
+
+
 def lrhtmm_topics(sf_dir: str):
     """R7 tail: LR-HTMM (``topicmodels/markovmodel/LRHTMM.java``) — HTMM
     with per-transition logistic ε over the 4 sentence-transition features,
