@@ -1486,6 +1486,32 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+def ctm_topics(sf_dir: str):
+    """R7: Correlated Topic Model (``topicmodels/CTM/CTM.java``) —
+    variational EM with a logistic-normal prior; per-doc inference is
+    independent given (μ, Σ⁻¹, logβ) so the E-step is one remote task per
+    pinned doc block. Rows-only (seeded random β init); pinned by
+    tests/test_ctm.py (coordinate-update math, λ-optimum KKT, ELBO
+    improvement, recovery)."""
+    from ir_base_ray.pipelines.ctm import train_ctm
+
+    ds, vocab = _doc_vectors(sf_dir)
+    pdf = ds.to_pandas().sort_values("doc_id").head(300)
+    docs = [(np.asarray(r.tids, dtype=np.int64),
+             np.asarray(r.vals, dtype=np.float64))
+            for r in pdf.itertuples()]
+    doc_ids = [int(r.doc_id) for r in pdf.itertuples()]
+    out = train_ctm(docs, n_topics=4, vocab_size=len(vocab),
+                    em_max_iter=8, var_max_iter=8, seed=41, n_blocks=4)
+    rows = []
+    for did, lam in zip(doc_ids, out["doc_lambdas"]):
+        e = np.exp(lam - lam.max())
+        props = e / e.sum()                   # softmax over the K lambdas
+        rows.append({"doc_id": did, "top_topic": int(np.argmax(props)),
+                     "top_prop": float(props.max())})
+    return pd.DataFrame(rows, columns=["doc_id", "top_topic", "top_prop"])
+
+
 def two_topic_mix(sf_dir: str):
     """R7: twoTopic model (``topicmodels/twoTopic.java``) — per-doc
     single-topic EM against the add-one-smoothed corpus background LM
