@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lrhtsm_topics": ops.lrhtsm_topics,              # R7 LR-HTSM (rows-only)
         "two_topic_mix": ops.two_topic_mix,              # R7 twoTopic (rows-only)
         "ctm_topics": ops.ctm_topics,                    # R7 CTM (rows-only)
+        "tuir_profiles": ops.tuir_profiles,              # R7 TUIR (rows-only)
         "dcmlda_topics": ops.dcmlda_topics,              # R7 DCM-LDA (rows-only)
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
         "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank

@@ -1486,6 +1486,42 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+def tuir_profiles(sf_dir: str):
+    """R7: TUIR/ETBIR (``topicmodels/embeddingModel/TUIR.java``) — the
+    tripartite user/item/review variational model. Reviews derived
+    deterministically from the driver tables: item = ``source``, user =
+    ``u{doc_id % 8}``. Returns per-item topic profiles (L1-normalised η)
+    and per-user projection diagonals. Rows-only; pinned by
+    tests/test_tuir.py (closed-form user update, recovery, block-count
+    invariance)."""
+    from ir_base_ray.pipelines.tuir import train_tuir
+
+    ds, vocab, _classes = _doc_vectors(sf_dir, label_col="source")
+    pdf = ds.to_pandas().sort_values("doc_id").head(240)
+    src = _read(sf_dir, "documents", ["doc_id", "source"]).to_pandas()
+    src_by_id = dict(zip(src["doc_id"], src["source"]))
+    reviews = []
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        reviews.append((np.asarray(r.tids, dtype=np.int64),
+                        np.asarray(r.vals, dtype=np.float64),
+                        f"u{did % 8}", str(src_by_id[did])))
+    out = train_tuir(reviews, n_topics=4, vocab_size=len(vocab),
+                     em_max_iter=4, var_max_iter=5, n_blocks=4)
+    rows = []
+    for iid, eta in zip(out["item_ids"], out["item_etas"]):
+        p = eta / eta.sum()
+        rows.append({"entity": f"item:{iid}", "top_topic": int(np.argmax(p)),
+                     "top_weight": float(p.max())})
+    for uid, nuP in zip(out["user_ids"], out["user_nuP"]):
+        d = np.diag(nuP)
+        rows.append({"entity": f"user:{uid}",
+                     "top_topic": int(np.argmax(d)),
+                     "top_weight": float(d.max())})
+    return (pd.DataFrame(rows, columns=["entity", "top_topic", "top_weight"])
+            .sort_values("entity").reset_index(drop=True))
+
+
 def ctm_topics(sf_dir: str):
     """R7: Correlated Topic Model (``topicmodels/CTM/CTM.java``) —
     variational EM with a logistic-normal prior; per-doc inference is
