@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dcmlda_topics": ops.dcmlda_topics,              # R7 DCM-LDA (rows-only)
         "l2r_rank_training": ops.l2r_rank_training,      # R2+R3/R4 (rows-only)
         "pagerank_weights": ops.pagerank_item_weights,   # J8 per-item PageRank
+        "lm_rank_children": ops.lm_rank_children,        # correspondence LM baseline
         "semi_supervised_walk": ops.semi_supervised_walk,  # R6 SEMI (rows-only)
         "pos_adjadv_vector": ops.pos_adjadv_vector,      # M12 (rule tagger)
         "senti_scores": ops.senti_doc_scores,            # M13 (lexicon)
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ops.SQL_TEXT_QUALITY,
         "token_counts": ops.SQL_TOKEN_COUNTS,
         "pagerank_weights": ops.SQL_PAGERANK,
+        "lm_rank_children": ops.SQL_LM_RANK_CHILDREN,
         "dedup_ngram_jaccard": ops.SQL_NGRAM_JACCARD,
         "lang_id": ops.SQL_LANG_ID,
         "pos_adjadv_vector": ops.SQL_POS_ADJADV,

@@ -1486,6 +1486,81 @@ def htsm_topics(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "stn", "topic", "sentiment"])
 
 
+SQL_LM_RANK_CHILDREN = _TOKENS_CTE + r""",
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY doc_id),
+ref AS (SELECT term, count(*)::DOUBLE / (SELECT count(*) FROM toks) AS p
+        FROM toks GROUP BY term),
+par AS (SELECT source, min(doc_id) AS parent_id FROM documents GROUP BY source),
+kids AS (SELECT d.source, par.parent_id, d.doc_id AS child_id
+         FROM documents d JOIN par USING (source)
+         WHERE d.doc_id <> par.parent_id)
+
+SELECT kids.parent_id, kids.child_id,
+       round(sum(ptf.tf * ln(
+           (1.0 - 1000.0 / (1000.0 + dl.len)) * coalesce(ctf.tf, 0.0) / dl.len
+           + (1000.0 / (1000.0 + dl.len)) * ref.p)), 4) AS lm_score
+FROM kids
+JOIN tf ptf ON ptf.doc_id = kids.parent_id
+JOIN ref ON ref.term = ptf.term
+JOIN dl ON dl.doc_id = kids.child_id
+LEFT JOIN tf ctf ON ctf.doc_id = kids.child_id AND ctf.term = ptf.term
+GROUP BY kids.parent_id, kids.child_id
+"""
+
+
+def lm_rank_children(sf_dir: str):
+    """Correspondence LM baseline
+    (``topicmodels/languageModelBaseLine.java:166-200``
+    ``rankChild4StnByLanguageModel``): score each child comment against its
+    parent's term vector with Jelinek-Mercer-style smoothing
+    α = μ/(μ+|c|), μ=1000:  Σ_w ptf_w · ln((1−α)·ctf_w/|c| + α·p_ref(w)),
+    p_ref = corpus MLE (``generateReferenceModel`` :41-66). Parent/child
+    derived as in ``acctm_topics``: per ``source``, the lowest doc_id is the
+    parent, the rest are children. Deterministic and iteration-free →
+    hash-checked SQL oracle (rounded 4 on both sides). Distributed as
+    groupby(source).map_groups with the reference-model vector broadcast."""
+    stats = _term_stats_ds(sf_dir).to_pandas().sort_values("term")
+    ttf = stats["ttf"].to_numpy(dtype=np.float64)
+    ref = ttf / ttf.sum()                      # vocab order == _doc_vectors
+    ref_ref = ray.put(ref)
+    ds, _vocab, _classes = _doc_vectors(sf_dir, label_col="source")
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref_ref)
+        g = g.sort_values("doc_id")
+        rows = list(g.itertuples())
+        if len(rows) < 2:
+            return pd.DataFrame(columns=["parent_id", "child_id", "lm_score"])
+        parent = rows[0]
+        p_tids = np.asarray(parent.tids, dtype=np.int64)
+        p_tfs = np.asarray(parent.vals, dtype=np.float64)
+        out = []
+        for child in rows[1:]:
+            c_tids = np.asarray(child.tids, dtype=np.int64)
+            c_tfs = np.asarray(child.vals, dtype=np.float64)
+            len_c = float(c_tfs.sum())
+            alpha = 1000.0 / (1000.0 + len_c)
+            ctf = np.zeros_like(p_tfs)
+            pos = {int(t): k for k, t in enumerate(c_tids)}
+            for k, t in enumerate(p_tids):
+                j = pos.get(int(t))
+                if j is not None:
+                    ctf[k] = c_tfs[j]
+            sc = float((p_tfs * np.log(
+                (1.0 - alpha) * ctf / len_c + alpha * p[p_tids])).sum())
+            out.append({"parent_id": int(parent.doc_id),
+                        "child_id": int(child.doc_id),
+                        "lm_score": round(sc, 4)})
+        return pd.DataFrame(out, columns=["parent_id", "child_id",
+                                          "lm_score"])
+
+    res = (ds.groupby("label").map_groups(score_group, batch_format="pandas")
+           .to_pandas())
+    return (res.sort_values(["parent_id", "child_id"])
+            .reset_index(drop=True))
+
+
 def tuir_profiles(sf_dir: str):
     """R7: TUIR/ETBIR (``topicmodels/embeddingModel/TUIR.java``) — the
     tripartite user/item/review variational model. Reviews derived
