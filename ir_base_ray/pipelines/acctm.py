@@ -299,3 +299,245 @@ def acctm_serial(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
     return {"topic_term": topic_term_acc / norm,
             "parent_topics": [l1(a) for a in p_acc],
             "child_topics": [[l1(a) for a in ua] for ua in c_acc]}
+
+
+# ------------------------------------------------------------- ACCTM_C
+
+def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng):
+    """ACCTM_C unit init (``_ChildDoc4BaseWithPhi.createXSpace`` +
+    ``setTopics4Gibbs``): each child token draws x ∈ {0,1}; x=0 tokens get a
+    global topic, x=1 tokens feed the child-local word distribution
+    (smoothed with β·0.001). Child state: [words, z, x, xt0 (K,),
+    local (V,), xs (2,), local_total, mu]."""
+    p_tids, p_vals = parent_vec
+    p_words = _expand(p_tids, p_vals)
+    p_z = rng.integers(0, K, size=p_words.size)
+    p_sstat = np.zeros(K, dtype=np.float64)
+    np.add.at(p_sstat, p_z, 1.0)
+    children = []
+    for (c_tids, c_vals) in child_vecs:
+        c_words = _expand(c_tids, c_vals)
+        c_x = rng.integers(0, 2, size=c_words.size)
+        c_z = np.empty(c_words.size, dtype=np.int64)
+        xt0 = np.zeros(K, dtype=np.float64)
+        local = np.full(V, beta_local, dtype=np.float64)
+        xs = np.zeros(2, dtype=np.float64)
+        local_total = beta_local * V
+        for i in range(c_words.size):
+            if c_x[i] == 0:
+                c_z[i] = rng.integers(0, K)
+                xt0[c_z[i]] += 1.0
+                xs[0] += 1.0
+            else:
+                c_z[i] = K
+                local[c_words[i]] += 1.0
+                xs[1] += 1.0
+                local_total += 1.0
+        mu = cosine_mu(p_tids, p_vals, c_tids, c_vals)
+        children.append([c_words, c_z, c_x, xt0, local, xs, local_total, mu])
+    return [p_words, p_z, p_sstat, children]
+
+
+def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng):
+    """One ACCTM_C Gibbs sweep (``ACCTM_C.java:78-171``). Parent influence
+    uses the child's x=0 topic counts with μ/|parent tokens| (the reference
+    switches from Σsstat to ``getDocInferLength`` here); child tokens choose
+    among K global topics (×(γ₀+xs₀)) or the local distribution (×(γ₁+xs₁))."""
+    (p_words, p_z, p_sstat, children) = unit_state
+    k_alpha = alpha * K
+    n_parent_tokens = float(p_words.size)
+    # ---- parent
+    for i in range(p_words.size):
+        wid = p_words[i]
+        t = p_z[i]
+        p_sstat[t] -= 1.0
+        wts[t, wid] -= 1.0
+        m_sstat[t] -= 1.0
+        p_word = wts[:, wid] / m_sstat
+        p_doc = alpha + p_sstat
+        infl = np.ones(K)
+        for ch in children:
+            xt0, mu = ch[3], ch[7]
+            mu_dp = mu / n_parent_tokens
+            denom = _gamma_func_ratio(int(xt0[0]), mu_dp,
+                                      alpha + p_sstat[0] * mu_dp)
+            for k in range(1, K):
+                infl[k] *= _gamma_func_ratio(
+                    int(xt0[k]), mu_dp, alpha + p_sstat[k] * mu_dp) / denom
+        cache = p_word * p_doc * infl
+        cum = np.cumsum(cache)
+        u = cum[-1] * rng.random()
+        t = int(np.searchsorted(cum, u, side="left"))
+        if t >= K:
+            t = K - 1
+        p_z[i] = t
+        p_sstat[t] += 1.0
+        wts[t, wid] += 1.0
+        m_sstat[t] += 1.0
+    # ---- children
+    p_sum = p_sstat.sum()
+    for ch in children:
+        c_words, c_z, c_x, xt0, local, xs, local_total, mu = ch
+        for i in range(c_words.size):
+            wid = c_words[i]
+            t = c_z[i]
+            x = c_x[i]
+            if x == 0:
+                xt0[t] -= 1.0
+                xs[0] -= 1.0
+                wts[t, wid] -= 1.0
+                m_sstat[t] -= 1.0
+            else:
+                local[wid] -= 1.0
+                xs[1] -= 1.0
+                local_total -= 1.0
+            pl0 = gamma[0] + xs[0]
+            pl1 = gamma[1] + xs[1]
+            cache = np.empty(K + 1)
+            cache[:K] = (wts[:, wid] / m_sstat) \
+                * (alpha + mu * p_sstat / p_sum + xt0) \
+                / (k_alpha + mu + xs[0]) * pl0
+            cache[K] = local[wid] / local_total * pl1
+            cum = np.cumsum(cache)
+            u = cum[-1] * rng.random()
+            t = int(np.searchsorted(cum, u, side="left"))
+            if t >= K + 1:
+                t = K
+            if t < K:
+                c_x[i] = 0
+                c_z[i] = t
+                xt0[t] += 1.0
+                xs[0] += 1.0
+                wts[t, wid] += 1.0
+                m_sstat[t] += 1.0
+            else:
+                c_x[i] = 1
+                c_z[i] = K
+                local[wid] += 1.0
+                xs[1] += 1.0
+                local_total += 1.0
+        ch[6] = local_total
+
+
+@ray.remote
+def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
+                         gamma, beta_local, seed, it, collect):
+    """One AD-LDA epoch over a block of ACCTM_C units."""
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[it, 0, 0, 0]))
+    wts = global_wts.copy()
+    m_sstat = global_m.copy()
+    if state is None:
+        unit_states = []
+        for (pv, cvs) in units:
+            us = _init_unit_c(pv, cvs, K, V, beta_local, rng)
+            np.add.at(wts, (us[1], us[0]), 1.0)
+            np.add.at(m_sstat, us[1], 1.0)
+            for ch in us[3]:
+                g0 = ch[2] == 0          # only x=0 tokens enter the corpus
+                np.add.at(wts, (ch[1][g0], ch[0][g0]), 1.0)
+                np.add.at(m_sstat, ch[1][g0], 1.0)
+            unit_states.append(us)
+        p_acc = [np.zeros(K) for _ in units]
+        c_acc = [[(np.zeros(K), np.zeros(2), np.zeros(V)) for _ in u[3]]
+                 for u in unit_states]
+        return (unit_states, p_acc, c_acc), wts, m_sstat
+    unit_states, p_acc, c_acc = state
+    unit_states = [[u[0], u[1].copy(), u[2].copy(),
+                    [[c[0], c[1].copy(), c[2].copy(), c[3].copy(),
+                      c[4].copy(), c[5].copy(), c[6], c[7]] for c in u[3]]]
+                   for u in unit_states]
+    p_acc = [a.copy() for a in p_acc]
+    c_acc = [[(t.copy(), x.copy(), lw.copy()) for (t, x, lw) in ua]
+             for ua in c_acc]
+    for ui, us in enumerate(unit_states):
+        _sample_unit_c(us, wts, m_sstat, K, alpha, gamma, rng)
+        if collect:
+            p_sstat = us[2]
+            p_acc[ui] += p_sstat + alpha
+            p_sum = p_sstat.sum()
+            for ci, ch in enumerate(us[3]):
+                t_acc, x_acc, lw_acc = c_acc[ui][ci]
+                # collectChildStats (ACCTM_C.java:192-211)
+                t_acc += ch[3] + alpha + ch[7] * p_sstat / p_sum
+                x_acc += np.asarray(gamma) + ch[5]
+                lw_acc += ch[4]
+    return (unit_states, p_acc, c_acc), wts, m_sstat
+
+
+def train_acctm_c(units, *, n_topics: int, vocab_size: int,
+                  n_iters: int = 30, alpha: float = 1.01,
+                  beta: float = 1.001, gamma=(0.5, 0.5),
+                  burn_in: float = 0.4, lag: int = 2, seed: int = 19,
+                  n_blocks: int = 4):
+    """ACCTM_C (``ACCTM_C.java``): ACCTM plus a per-child x-switch — child
+    tokens either take a global topic (x=0, the ACCTM child distribution ×
+    (γ₀+n₀)) or draw from a child-local word distribution (x=1, smoothed by
+    β·0.001 — ``createXSpace:20``). Same AD-LDA shape as :func:`train_acctm`
+    (units never split; only the K×V table merges). Returns additionally the
+    per-child x-proportions and local word distributions."""
+    K, V = n_topics, vocab_size
+    gamma = tuple(gamma)
+    beta_local = beta * 0.001
+    n_blocks = max(1, min(n_blocks, len(units)))
+    splits = [units[i::n_blocks] for i in range(n_blocks)]
+    refs = [ray.put(s) for s in splits]
+    n_burn = int(burn_in * n_iters)
+
+    wts = np.full((K, V), beta, dtype=np.float64)
+    m_sstat = np.full(K, beta * V, dtype=np.float64)
+    states = [None] * n_blocks
+
+    outs = ray.get([
+        _acctm_c_block_epoch.remote(r, None, wts, m_sstat, K, V, alpha,
+                                    gamma, beta_local, seed + i, 0, False)
+        for i, r in enumerate(refs)
+    ])
+    new_wts, new_m = wts.copy(), m_sstat.copy()
+    for i, (st, lw, lm) in enumerate(outs):
+        states[i] = st
+        new_wts += lw - wts
+        new_m += lm - m_sstat
+    wts, m_sstat = new_wts, new_m
+
+    topic_term_acc = np.zeros((K, V))
+    for it in range(1, n_iters + 1):
+        collect = it > n_burn and it % lag == 0
+        outs = ray.get([
+            _acctm_c_block_epoch.remote(r, states[i], wts, m_sstat, K, V,
+                                        alpha, gamma, beta_local, seed + i,
+                                        it, collect)
+            for i, r in enumerate(refs)
+        ])
+        new_wts, new_m = wts.copy(), m_sstat.copy()
+        for i, (st, lw, lm) in enumerate(outs):
+            states[i] = st
+            new_wts += lw - wts
+            new_m += lm - m_sstat
+        wts, m_sstat = new_wts, new_m
+        if collect:
+            topic_term_acc += wts
+
+    def l1(a):
+        s = a.sum()
+        return a / s if s > 0 else a
+
+    n_units = len(units)
+    parent_topics = [None] * n_units
+    child_topics = [None] * n_units
+    child_xprop = [None] * n_units
+    child_local = [None] * n_units
+    for b in range(n_blocks):
+        unit_states, p_acc, c_acc = states[b]
+        for d in range(len(p_acc)):
+            gi = b + d * n_blocks
+            parent_topics[gi] = l1(p_acc[d])
+            child_topics[gi] = [l1(t) for (t, _x, _lw) in c_acc[d]]
+            child_xprop[gi] = [l1(x) for (_t, x, _lw) in c_acc[d]]
+            child_local[gi] = [l1(lw) for (_t, _x, lw) in c_acc[d]]
+    norm = topic_term_acc.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return {"topic_term": topic_term_acc / norm,
+            "parent_topics": parent_topics, "child_topics": child_topics,
+            "child_xprop": child_xprop, "child_local": child_local,
+            "block_split": n_blocks}

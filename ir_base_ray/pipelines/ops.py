@@ -1757,6 +1757,54 @@ def acctm_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def acctm_c_topics(sf_dir: str):
+    """R7 correspondence tail: ACCTM_C
+    (``topicmodels/correspondenceModels/ACCTM_C.java``) — ACCTM plus the
+    per-child-token x-switch routing child-specific vocabulary into a
+    child-local word distribution (β·0.001 smoothing). Same unit derivation
+    as ``acctm_topics``. Rows-only; pinned by tests/test_acctm.py
+    (determinism + local-vocabulary absorption)."""
+    from ir_base_ray.pipelines.acctm import train_acctm_c
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_acctm_c(units, n_topics=4, vocab_size=vocab_n,
+                        n_iters=15, seed=19, n_blocks=4)
+    rows = []
+    for (pid, cids), pt, cts, xps in zip(unit_ids, out["parent_topics"],
+                                         out["child_topics"],
+                                         out["child_xprop"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt)), "x_local": 0.0})
+        for cid, ct, xp in zip(cids, cts, xps):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct)),
+                         "x_local": round(float(xp[1]), 6)})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic", "x_local"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _acctm_units(sf_dir: str):
+    """Shared unit derivation for the correspondence models: docs grouped by
+    ``source``, lowest doc_id = parent, next up-to-4 = children."""
+    ds, vocab, _classes = _doc_vectors(sf_dir, label_col="source")
+    pdf = ds.to_pandas().sort_values("doc_id")
+    units, unit_ids = [], []
+    for _src, grp in sorted(pdf.groupby("label"), key=lambda kv: kv[0]):
+        rows = list(grp.sort_values("doc_id").itertuples())
+        if len(rows) < 2:
+            continue
+        parent = rows[0]
+        kids = rows[1:5]
+        units.append(((np.asarray(parent.tids, dtype=np.int64),
+                       np.asarray(parent.vals, dtype=np.float64)),
+                      [(np.asarray(r.tids, dtype=np.int64),
+                        np.asarray(r.vals, dtype=np.float64))
+                       for r in kids]))
+        unit_ids.append((int(parent.doc_id), [int(r.doc_id) for r in kids]))
+    return units, unit_ids, len(vocab)
+
+
 def dcmlda_topics(sf_dir: str):
     """R7 tail: DCM-LDA (``topicmodels/DCM/DCMLDA.java`` — per-doc
     word-topic multinomials under shared per-topic Dirichlet priors learned

@@ -90,3 +90,65 @@ def test_topic_recovery_and_correspondence(ray_session):
     assert agree >= 0.85 * total, (agree, total)
     # mu was computed from overlapping vocab: strictly positive
     assert all(m > 0 for ms in out["mus"] for m in ms)
+
+
+# ---------------------------------------------------------------- ACCTM_C
+
+from ir_base_ray.pipelines.acctm import train_acctm_c
+
+
+def _units_with_local(seed=4, n_units=10, V=16):
+    """Parents on vocab halves 0-5/6-11; children echo the parent's half
+    PLUS child-only slang words 12-15 that no parent ever uses — the x=1
+    local distribution should absorb those."""
+    rng = np.random.default_rng(seed)
+    units = []
+    for u in range(n_units):
+        h = u % 2
+        base = h * 6
+        p_tids = np.arange(base, base + 6)
+        p_vals = rng.integers(2, 6, 6).astype(float)
+        children = []
+        for _ in range(2):
+            c_tids = np.concatenate([np.arange(base, base + 4),
+                                     np.arange(12, 16)])
+            c_vals = np.concatenate([rng.integers(1, 4, 4),
+                                     rng.integers(2, 5, 4)]).astype(float)
+            children.append((c_tids, c_vals))
+        units.append(((p_tids, p_vals), children))
+    return units, V
+
+
+def test_acctm_c_deterministic(ray_session):
+    units, V = _units_with_local(n_units=6)
+    a = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=8,
+                      seed=19, n_blocks=3)
+    b = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=8,
+                      seed=19, n_blocks=3)
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+    for xa, xb in zip(a["child_xprop"], b["child_xprop"]):
+        for p, q in zip(xa, xb):
+            assert np.array_equal(p, q)
+
+
+def test_acctm_c_local_words_absorbed(ray_session):
+    units, V = _units_with_local()
+    out = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=40,
+                        seed=19, n_blocks=3)
+    # per-child local (x=1) distributions concentrate on the slang words,
+    # and more sharply than any global topic does — the x-switch routes
+    # child-specific vocabulary to the local component (how much of the
+    # slang MASS goes local depends on the gamma prior and rich-get-richer
+    # x counts; on this fixture most tokens stay global, which is
+    # legitimate Gibbs behaviour, so we assert the conditional shape, not
+    # the split)
+    phi = out["topic_term"]
+    loc = np.mean([lw[12:].sum() for lws in out["child_local"]
+                   for lw in lws])
+    assert loc > 0.6, loc
+    assert loc > phi[:, 12:].sum(axis=1).max()
+    # x proportions: normalized, both switches alive
+    for xs in out["child_xprop"]:
+        for x in xs:
+            assert abs(x.sum() - 1.0) < 1e-9
+            assert 0.01 < x[1] < 0.99
