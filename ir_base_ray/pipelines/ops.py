@@ -1726,23 +1726,8 @@ def acctm_topics(sf_dir: str):
     bit-exact, gamma-ratio identity, recovery)."""
     from ir_base_ray.pipelines.acctm import train_acctm
 
-    ds, vocab, classes = _doc_vectors(sf_dir, label_col="source")
-    pdf = ds.to_pandas().sort_values("doc_id")
-    units, unit_ids = [], []
-    for src, grp in sorted(pdf.groupby("label"), key=lambda kv: kv[0]):
-        grp = grp.sort_values("doc_id")
-        rows = list(grp.itertuples())
-        if len(rows) < 2:
-            continue
-        parent = rows[0]
-        kids = rows[1:5]
-        p_vec = (np.asarray(parent.tids, dtype=np.int64),
-                 np.asarray(parent.vals, dtype=np.float64))
-        c_vecs = [(np.asarray(r.tids, dtype=np.int64),
-                   np.asarray(r.vals, dtype=np.float64)) for r in kids]
-        units.append((p_vec, c_vecs))
-        unit_ids.append((int(parent.doc_id), [int(r.doc_id) for r in kids]))
-    out = train_acctm(units, n_topics=4, vocab_size=len(vocab),
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_acctm(units, n_topics=4, vocab_size=vocab_n,
                       n_iters=15, seed=19, n_blocks=4)
     rows = []
     for (pid, cids), pt, cts in zip(unit_ids, out["parent_topics"],
