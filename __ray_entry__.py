@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "htsm_topics": ops.htsm_topics,                  # R7 HTSM (rows-only)
         "acctm_topics": ops.acctm_topics,                # R7 ACCTM (rows-only)
         "acctm_c_topics": ops.acctm_c_topics,            # R7 ACCTM_C (rows-only)
+        "acctm_cz_topics": ops.acctm_cz_topics,          # R7 ACCTM_CZ (rows-only)
         "lrhtmm_topics": ops.lrhtmm_topics,              # R7 LR-HTMM (rows-only)
         "lrhtsm_topics": ops.lrhtsm_topics,              # R7 LR-HTSM (rows-only)
         "two_topic_mix": ops.two_topic_mix,              # R7 twoTopic (rows-only)

@@ -338,14 +338,28 @@ def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng):
     return [p_words, p_z, p_sstat, children]
 
 
-def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng):
+def _influence_ratio_cz(njc: int, njp: float, n1c: int, n1p: float) -> float:
+    """``ACCTM_CZ.influenceRatio`` (= ``corrLDA_Gibbs.influenceRatio`` with
+    s = 1e-20): Π (n1p+s)/(n1p+1+s) over n1c · Π (njp+1+s)/(njp+s) over njc."""
+    s = 1e-20
+    r = ((n1p + s) / (n1p + 1.0 + s)) ** n1c
+    r *= ((njp + 1.0 + s) / (njp + s)) ** njc
+    return r
+
+
+def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
+                   variant: str = "c"):
     """One ACCTM_C Gibbs sweep (``ACCTM_C.java:78-171``). Parent influence
     uses the child's x=0 topic counts with μ/|parent tokens| (the reference
     switches from Σsstat to ``getDocInferLength`` here); child tokens choose
-    among K global topics (×(γ₀+xs₀)) or the local distribution (×(γ₁+xs₁))."""
+    among K global topics (×(γ₀+xs₀)) or the local distribution (×(γ₁+xs₁)).
+    ``variant='cz'`` (``ACCTM_CZ.java``): the parent influence becomes the
+    corrLDA ratio (no μ), and the child x=0 topic prob is the pure parent
+    proportion (npar[t]+s)/(Σnpar+sK), s = 1e-20."""
     (p_words, p_z, p_sstat, children) = unit_state
     k_alpha = alpha * K
     n_parent_tokens = float(p_words.size)
+    s20 = 1e-20
     # ---- parent
     for i in range(p_words.size):
         wid = p_words[i]
@@ -358,12 +372,18 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng):
         infl = np.ones(K)
         for ch in children:
             xt0, mu = ch[3], ch[7]
-            mu_dp = mu / n_parent_tokens
-            denom = _gamma_func_ratio(int(xt0[0]), mu_dp,
-                                      alpha + p_sstat[0] * mu_dp)
-            for k in range(1, K):
-                infl[k] *= _gamma_func_ratio(
-                    int(xt0[k]), mu_dp, alpha + p_sstat[k] * mu_dp) / denom
+            if variant == "cz":
+                for k in range(1, K):
+                    infl[k] *= _influence_ratio_cz(
+                        int(xt0[k]), p_sstat[k], int(xt0[0]), p_sstat[0])
+            else:
+                mu_dp = mu / n_parent_tokens
+                denom = _gamma_func_ratio(int(xt0[0]), mu_dp,
+                                          alpha + p_sstat[0] * mu_dp)
+                for k in range(1, K):
+                    infl[k] *= _gamma_func_ratio(
+                        int(xt0[k]), mu_dp,
+                        alpha + p_sstat[k] * mu_dp) / denom
         cache = p_word * p_doc * infl
         cum = np.cumsum(cache)
         u = cum[-1] * rng.random()
@@ -394,9 +414,13 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng):
             pl0 = gamma[0] + xs[0]
             pl1 = gamma[1] + xs[1]
             cache = np.empty(K + 1)
-            cache[:K] = (wts[:, wid] / m_sstat) \
-                * (alpha + mu * p_sstat / p_sum + xt0) \
-                / (k_alpha + mu + xs[0]) * pl0
+            if variant == "cz":
+                cache[:K] = (wts[:, wid] / m_sstat) \
+                    * (p_sstat + s20) / (p_sum + s20 * K) * pl0
+            else:
+                cache[:K] = (wts[:, wid] / m_sstat) \
+                    * (alpha + mu * p_sstat / p_sum + xt0) \
+                    / (k_alpha + mu + xs[0]) * pl0
             cache[K] = local[wid] / local_total * pl1
             cum = np.cumsum(cache)
             u = cum[-1] * rng.random()
@@ -421,8 +445,9 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng):
 
 @ray.remote
 def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
-                         gamma, beta_local, seed, it, collect):
-    """One AD-LDA epoch over a block of ACCTM_C units."""
+                         gamma, beta_local, seed, it, collect,
+                         variant: str = "c"):
+    """One AD-LDA epoch over a block of ACCTM_C / ACCTM_CZ units."""
     rng = np.random.Generator(np.random.Philox(key=seed,
                                                counter=[it, 0, 0, 0]))
     wts = global_wts.copy()
@@ -451,15 +476,19 @@ def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
     c_acc = [[(t.copy(), x.copy(), lw.copy()) for (t, x, lw) in ua]
              for ua in c_acc]
     for ui, us in enumerate(unit_states):
-        _sample_unit_c(us, wts, m_sstat, K, alpha, gamma, rng)
+        _sample_unit_c(us, wts, m_sstat, K, alpha, gamma, rng, variant)
         if collect:
             p_sstat = us[2]
             p_acc[ui] += p_sstat + alpha
             p_sum = p_sstat.sum()
             for ci, ch in enumerate(us[3]):
                 t_acc, x_acc, lw_acc = c_acc[ui][ci]
-                # collectChildStats (ACCTM_C.java:192-211)
-                t_acc += ch[3] + alpha + ch[7] * p_sstat / p_sum
+                if variant == "cz":
+                    # ACCTM_CZ.collectChildStats: raw x=0 counts, no prior
+                    t_acc += ch[3]
+                else:
+                    # collectChildStats (ACCTM_C.java:192-211)
+                    t_acc += ch[3] + alpha + ch[7] * p_sstat / p_sum
                 x_acc += np.asarray(gamma) + ch[5]
                 lw_acc += ch[4]
     return (unit_states, p_acc, c_acc), wts, m_sstat
@@ -469,13 +498,18 @@ def train_acctm_c(units, *, n_topics: int, vocab_size: int,
                   n_iters: int = 30, alpha: float = 1.01,
                   beta: float = 1.001, gamma=(0.5, 0.5),
                   burn_in: float = 0.4, lag: int = 2, seed: int = 19,
-                  n_blocks: int = 4):
+                  n_blocks: int = 4, variant: str = "c"):
     """ACCTM_C (``ACCTM_C.java``): ACCTM plus a per-child x-switch — child
     tokens either take a global topic (x=0, the ACCTM child distribution ×
     (γ₀+n₀)) or draw from a child-local word distribution (x=1, smoothed by
     β·0.001 — ``createXSpace:20``). Same AD-LDA shape as :func:`train_acctm`
     (units never split; only the K×V table merges). Returns additionally the
-    per-child x-proportions and local word distributions."""
+    per-child x-proportions and local word distributions.
+
+    ``variant='cz'`` = ACCTM_CZ (``ACCTM_CZ.java``): the parent influence
+    becomes the corrLDA s=1e-20 ratio over x=0 counts, the child x=0 topic
+    prob the pure parent proportion, and child stat collection drops the
+    α/μ prior add."""
     K, V = n_topics, vocab_size
     gamma = tuple(gamma)
     beta_local = beta * 0.001
@@ -490,7 +524,8 @@ def train_acctm_c(units, *, n_topics: int, vocab_size: int,
 
     outs = ray.get([
         _acctm_c_block_epoch.remote(r, None, wts, m_sstat, K, V, alpha,
-                                    gamma, beta_local, seed + i, 0, False)
+                                    gamma, beta_local, seed + i, 0, False,
+                                    variant)
         for i, r in enumerate(refs)
     ])
     new_wts, new_m = wts.copy(), m_sstat.copy()
@@ -506,7 +541,7 @@ def train_acctm_c(units, *, n_topics: int, vocab_size: int,
         outs = ray.get([
             _acctm_c_block_epoch.remote(r, states[i], wts, m_sstat, K, V,
                                         alpha, gamma, beta_local, seed + i,
-                                        it, collect)
+                                        it, collect, variant)
             for i, r in enumerate(refs)
         ])
         new_wts, new_m = wts.copy(), m_sstat.copy()

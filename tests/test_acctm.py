@@ -152,3 +152,24 @@ def test_acctm_c_local_words_absorbed(ray_session):
         for x in xs:
             assert abs(x.sum() - 1.0) < 1e-9
             assert 0.01 < x[1] < 0.99
+
+
+def test_acctm_cz_variant(ray_session):
+    units, V = _units_with_local(n_units=8)
+    a = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="cz")
+    b = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="cz")
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+    # CZ genuinely differs from C at equal seed (different child/influence
+    # distributions)
+    c = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="c")
+    assert not np.array_equal(a["topic_term"], c["topic_term"])
+    # local distribution still absorbs child-only vocabulary
+    loc = np.mean([lw[12:].sum() for lws in a["child_local"] for lw in lws])
+    assert loc > 0.5, loc
+    # CZ child stats are raw x=0 counts (no alpha add): normalized anyway
+    for ts in a["child_topics"]:
+        for t in ts:
+            assert abs(t.sum() - 1.0) < 1e-9 or t.sum() == 0.0
