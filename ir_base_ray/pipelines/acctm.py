@@ -303,12 +303,15 @@ def acctm_serial(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
 
 # ------------------------------------------------------------- ACCTM_C
 
-def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng):
+def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng,
+                 variant: str = "c"):
     """ACCTM_C unit init (``_ChildDoc4BaseWithPhi.createXSpace`` +
     ``setTopics4Gibbs``): each child token draws x ∈ {0,1}; x=0 tokens get a
     global topic, x=1 tokens feed the child-local word distribution
     (smoothed with β·0.001). Child state: [words, z, x, xt0 (K,),
-    local (V,), xs (2,), local_total, mu]."""
+    local (V,), xs (2,), local_total, mu].
+    ``variant='chard'`` (``_ChildDoc4BaseWithPhi_Hard.setTopics4Gibbs``):
+    child tokens whose word appears in the parent are FORCED x=0."""
     p_tids, p_vals = parent_vec
     p_words = _expand(p_tids, p_vals)
     p_z = rng.integers(0, K, size=p_words.size)
@@ -317,7 +320,13 @@ def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng):
     children = []
     for (c_tids, c_vals) in child_vecs:
         c_words = _expand(c_tids, c_vals)
-        c_x = rng.integers(0, 2, size=c_words.size)
+        if variant == "chard":
+            in_par = np.isin(c_words, np.asarray(p_tids, dtype=np.int64))
+            c_x = np.empty(c_words.size, dtype=np.int64)
+            for i in range(c_words.size):   # conditional draw order per ref
+                c_x[i] = 0 if in_par[i] else rng.integers(0, 2)
+        else:
+            c_x = rng.integers(0, 2, size=c_words.size)
         c_z = np.empty(c_words.size, dtype=np.int64)
         xt0 = np.zeros(K, dtype=np.float64)
         local = np.full(V, beta_local, dtype=np.float64)
@@ -398,6 +407,7 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
     p_sum = p_sstat.sum()
     for ch in children:
         c_words, c_z, c_x, xt0, local, xs, local_total, mu = ch
+        in_par = (np.isin(c_words, p_words) if variant == "chard" else None)
         for i in range(c_words.size):
             wid = c_words[i]
             t = c_z[i]
@@ -411,6 +421,24 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                 local[wid] -= 1.0
                 xs[1] -= 1.0
                 local_total -= 1.0
+            if variant == "chard" and in_par[i]:
+                # hard differentiate: parent-shared word stays global, no
+                # x-switch factors (ACCTM_CHard.sampleInChildDoc:102-137)
+                cache = (wts[:, wid] / m_sstat) \
+                    * (alpha + mu * p_sstat / p_sum + xt0) \
+                    / (k_alpha + mu + xs[0])
+                cum = np.cumsum(cache)
+                u = cum[-1] * rng.random()
+                t = int(np.searchsorted(cum, u, side="left"))
+                if t >= K:
+                    t = K - 1
+                c_x[i] = 0
+                c_z[i] = t
+                xt0[t] += 1.0
+                xs[0] += 1.0
+                wts[t, wid] += 1.0
+                m_sstat[t] += 1.0
+                continue
             pl0 = gamma[0] + xs[0]
             pl1 = gamma[1] + xs[1]
             cache = np.empty(K + 1)
@@ -455,7 +483,7 @@ def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
     if state is None:
         unit_states = []
         for (pv, cvs) in units:
-            us = _init_unit_c(pv, cvs, K, V, beta_local, rng)
+            us = _init_unit_c(pv, cvs, K, V, beta_local, rng, variant)
             np.add.at(wts, (us[1], us[0]), 1.0)
             np.add.at(m_sstat, us[1], 1.0)
             for ch in us[3]:

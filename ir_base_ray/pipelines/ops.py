@@ -1794,6 +1794,32 @@ def acctm_cz_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def acctm_chard_topics(sf_dir: str):
+    """R7 correspondence tail: ACCTM_CHard
+    (``topicmodels/correspondenceModels/ACCTM_CHard.java``) — ACCTM_C with
+    the hard x-differentiation: child tokens whose word appears in the
+    parent are forced into the global topics (no x-switch). Rows-only;
+    pinned by tests/test_acctm.py."""
+    from ir_base_ray.pipelines.acctm import train_acctm_c
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_acctm_c(units, n_topics=4, vocab_size=vocab_n,
+                        n_iters=15, seed=19, n_blocks=4, variant="chard")
+    rows = []
+    for (pid, cids), pt, cts, xps in zip(unit_ids, out["parent_topics"],
+                                         out["child_topics"],
+                                         out["child_xprop"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt)), "x_local": 0.0})
+        for cid, ct, xp in zip(cids, cts, xps):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct)),
+                         "x_local": round(float(xp[1]), 6)})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic", "x_local"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _acctm_units(sf_dir: str):
     """Shared unit derivation for the correspondence models: docs grouped by
     ``source``, lowest doc_id = parent, next up-to-4 = children."""

@@ -173,3 +173,21 @@ def test_acctm_cz_variant(ray_session):
     for ts in a["child_topics"]:
         for t in ts:
             assert abs(t.sum() - 1.0) < 1e-9 or t.sum() == 0.0
+
+
+def test_acctm_chard_variant(ray_session):
+    units, V = _units_with_local(n_units=8)
+    a = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="chard")
+    b = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="chard")
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+    # hard constraint: parent-shared child words can never enter the local
+    # distribution — every child's local SAMPLE mass (above the uniform
+    # beta' smoothing floor, slang share 4/16) lives on the slang words;
+    # children whose x=1 collapsed entirely sit exactly at the floor
+    flat = [lw for lws in a["child_local"] for lw in lws]
+    for lw in flat:
+        assert lw[12:].sum() >= 0.25 - 1e-9, lw
+    sharp = sum(1 for lw in flat if lw[12:].sum() > 0.9)
+    assert sharp >= 0.5 * len(flat), (sharp, len(flat))
