@@ -1820,6 +1820,31 @@ def acctm_chard_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def dcmcorrlda_topics(sf_dir: str):
+    """R7 correspondence tail: DCM-CorrLDA
+    (``topicmodels/correspondenceModels/DCMCorrLDA.java``) — per-parent DCM
+    word-topic tables + corrLDA child coupling, Minka fixed points for
+    α/α_c/β from distributed histograms. No shared count table → units
+    embarrassingly parallel. Rows-only; pinned by
+    tests/test_dcmcorrlda.py."""
+    from ir_base_ray.pipelines.dcmcorrlda import train_dcmcorrlda
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_dcmcorrlda(units, n_topics=4, vocab_size=vocab_n,
+                           n_em_iters=6, inner_iters=4, seed=47, n_blocks=4)
+    rows = []
+    for (pid, cids), pt, cts in zip(unit_ids, out["parent_topics"],
+                                    out["child_topics"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt))})
+        for cid, ct in zip(cids, cts):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct))})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _acctm_units(sf_dir: str):
     """Shared unit derivation for the correspondence models: docs grouped by
     ``source``, lowest doc_id = parent, next up-to-4 = children."""
