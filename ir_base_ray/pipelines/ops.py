@@ -1845,6 +1845,33 @@ def dcmcorrlda_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def wcm_profiles(sf_dir: str):
+    """R7 correspondence tail: Weighted Correspondence Model
+    (``topicmodels/correspondenceModels/weightedCorrespondenceModel.java``)
+    — variational thread model with parent-owned Dirichlet word posteriors,
+    log-space L-BFGS γ/π subproblems (reference gradient quirks kept) and
+    the every-5th-iteration β Newton gate. Rows-only; pinned by
+    tests/test_wcm.py."""
+    from ir_base_ray.pipelines.wcm import train_wcm
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_wcm(units, n_topics=4, vocab_size=vocab_n,
+                    n_em_iters=5, var_max_iter=3, n_blocks=4)
+    rows = []
+    for (pid, cids), g, ps in zip(unit_ids, out["parent_gamma"],
+                                  out["child_pi"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(g)),
+                     "top_weight": round(float(g.max()), 6)})
+        for cid, p in zip(cids, ps):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(p)),
+                         "top_weight": round(float(p.max()), 6)})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic", "top_weight"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _acctm_units(sf_dir: str):
     """Shared unit derivation for the correspondence models: docs grouped by
     ``source``, lowest doc_id = parent, next up-to-4 = children."""
