@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctm_chard_topics": ops.acctm_chard_topics,    # R7 ACCTM_CHard (rows-only)
         "dcmcorrlda_topics": ops.dcmcorrlda_topics,      # R7 DCM-CorrLDA (rows-only)
         "wcm_profiles": ops.wcm_profiles,                # R7 WCM (rows-only)
+        "corrlda_topics": ops.corrlda_topics,            # R7 corrLDA (rows-only)
         "lrhtmm_topics": ops.lrhtmm_topics,              # R7 LR-HTMM (rows-only)
         "lrhtsm_topics": ops.lrhtsm_topics,              # R7 LR-HTSM (rows-only)
         "two_topic_mix": ops.two_topic_mix,              # R7 twoTopic (rows-only)

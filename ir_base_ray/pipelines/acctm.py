@@ -69,12 +69,22 @@ def _gamma_func_ratio(nc: int, mu_dp: float, alpha_mu_np: float) -> float:
     return float(np.prod(1.0 + mu_dp / (alpha_mu_np + n - 1.0)))
 
 
-def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng):
+def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
+                 variant: str = "acctm"):
     """One Gibbs sweep over a unit (parent tokens then each child's tokens,
-    reference E-step order). Mutates unit_state/wts/m_sstat in place."""
+    reference E-step order). Mutates unit_state/wts/m_sstat in place.
+    ``variant='corr'`` = the base ``corrLDA_Gibbs.java`` semantics: parent
+    influence is the s=1e-20 ratio (``influenceRatio`` :145-159), the child
+    topic prob the pure parent proportion (``childTopicInDocProb``
+    :234-241), and the draw uses the strict < 0 walk (searchsorted right)
+    vs ACCTM's ≤ 0. The shipped corrLDA's influence list is the never-
+    populated ``m_childDocs4Dynamic``; like the ACCTM fix, the children
+    list is used here."""
     (p_words, p_z, p_sstat, children) = unit_state
     k_alpha = alpha * K
-    # ---- parent (ACCTM.sampleInParentDoc)
+    s20 = 1e-20
+    side = "right" if variant == "corr" else "left"
+    # ---- parent (ACCTM.sampleInParentDoc / corrLDA_Gibbs.sampleInParentDoc)
     for i in range(p_words.size):
         wid = p_words[i]
         t = p_z[i]
@@ -86,24 +96,30 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng):
         p_doc = alpha + p_sstat
         infl = np.ones(K)
         for (_cw, _cz, c_sstat, mu) in children:
-            mu_dp = mu / topic_sum
-            denom = _gamma_func_ratio(int(c_sstat[0]), mu_dp,
-                                      alpha + p_sstat[0] * mu_dp)
-            for k in range(1, K):
-                infl[k] *= _gamma_func_ratio(
-                    int(c_sstat[k]), mu_dp,
-                    alpha + p_sstat[k] * mu_dp) / denom
+            if variant == "corr":
+                for k in range(1, K):
+                    infl[k] *= _influence_ratio_cz(
+                        int(c_sstat[k]), p_sstat[k], int(c_sstat[0]),
+                        p_sstat[0])
+            else:
+                mu_dp = mu / topic_sum
+                denom = _gamma_func_ratio(int(c_sstat[0]), mu_dp,
+                                          alpha + p_sstat[0] * mu_dp)
+                for k in range(1, K):
+                    infl[k] *= _gamma_func_ratio(
+                        int(c_sstat[k]), mu_dp,
+                        alpha + p_sstat[k] * mu_dp) / denom
         cache = p_word * p_doc * infl
         cum = np.cumsum(cache)
         u = cum[-1] * rng.random()
-        t = int(np.searchsorted(cum, u, side="left"))
+        t = int(np.searchsorted(cum, u, side=side))
         if t >= K:
             t = K - 1
         p_z[i] = t
         p_sstat[t] += 1.0
         wts[t, wid] += 1.0
         m_sstat[t] += 1.0
-    # ---- children (ACCTM.sampleInChildDoc)
+    # ---- children (ACCTM.sampleInChildDoc / corrLDA_Gibbs.sampleInChildDoc)
     p_sum = p_sstat.sum()
     for (c_words, c_z, c_sstat, mu) in children:
         for i in range(c_words.size):
@@ -113,12 +129,16 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng):
             wts[t, wid] -= 1.0
             m_sstat[t] -= 1.0
             c_sum = c_sstat.sum()
-            cache = (wts[:, wid] / m_sstat) \
-                * (alpha + mu * p_sstat / p_sum + c_sstat) \
-                / (k_alpha + mu + c_sum)
+            if variant == "corr":
+                cache = (wts[:, wid] / m_sstat) \
+                    * (p_sstat + s20) / (p_sum + s20 * K)
+            else:
+                cache = (wts[:, wid] / m_sstat) \
+                    * (alpha + mu * p_sstat / p_sum + c_sstat) \
+                    / (k_alpha + mu + c_sum)
             cum = np.cumsum(cache)
             u = cum[-1] * rng.random()
-            t = int(np.searchsorted(cum, u, side="left"))
+            t = int(np.searchsorted(cum, u, side=side))
             if t >= K:
                 t = K - 1
             c_z[i] = t
@@ -147,7 +167,7 @@ def _init_unit(parent_vec, child_vecs, K, rng):
 
 @ray.remote
 def _acctm_block_epoch(units, state, global_wts, global_m, K, V, alpha,
-                       seed, it, collect):
+                       seed, it, collect, variant: str = "acctm"):
     """One AD-LDA epoch over a block of units. state carries (unit_states,
     parent_acc, child_acc)."""
     rng = np.random.Generator(np.random.Philox(key=seed,
@@ -174,20 +194,24 @@ def _acctm_block_epoch(units, state, global_wts, global_m, K, V, alpha,
     p_acc = [a.copy() for a in p_acc]
     c_acc = [[a.copy() for a in ua] for ua in c_acc]
     for ui, us in enumerate(unit_states):
-        _sample_unit(us, wts, m_sstat, K, alpha, rng)
+        _sample_unit(us, wts, m_sstat, K, alpha, rng, variant)
         if collect:
             p_sstat = us[2]
             p_acc[ui] += p_sstat + alpha      # corrLDA collectParentStats
             p_sum = p_sstat.sum()
             for ci, (_cw, _cz, c_sstat, mu) in enumerate(us[3]):
-                c_acc[ui][ci] += c_sstat + alpha + mu * p_sstat / p_sum
+                if variant == "corr":
+                    # corrLDA_Gibbs.collectChildStats: raw counts, no prior
+                    c_acc[ui][ci] += c_sstat
+                else:
+                    c_acc[ui][ci] += c_sstat + alpha + mu * p_sstat / p_sum
     return (unit_states, p_acc, c_acc), wts, m_sstat
 
 
 def train_acctm(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
                 alpha: float = 1.01, beta: float = 1.001,
                 burn_in: float = 0.4, lag: int = 2, seed: int = 19,
-                n_blocks: int = 4):
+                n_blocks: int = 4, variant: str = "acctm"):
     """units: list of (parent_vec, [child_vec, ...]) with vec = (tids, vals).
     → dict with L1-normalized topic_term (K×V), per-unit parent_topics and
     child_topics, μ values. α/β follow the reference mains (alpha−1 quirk:
@@ -204,7 +228,7 @@ def train_acctm(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
 
     outs = ray.get([
         _acctm_block_epoch.remote(r, None, wts, m_sstat, K, V, alpha,
-                                  seed + i, 0, False)
+                                  seed + i, 0, False, variant)
         for i, r in enumerate(refs)
     ])
     new_wts, new_m = wts.copy(), m_sstat.copy()
@@ -219,7 +243,8 @@ def train_acctm(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
         collect = it > n_burn and it % lag == 0
         outs = ray.get([
             _acctm_block_epoch.remote(r, states[i], wts, m_sstat, K, V,
-                                      alpha, seed + i, it, collect)
+                                      alpha, seed + i, it, collect,
+                                      variant)
             for i, r in enumerate(refs)
         ])
         new_wts, new_m = wts.copy(), m_sstat.copy()

@@ -1769,6 +1769,30 @@ def acctm_c_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def corrlda_topics(sf_dir: str):
+    """R7 correspondence base: corrLDA
+    (``topicmodels/correspondenceModels/corrLDA_Gibbs.java``) — the pure
+    correspondence model: children draw topics from the parent's
+    proportions (s=1e-20 smoothing), parent influence via the s-ratio.
+    Rows-only; pinned by tests/test_acctm.py::test_corrlda_variant."""
+    from ir_base_ray.pipelines.acctm import train_acctm
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_acctm(units, n_topics=4, vocab_size=vocab_n,
+                      n_iters=15, seed=19, n_blocks=4, variant="corr")
+    rows = []
+    for (pid, cids), pt, cts in zip(unit_ids, out["parent_topics"],
+                                    out["child_topics"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt))})
+        for cid, ct in zip(cids, cts):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct))})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def acctm_cz_topics(sf_dir: str):
     """R7 correspondence tail: ACCTM_CZ
     (``topicmodels/correspondenceModels/ACCTM_CZ.java``) — ACCTM_C with the

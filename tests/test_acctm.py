@@ -191,3 +191,28 @@ def test_acctm_chard_variant(ray_session):
         assert lw[12:].sum() >= 0.25 - 1e-9, lw
     sharp = sum(1 for lw in flat if lw[12:].sum() > 0.9)
     assert sharp >= 0.5 * len(flat), (sharp, len(flat))
+
+
+def test_corrlda_variant(ray_session):
+    units, V = _units(n_units=10)
+    a = train_acctm(units, n_topics=2, vocab_size=V, n_iters=25,
+                    seed=19, n_blocks=3, variant="corr")
+    b = train_acctm(units, n_topics=2, vocab_size=V, n_iters=25,
+                    seed=19, n_blocks=3, variant="corr")
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+    # corrLDA differs from ACCTM at equal seed
+    c = train_acctm(units, n_topics=2, vocab_size=V, n_iters=25,
+                    seed=19, n_blocks=3)
+    assert not np.array_equal(a["topic_term"], c["topic_term"])
+    # topics still separate the vocab halves
+    phi = a["topic_term"]
+    mass_low = phi[:, :6].sum(axis=1)
+    assert mass_low.max() > 0.8 and mass_low.min() < 0.2, mass_low
+    # corrLDA children follow the parent proportions exactly (pure
+    # correspondence): dominant topics agree
+    agree = total = 0
+    for pt, cts in zip(a["parent_topics"], a["child_topics"]):
+        for ct in cts:
+            total += 1
+            agree += int(np.argmax(ct) == np.argmax(pt))
+    assert agree >= 0.85 * total, (agree, total)
