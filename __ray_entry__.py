@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctm_c_topics": ops.acctm_c_topics,            # R7 ACCTM_C (rows-only)
         "acctm_cz_topics": ops.acctm_cz_topics,          # R7 ACCTM_CZ (rows-only)
         "acctm_chard_topics": ops.acctm_chard_topics,    # R7 ACCTM_CHard (rows-only)
+        "acctm_czlr_topics": ops.acctm_czlr_topics,      # R7 ACCTM_CZLR (rows-only)
         "dcmcorrlda_topics": ops.dcmcorrlda_topics,      # R7 DCM-CorrLDA (rows-only)
         "wcm_profiles": ops.wcm_profiles,                # R7 WCM (rows-only)
         "corrlda_topics": ops.corrlda_topics,            # R7 corrLDA (rows-only)

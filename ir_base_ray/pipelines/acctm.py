@@ -328,6 +328,80 @@ def acctm_serial(units, *, n_topics: int, vocab_size: int, n_iters: int = 30,
 
 # ------------------------------------------------------------- ACCTM_C
 
+def _word_x_features(c_tids, c_vals, p_tids, p_vals, c_words):
+    """ACCTM_CZLR per-word x-features (``ACCTM_CZLR.setFeatures4Word``:
+    ``w.setFeatures(sf.getValues())`` — the per-SEGMENT values of the word's
+    sparse feature, ``_SparseFeature.m_values`` filled by the segmented
+    ``Utils.createSpVct(ArrayList<HashMap>)`` :473-505).
+
+    PINNED SUBSTITUTION: in the shipped loader path
+    (``ParentChildAnalyzer.loadChildDoc`` → ``AnalyzeDoc`` →
+    ``createSpVct(HashMap)``) ``m_values`` is never populated (null), the
+    intended ``_ChildDoc4ProbitModel``/``_ChildDoc4LogisticRegression`` doc
+    classes are deleted from the tree, and ``_ParentDoc.initFeatureWeight``
+    is never called — so ACCTM_CZLR as shipped NPEs at the first
+    ``xProb4Word``. We pin the segment definition the model plainly wants
+    (a fixed-dim per-word TF profile separating parent-shared from
+    child-local mass): segment 0 = the child body, segment 1 = the parent
+    article, i.e. f(w) = [tf_child(w), tf_parent(w)] — the learned-soft
+    generalization of ACCTM_CHard's hard in-parent rule.
+
+    Returns an (n_tokens, 2) float64 matrix aligned with ``c_words``."""
+    tf_c = dict(zip(np.asarray(c_tids, dtype=np.int64).tolist(),
+                    np.asarray(c_vals, dtype=np.float64).tolist()))
+    tf_p = dict(zip(np.asarray(p_tids, dtype=np.int64).tolist(),
+                    np.asarray(p_vals, dtype=np.float64).tolist()))
+    F = np.empty((c_words.size, 2), dtype=np.float64)
+    for i, wid in enumerate(c_words.tolist()):
+        F[i, 0] = tf_c.get(wid, 0.0)
+        F[i, 1] = tf_p.get(wid, 0.0)
+    return F
+
+
+def _fit_x_lr(children):
+    """ACCTM_CZLR M-step per-parent liblinear fit
+    (``ACCTM_CZLR.updateFeatureWeight`` :158-214): gather every child word's
+    (features, x) in child order, train L2R_LR (C=1) from w=0, copy the
+    decision coefficients into the parent's feature weights.
+
+    Transcribed quirks:
+    - liblinear orders labels by FIRST OCCURRENCE (``Linear.groupClasses``
+      :112-160; the −1/+1 swap does not fire for {0,1}), so the positive
+      class of the trained w is the x value of the FIRST child word — while
+      ``xProb4Word`` :298-309 always reads w as the x=1 direction. When the
+      first word has x=0 the logistic factors are inverted; transcribed
+      as-is (y=+1 ⟺ x == x_first).
+    - ``problem.bias`` is left at the Java field default 0.0 but no bias
+      feature node is ever appended, and ``getNrFeature`` subtracts the
+      phantom bias column back out of n = featureLen+1 — net effect: a
+      plain no-intercept logistic on the featureLen coefficients.
+    - liblinear's eps=0.01 TRON stop is replaced by an exact dim-2 Newton
+      solve (gradient → 0); pytest pins the optimality condition.
+
+    Objective: min_w ½‖w‖² + Σ_i log(1+exp(−y_i·w·f_i)).  Returns (2,) w."""
+    Xs, ys = [], []
+    for ch in children:
+        if ch[0].size:
+            Xs.append(ch[8])
+            ys.append(ch[2])
+    if not Xs:
+        return np.zeros(2)
+    X = np.concatenate(Xs, axis=0)
+    x_lab = np.concatenate(ys)
+    y = np.where(x_lab == x_lab[0], 1.0, -1.0)
+    w = np.zeros(2)
+    for _ in range(100):
+        m = y * (X @ w)
+        s = 1.0 / (1.0 + np.exp(m))          # σ(−y·Xw)
+        g = w - X.T @ (y * s)
+        if np.abs(g).max() < 1e-12:
+            break
+        d = s * (1.0 - s)
+        H = np.eye(2) + (X * d[:, None]).T @ X
+        w = w - np.linalg.solve(H, g)
+    return w
+
+
 def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng,
                  variant: str = "c"):
     """ACCTM_C unit init (``_ChildDoc4BaseWithPhi.createXSpace`` +
@@ -336,7 +410,10 @@ def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng,
     (smoothed with β·0.001). Child state: [words, z, x, xt0 (K,),
     local (V,), xs (2,), local_total, mu].
     ``variant='chard'`` (``_ChildDoc4BaseWithPhi_Hard.setTopics4Gibbs``):
-    child tokens whose word appears in the parent are FORCED x=0."""
+    child tokens whose word appears in the parent are FORCED x=0.
+    ``variant='czlr'`` (``ACCTM_CZLR.initialize_probability`` :38-42): the
+    CZ init plus per-word x-features (child slot 8) and the parent's
+    logistic weight vector w=0 (unit slot 4)."""
     p_tids, p_vals = parent_vec
     p_words = _expand(p_tids, p_vals)
     p_z = rng.integers(0, K, size=p_words.size)
@@ -368,8 +445,15 @@ def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng,
                 xs[1] += 1.0
                 local_total += 1.0
         mu = cosine_mu(p_tids, p_vals, c_tids, c_vals)
-        children.append([c_words, c_z, c_x, xt0, local, xs, local_total, mu])
-    return [p_words, p_z, p_sstat, children]
+        ch = [c_words, c_z, c_x, xt0, local, xs, local_total, mu]
+        if variant == "czlr":
+            ch.append(_word_x_features(c_tids, c_vals, p_tids, p_vals,
+                                       c_words))
+        children.append(ch)
+    unit = [p_words, p_z, p_sstat, children]
+    if variant == "czlr":
+        unit.append(np.zeros(2))   # m_featureWeight, zero-initialized
+    return unit
 
 
 def _influence_ratio_cz(njc: int, njp: float, n1c: int, n1p: float) -> float:
@@ -389,8 +473,13 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
     among K global topics (×(γ₀+xs₀)) or the local distribution (×(γ₁+xs₁)).
     ``variant='cz'`` (``ACCTM_CZ.java``): the parent influence becomes the
     corrLDA ratio (no μ), and the child x=0 topic prob is the pure parent
-    proportion (npar[t]+s)/(Σnpar+sK), s = 1e-20."""
-    (p_words, p_z, p_sstat, children) = unit_state
+    proportion (npar[t]+s)/(Σnpar+sK), s = 1e-20.
+    ``variant='czlr'`` (``ACCTM_CZLR.sampleInChildDoc`` :217-296): the CZ
+    sampler with the count-based x factors (γ₀+n₀)/(γ₁+n₁) replaced by the
+    per-word logistic pλ₀ = σ(−w·f), pλ₁ = σ(w·f) (``xProb4Word``
+    :298-309) against the parent's fitted weight vector."""
+    (p_words, p_z, p_sstat, children) = unit_state[:4]
+    x_w = unit_state[4] if variant == "czlr" else None
     k_alpha = alpha * K
     n_parent_tokens = float(p_words.size)
     s20 = 1e-20
@@ -406,7 +495,7 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
         infl = np.ones(K)
         for ch in children:
             xt0, mu = ch[3], ch[7]
-            if variant == "cz":
+            if variant in ("cz", "czlr"):
                 for k in range(1, K):
                     infl[k] *= _influence_ratio_cz(
                         int(xt0[k]), p_sstat[k], int(xt0[0]), p_sstat[0])
@@ -431,7 +520,8 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
     # ---- children
     p_sum = p_sstat.sum()
     for ch in children:
-        c_words, c_z, c_x, xt0, local, xs, local_total, mu = ch
+        c_words, c_z, c_x, xt0, local, xs, local_total, mu = ch[:8]
+        feats = ch[8] if variant == "czlr" else None
         in_par = (np.isin(c_words, p_words) if variant == "chard" else None)
         for i in range(c_words.size):
             wid = c_words[i]
@@ -464,10 +554,15 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                 wts[t, wid] += 1.0
                 m_sstat[t] += 1.0
                 continue
-            pl0 = gamma[0] + xs[0]
-            pl1 = gamma[1] + xs[1]
+            if variant == "czlr":
+                dot = feats[i, 0] * x_w[0] + feats[i, 1] * x_w[1]
+                pl0 = 1.0 / (1.0 + np.exp(dot))     # xProb4Word(0,·)
+                pl1 = 1.0 / (1.0 + np.exp(-dot))    # xProb4Word(1,·)
+            else:
+                pl0 = gamma[0] + xs[0]
+                pl1 = gamma[1] + xs[1]
             cache = np.empty(K + 1)
-            if variant == "cz":
+            if variant in ("cz", "czlr"):
                 cache[:K] = (wts[:, wid] / m_sstat) \
                     * (p_sstat + s20) / (p_sum + s20 * K) * pl0
             else:
@@ -499,8 +594,11 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
 @ray.remote
 def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
                          gamma, beta_local, seed, it, collect,
-                         variant: str = "c"):
-    """One AD-LDA epoch over a block of ACCTM_C / ACCTM_CZ units."""
+                         variant: str = "c", fit_lr: bool = False):
+    """One AD-LDA epoch over a block of ACCTM_C / ACCTM_CZ / ACCTM_CZLR
+    units. ``fit_lr`` (czlr only) runs the per-parent liblinear M-step
+    after the sweep — parents and their children are block-local, so the
+    fit needs no cross-block communication."""
     rng = np.random.Generator(np.random.Philox(key=seed,
                                                counter=[it, 0, 0, 0]))
     wts = global_wts.copy()
@@ -523,7 +621,9 @@ def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
     unit_states, p_acc, c_acc = state
     unit_states = [[u[0], u[1].copy(), u[2].copy(),
                     [[c[0], c[1].copy(), c[2].copy(), c[3].copy(),
-                      c[4].copy(), c[5].copy(), c[6], c[7]] for c in u[3]]]
+                      c[4].copy(), c[5].copy(), c[6], c[7]] + list(c[8:])
+                     for c in u[3]]]
+                   + ([u[4].copy()] if len(u) > 4 else [])
                    for u in unit_states]
     p_acc = [a.copy() for a in p_acc]
     c_acc = [[(t.copy(), x.copy(), lw.copy()) for (t, x, lw) in ua]
@@ -536,14 +636,18 @@ def _acctm_c_block_epoch(units, state, global_wts, global_m, K, V, alpha,
             p_sum = p_sstat.sum()
             for ci, ch in enumerate(us[3]):
                 t_acc, x_acc, lw_acc = c_acc[ui][ci]
-                if variant == "cz":
+                if variant in ("cz", "czlr"):
                     # ACCTM_CZ.collectChildStats: raw x=0 counts, no prior
+                    # (CZLR inherits CZ's collectors unchanged)
                     t_acc += ch[3]
                 else:
                     # collectChildStats (ACCTM_C.java:192-211)
                     t_acc += ch[3] + alpha + ch[7] * p_sstat / p_sum
                 x_acc += np.asarray(gamma) + ch[5]
                 lw_acc += ch[4]
+    if fit_lr:
+        for us in unit_states:
+            us[4] = _fit_x_lr(us[3])
     return (unit_states, p_acc, c_acc), wts, m_sstat
 
 
@@ -629,3 +733,98 @@ def train_acctm_c(units, *, n_topics: int, vocab_size: int,
             "parent_topics": parent_topics, "child_topics": child_topics,
             "child_xprop": child_xprop, "child_local": child_local,
             "block_split": n_blocks}
+
+
+def train_acctm_czlr(units, *, n_topics: int, vocab_size: int,
+                     n_outer: int = 5, n_inner: int = 5,
+                     alpha: float = 1.01, beta: float = 1.001,
+                     gamma=(0.5, 0.5), seed: int = 19, n_blocks: int = 4):
+    """ACCTM_CZLR (``topicmodels/correspondenceModels/ACCTM_CZLR.java``):
+    ACCTM_CZ whose child x-switch is a per-word logistic regression —
+    pλ(x|w) = σ(±w_parent·f_word) (``xProb4Word`` :298-309) — with each
+    parent's weight vector refit by liblinear L2R_LR (C=1) on its children's
+    (word-feature, x) pairs every M-step (``updateFeatureWeight`` :158-214).
+
+    EM shape transcribed from the overridden ``EM()`` :59-121: each outer
+    iteration runs ``n_inner`` full Gibbs sweeps, then the M-step — which
+    accumulates topic_term += word_topic_sstat and the CZ parent/child
+    collectors EVERY outer iteration (no burn-in/lag gating, unlike the base
+    ``calculate_M_step``) and refits every parent's w.  Word features and
+    the zero init of w follow the pinned substitution documented at
+    :func:`_word_x_features` (the shipped feature path is a null-pointer
+    crash).  Gibbs sweeps AD-LDA-merge the K×V table per sweep exactly like
+    :func:`train_acctm_c`; the LR fits are per-parent and block-local, so
+    the M-step adds no extra cluster round-trips.
+
+    Returns the :func:`train_acctm_c` dict plus ``x_weights`` — the final
+    per-parent logistic weight vectors."""
+    K, V = n_topics, vocab_size
+    gamma = tuple(gamma)
+    beta_local = beta * 0.001
+    n_blocks = max(1, min(n_blocks, len(units)))
+    splits = [units[i::n_blocks] for i in range(n_blocks)]
+    refs = [ray.put(s) for s in splits]
+
+    wts = np.full((K, V), beta, dtype=np.float64)
+    m_sstat = np.full(K, beta * V, dtype=np.float64)
+    states = [None] * n_blocks
+
+    outs = ray.get([
+        _acctm_c_block_epoch.remote(r, None, wts, m_sstat, K, V, alpha,
+                                    gamma, beta_local, seed + i, 0, False,
+                                    "czlr")
+        for i, r in enumerate(refs)
+    ])
+    new_wts, new_m = wts.copy(), m_sstat.copy()
+    for i, (st, lw, lm) in enumerate(outs):
+        states[i] = st
+        new_wts += lw - wts
+        new_m += lm - m_sstat
+    wts, m_sstat = new_wts, new_m
+
+    topic_term_acc = np.zeros((K, V))
+    it = 0
+    for _outer in range(n_outer):
+        for inner in range(n_inner):
+            it += 1
+            last = inner == n_inner - 1
+            outs = ray.get([
+                _acctm_c_block_epoch.remote(r, states[i], wts, m_sstat, K,
+                                            V, alpha, gamma, beta_local,
+                                            seed + i, it, last, "czlr",
+                                            last)
+                for i, r in enumerate(refs)
+            ])
+            new_wts, new_m = wts.copy(), m_sstat.copy()
+            for i, (st, lw, lm) in enumerate(outs):
+                states[i] = st
+                new_wts += lw - wts
+                new_m += lm - m_sstat
+            wts, m_sstat = new_wts, new_m
+        topic_term_acc += wts
+
+    def l1(a):
+        s = a.sum()
+        return a / s if s > 0 else a
+
+    n_units = len(units)
+    parent_topics = [None] * n_units
+    child_topics = [None] * n_units
+    child_xprop = [None] * n_units
+    child_local = [None] * n_units
+    x_weights = [None] * n_units
+    for b in range(n_blocks):
+        unit_states, p_acc, c_acc = states[b]
+        for d in range(len(p_acc)):
+            gi = b + d * n_blocks
+            parent_topics[gi] = l1(p_acc[d])
+            child_topics[gi] = [l1(t) for (t, _x, _lw) in c_acc[d]]
+            child_xprop[gi] = [l1(x) for (_t, x, _lw) in c_acc[d]]
+            child_local[gi] = [l1(lw) for (_t, _x, lw) in c_acc[d]]
+            x_weights[gi] = unit_states[d][4]
+    norm = topic_term_acc.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return {"topic_term": topic_term_acc / norm,
+            "parent_topics": parent_topics, "child_topics": child_topics,
+            "child_xprop": child_xprop, "child_local": child_local,
+            "x_weights": x_weights, "block_split": n_blocks}

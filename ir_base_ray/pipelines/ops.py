@@ -1818,6 +1818,41 @@ def acctm_cz_topics(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def acctm_czlr_topics(sf_dir: str):
+    """R7 correspondence tail: ACCTM_CZLR
+    (``topicmodels/correspondenceModels/ACCTM_CZLR.java``) — ACCTM_CZ whose
+    child x-switch is a per-word logistic (σ(±w·f), ``xProb4Word``) with
+    each parent's w refit by liblinear L2R_LR every M-step
+    (``updateFeatureWeight``). Word features follow the pinned substitution
+    documented at ``acctm._word_x_features`` (the shipped feature path NPEs:
+    ``m_values``/``m_featureWeight`` are never populated). Rows-only;
+    pinned by tests/test_acctm.py."""
+    from ir_base_ray.pipelines.acctm import train_acctm_czlr
+
+    units, unit_ids, vocab_n = _acctm_units(sf_dir)
+    out = train_acctm_czlr(units, n_topics=4, vocab_size=vocab_n,
+                           n_outer=3, n_inner=5, seed=19, n_blocks=4)
+    rows = []
+    for (pid, cids), pt, cts, xps, w in zip(unit_ids, out["parent_topics"],
+                                            out["child_topics"],
+                                            out["child_xprop"],
+                                            out["x_weights"]):
+        rows.append({"doc_id": pid, "role": "parent", "parent_id": pid,
+                     "top_topic": int(np.argmax(pt)), "x_local": 0.0,
+                     "w_child_tf": round(float(w[0]), 6),
+                     "w_parent_tf": round(float(w[1]), 6)})
+        for cid, ct, xp in zip(cids, cts, xps):
+            rows.append({"doc_id": cid, "role": "child", "parent_id": pid,
+                         "top_topic": int(np.argmax(ct)),
+                         "x_local": round(float(xp[1]), 6),
+                         "w_child_tf": round(float(w[0]), 6),
+                         "w_parent_tf": round(float(w[1]), 6)})
+    return (pd.DataFrame(rows, columns=["doc_id", "role", "parent_id",
+                                        "top_topic", "x_local",
+                                        "w_child_tf", "w_parent_tf"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def acctm_chard_topics(sf_dir: str):
     """R7 correspondence tail: ACCTM_CHard
     (``topicmodels/correspondenceModels/ACCTM_CHard.java``) — ACCTM_C with

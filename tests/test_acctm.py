@@ -216,3 +216,56 @@ def test_corrlda_variant(ray_session):
             total += 1
             agree += int(np.argmax(ct) == np.argmax(pt))
     assert agree >= 0.85 * total, (agree, total)
+
+
+def test_fit_x_lr_newton_optimal_and_orientation():
+    from ir_base_ray.pipelines.acctm import _fit_x_lr
+
+    F = np.array([[2.0, 0.0], [3.0, 0.0], [0.0, 2.0], [1.0, 3.0]])
+
+    def mk(x):
+        return [np.array([1, 2, 3, 4]), None, np.array(x),
+                None, None, None, None, None, F]
+
+    # exact optimum of the liblinear L2R_LR objective (C=1, no intercept):
+    # gradient of 0.5||w||^2 + sum log(1+exp(-y*Xw)) vanishes
+    w = _fit_x_lr([mk([1, 1, 0, 0])])
+    y = np.array([1.0, 1.0, -1.0, -1.0])  # first word x=1 -> +1 class = x=1
+    g = w - F.T @ (y / (1.0 + np.exp(y * (F @ w))))
+    assert np.abs(g).max() < 1e-10, g
+    # x=1 rows are the child-only profile [c,0] -> positive child-tf weight
+    assert w[0] > 0 and w[1] < 0, w
+    # first-occurrence orientation quirk (Linear.groupClasses:112-160):
+    # inverting EVERY x label leaves w unchanged, because the positive
+    # class follows the first label seen — while xProb4Word always reads w
+    # as the x=1 direction
+    w_inv = _fit_x_lr([mk([0, 0, 1, 1])])
+    assert np.allclose(w, w_inv, atol=1e-12)
+    # degenerate single-class problem still has a finite regularized optimum
+    w_one = _fit_x_lr([mk([1, 1, 1, 1])])
+    g1 = w_one - F.T @ (1.0 / (1.0 + np.exp(F @ w_one)))
+    assert np.abs(g1).max() < 1e-10
+
+
+def test_acctm_czlr_variant(ray_session):
+    from ir_base_ray.pipelines.acctm import train_acctm_czlr
+
+    units, V = _units_with_local(n_units=8)
+    a = train_acctm_czlr(units, n_topics=2, vocab_size=V, n_outer=4,
+                         n_inner=5, seed=19, n_blocks=3)
+    b = train_acctm_czlr(units, n_topics=2, vocab_size=V, n_outer=4,
+                         n_inner=5, seed=19, n_blocks=3)
+    assert np.array_equal(a["topic_term"], b["topic_term"])
+    assert all(np.array_equal(x, y)
+               for x, y in zip(a["x_weights"], b["x_weights"]))
+    # the logistic x-switch genuinely diverges from the count-based CZ
+    c = train_acctm_c(units, n_topics=2, vocab_size=V, n_iters=20,
+                      seed=19, n_blocks=3, variant="cz")
+    assert not np.array_equal(a["topic_term"], c["topic_term"])
+    # every parent's LR was fit (M-step ran) and uses the parent-tf
+    # coordinate — the feature separating shared from child-only words
+    assert all(np.abs(w).sum() > 0 for w in a["x_weights"])
+    assert sum(1 for w in a["x_weights"] if abs(w[1]) > 1e-6) == len(units)
+    # the local distribution still absorbs the child-only slang vocabulary
+    loc = np.mean([lw[12:].sum() for lws in a["child_local"] for lw in lws])
+    assert loc > 0.5, loc
