@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fold_assign": ops.fold_assign,                  # Q5 deterministic folds
         "seeded_sample": ops.seeded_sample,              # Q6 deterministic sample
         "selector_union": ops.selector_union,            # F6 union + dedup
-        "shuffled_sample": ops.shuffled_sample,          # Q8 (rows-only)
+        "shuffled_sample": ops.shuffled_sample,          # Q8 seeded hash shuffle
         # training-data tier: dedup / similarity / text analysis
         "dedup_exact": ops.dedup_exact,
         "dedup_minhash": ops.dedup_minhash,              # SQL-mirrored LSH
@@ -165,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": ops.SQL_LINEITEM_PRICING,
         "fold_assign": ops.SQL_FOLD_ASSIGN,
         "seeded_sample": ops.SQL_SEEDED_SAMPLE,
+        "shuffled_sample": ops.SQL_SHUFFLED_SAMPLE,
         "selector_union": ops.SQL_SELECTOR_UNION,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
         "dedup_minhash": ops.sql_minhash_lsh(),

@@ -17,6 +17,7 @@ SQL-parity conventions:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from collections import Counter
@@ -1279,13 +1280,33 @@ SELECT DISTINCT term FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
 
 
 def shuffled_sample(sf_dir: str):
-    """Q8 (``Utils.java:24-34`` Fisher-Yates, unseeded → seeded determinism
-    fix): seeded ``random_shuffle`` then limit 50; returns the doc_id set
-    (order-insensitive across engines, so the oracle checks the SAMPLE is a
-    deterministic function of the seed via two-run equality in pytest; here
-    rows-only)."""
+    """Q8 (``Utils.java:24-34`` Fisher-Yates shuffle, unseeded → seeded
+    determinism fix per SURVEY §7): a seeded pseudo-random permutation
+    realized as an order-by on md5("7:"‖doc_id), take the first 50.  Unlike
+    ``Dataset.random_shuffle(seed)`` (whose permutation depends on the block
+    layout) the hash order is deterministic across partitionings, engines
+    and cluster sizes — and DuckDB-mirrorable, so the sampled set is
+    value-hash-checked end to end (same md5-prefix device as the MinHash /
+    SimHash oracles).  Scale note: sort+limit is the same exchange class as
+    random_shuffle; the 100-TB path keeps only each block's top-50 keys
+    before the final merge, which Ray's sort+limit plan already
+    approximates."""
     docs = _read(sf_dir, "documents", ["doc_id"])
-    return docs.random_shuffle(seed=7).limit(50).select_columns(["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ks = [hashlib.md5(f"7:{i}".encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shuffle_key": pa.array(ks, pa.string())})
+
+    return (docs.map_batches(key, batch_format="pyarrow")
+            .sort("shuffle_key").limit(50).select_columns(["doc_id"]))
+
+
+SQL_SHUFFLED_SAMPLE = """
+SELECT doc_id FROM documents
+ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)) LIMIT 50
+"""
 
 
 # ======================================================================

@@ -471,3 +471,29 @@ def test_ivf_topk_recall_vs_exact(ray_session):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.6, hits / total
+
+
+def test_shuffled_sample_partition_invariant(ray_session):
+    """Q8 seeded hash shuffle: the md5('7:'||doc_id) order is a pure
+    function of the row — the sampled set must not depend on the block
+    layout (the property Dataset.random_shuffle(seed) does NOT have)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray as _ray
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ks = [hashlib.md5(f"7:{i}".encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shuffle_key": pa.array(ks, pa.string())})
+
+    rows = [{"doc_id": i} for i in range(500)]
+    picks = []
+    for nb in (1, 7):
+        ds = _ray.data.from_items(rows, override_num_blocks=nb)
+        out = (ds.map_batches(key, batch_format="pyarrow")
+               .sort("shuffle_key").limit(50).to_pandas())
+        picks.append(list(out["doc_id"]))
+    assert picks[0] == picks[1]
+    assert len(set(picks[0])) == 50
