@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": ops.embedding_near_dup_pairs,  # rows-only (LSH)
         "embedding_near_dup_exact": ops.embedding_near_dup_exact,
         "text_quality": ops.text_quality_scores,
+        "repetition_stats": ops.repetition_stats_scores,  # Gopher repetition cuts
         "token_counts": ops.token_count_scores,
         "lang_id": ops.lang_id_predictions,
         "doc_fingerprints": ops.doc_fingerprints,        # SQL-mirrored rolling hash
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ops.SQL_ANN_COSINE,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
         "text_quality": ops.SQL_TEXT_QUALITY,
+        "repetition_stats": ops.SQL_REPETITION,
         "token_counts": ops.SQL_TOKEN_COUNTS,
         "pagerank_weights": ops.SQL_PAGERANK,
         "lm_rank_children": ops.SQL_LM_RANK_CHILDREN,

@@ -1072,6 +1072,51 @@ def text_quality_scores(sf_dir: str):
     return out
 
 
+def repetition_stats_scores(sf_dir: str):
+    """Within-document repetition signals (Gopher-rule family, Rae et al.
+    2021 — the quality-filter tier's duplicate-line / top-bigram cuts):
+    per-doc non-empty-line dup fractions (count- and char-weighted) and the
+    most-frequent word-bigram share. Stateless map_batches; hash-checked
+    against a DuckDB mirror of the same line/word regex extraction."""
+    from ir_base_ray.stages.textstats import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REPETITION = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^' || chr(10) || ']+')) AS line
+  FROM documents
+), lstat AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+), lagg AS (
+  SELECT doc_id, sum(cnt) AS n_lines,
+         round((sum(cnt) - count(*))::DOUBLE / sum(cnt), 6) AS dup_line_frac,
+         round(sum((cnt - 1) * len)::DOUBLE / nullif(sum(cnt * len), 0), 6)
+           AS dup_line_char_frac
+  FROM lstat GROUP BY doc_id
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(regexp_extract_all(text, '\S+'))),
+                i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+                     regexp_extract_all(text, '\S+')[i+1])) AS bg
+  FROM documents
+), bstat AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg
+), bagg AS (
+  SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_frac
+  FROM bstat GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM documents d LEFT JOIN lagg la USING (doc_id)
+                 LEFT JOIN bagg ba USING (doc_id)
+"""
+
+
 SQL_TEXT_QUALITY = r"""
 WITH ws AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents

@@ -164,6 +164,58 @@ class FingerprintActor:
         })
 
 
+class RepetitionActor:
+    """Within-document repetition signals for training-data quality
+    filtering (the Gopher-rule family, Rae et al. 2021 §A1.1 — public
+    method): per doc the non-empty-line duplicate fraction (count- and
+    char-weighted) and the most-frequent word-bigram share. All ratios are
+    plain float64 divisions so the DuckDB oracle mirrors them exactly
+    (lines = ``[^\\n]+`` runs, words = ``\\S+`` runs — the same
+    ``regexp_extract_all`` device as the text-quality oracle). Stateless
+    per-batch map; no shuffle."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._line_re = re.compile(r"[^\n]+")
+        self._word_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        n_lines, dup_line, dup_char, top_bigram = [], [], [], []
+        for t in texts:
+            t = t or ""
+            lines = self._line_re.findall(t)
+            if lines:
+                lc = Counter(lines)
+                total = len(lines)
+                n_lines.append(total)
+                dup_line.append(round((total - len(lc)) / total, 6))
+                tot_chars = sum(len(ln) * c for ln, c in lc.items())
+                dup_chars = sum(len(ln) * (c - 1) for ln, c in lc.items())
+                dup_char.append(round(dup_chars / tot_chars, 6)
+                                if tot_chars else 0.0)
+            else:
+                n_lines.append(0)
+                dup_line.append(0.0)
+                dup_char.append(0.0)
+            words = self._word_re.findall(t)
+            if len(words) >= 2:
+                bc = Counter(a + " " + b for a, b in zip(words, words[1:]))
+                top_bigram.append(round(max(bc.values()) / (len(words) - 1), 6))
+            else:
+                top_bigram.append(0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dup_line, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_char, pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram, pa.float64()),
+        })
+
+
 def _actor_stage(ds, cls, concurrency=4, batch_size: int = 2048, **kwargs):
     return ds.map_batches(
         cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
@@ -185,3 +237,7 @@ def token_counts(ds, **kw):
 
 def fingerprints(ds, **kw):
     return _actor_stage(ds, FingerprintActor, **kw)
+
+
+def repetition_stats(ds, **kw):
+    return _actor_stage(ds, RepetitionActor, **kw)

@@ -497,3 +497,30 @@ def test_shuffled_sample_partition_invariant(ray_session):
         picks.append(list(out["doc_id"]))
     assert picks[0] == picks[1]
     assert len(set(picks[0])) == 50
+
+
+def test_repetition_stats(ray_session):
+    """Gopher-style repetition signals: hand-checked fractions."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from ir_base_ray.stages.textstats import repetition_stats
+
+    docs = [
+        {"doc_id": 0, "text": "a b a b\nx y\nx y"},
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "x x x x"},
+    ]
+    out = (repetition_stats(_ray.data.from_items(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_lines"]) == [3, 1, 0, 1]
+    # doc 0: 3 lines, 2 distinct -> 1/3; dup chars 3 of 13; bigrams
+    # [a b, b a, a b, b x, x y, y x, x y] -> top 2/7
+    assert abs(out["dup_line_frac"][0] - round(1 / 3, 6)) < 1e-9
+    assert abs(out["dup_line_char_frac"][0] - round(3 / 13, 6)) < 1e-9
+    assert abs(out["top_bigram_frac"][0] - round(2 / 7, 6)) < 1e-9
+    # doc 3: single repeated token -> top bigram 'x x' = 3/3
+    assert out["top_bigram_frac"][3] == 1.0
+    assert out["dup_line_frac"][3] == 0.0
+    assert list(out["top_bigram_frac"][[1, 2]]) == [1.0, 0.0]
