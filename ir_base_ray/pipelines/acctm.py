@@ -97,10 +97,11 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
         infl = np.ones(K)
         for (_cw, _cz, c_sstat, mu) in children:
             if variant == "corr":
-                for k in range(1, K):
-                    infl[k] *= _influence_ratio_cz(
-                        int(c_sstat[k]), p_sstat[k], int(c_sstat[0]),
-                        p_sstat[0])
+                with np.errstate(over="ignore"):   # Java-double inf parity
+                    for k in range(1, K):
+                        infl[k] *= _influence_ratio_cz(
+                            int(c_sstat[k]), p_sstat[k], int(c_sstat[0]),
+                            p_sstat[0])
             else:
                 mu_dp = mu / topic_sum
                 denom = _gamma_func_ratio(int(c_sstat[0]), mu_dp,
@@ -458,11 +459,16 @@ def _init_unit_c(parent_vec, child_vecs, K, V, beta_local, rng,
 
 def _influence_ratio_cz(njc: int, njp: float, n1c: int, n1p: float) -> float:
     """``ACCTM_CZ.influenceRatio`` (= ``corrLDA_Gibbs.influenceRatio`` with
-    s = 1e-20): Π (n1p+s)/(n1p+1+s) over n1c · Π (njp+1+s)/(njp+s) over njc."""
+    s = 1e-20): Π (n1p+s)/(n1p+1+s) over n1c · Π (njp+1+s)/(njp+s) over njc.
+    With njp≈0 the second factor is ~1e20^njc and overflows to inf exactly
+    as the reference's Java double silently does (the draw walk handles
+    Infinity: that topic wins) — the numpy overflow warning is suppressed
+    as expected behavior, not masked error."""
     s = 1e-20
-    r = ((n1p + s) / (n1p + 1.0 + s)) ** n1c
-    r *= ((njp + 1.0 + s) / (njp + s)) ** njc
-    return r
+    with np.errstate(over="ignore"):
+        r = ((n1p + s) / (n1p + 1.0 + s)) ** n1c
+        r *= ((njp + 1.0 + s) / (njp + s)) ** njc
+    return float(r)
 
 
 def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
@@ -496,9 +502,10 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
         for ch in children:
             xt0, mu = ch[3], ch[7]
             if variant in ("cz", "czlr"):
-                for k in range(1, K):
-                    infl[k] *= _influence_ratio_cz(
-                        int(xt0[k]), p_sstat[k], int(xt0[0]), p_sstat[0])
+                with np.errstate(over="ignore"):   # Java-double inf parity
+                    for k in range(1, K):
+                        infl[k] *= _influence_ratio_cz(
+                            int(xt0[k]), p_sstat[k], int(xt0[0]), p_sstat[0])
             else:
                 mu_dp = mu / n_parent_tokens
                 denom = _gamma_func_ratio(int(xt0[0]), mu_dp,
