@@ -2434,3 +2434,138 @@ def topk_bm25_merged(sf_dir: str):
         for rank, j in enumerate(order, start=1):
             rows.append((qid, rank, int(docs[j]), float(sr[j])))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+# ---------------------------------------------------------------------------
+# Family-suite entries (round 3): the driver's correctness gate records the
+# first 50 ``queries()`` dict entries only, so the rows-only catalog is
+# collapsed into per-family suites — each runs every variant and unions the
+# results under a ``model`` column with a normalized schema. The per-model
+# functions above remain the public API (and the pytest targets); these
+# wrappers exist so the whole catalog fits the driver window.
+# ---------------------------------------------------------------------------
+
+def topic_term_models(sf_dir: str):
+    """R7 suite: flat topic models that emit top-10 terms per topic —
+    pLSA (EM), LDA collapsed Gibbs, LDA variational, DCM-LDA (+ sparse
+    variants when present). Schema (model, topic, rank, term, p);
+    rows-only (iterative training), per-model semantics pinned by their
+    own pytest modules."""
+    parts = []
+    for name, fn in (("plsa", plsa_topics), ("lda_gibbs", lda_topics),
+                     ("lda_variational", lda_var_topics),
+                     ("dcmlda", dcmlda_topics),
+                     ("sparse_dcmlda", globals().get("sparse_dcmlda_topics")),
+                     ("sparse_cluster_dcmlda",
+                      globals().get("sparse_cluster_dcmlda_topics"))):
+        if fn is None:
+            continue
+        df = fn(sf_dir).copy()
+        df.insert(0, "model", name)
+        parts.append(df[["model", "topic", "rank", "term", "p"]])
+    return pd.concat(parts, ignore_index=True)
+
+
+def mixture_profiles(sf_dir: str):
+    """R7 suite: per-entity mixture summaries — CTM (doc λ softmax),
+    twoTopic (per-doc background-mix EM; top_topic=-1, top_weight=loglik),
+    TUIR (item η / user νP diagonals). Schema
+    (model, entity, top_topic, top_weight); rows-only."""
+    parts = []
+    ctm = ctm_topics(sf_dir)
+    parts.append(pd.DataFrame({
+        "model": "ctm", "entity": ctm["doc_id"].astype(str),
+        "top_topic": ctm["top_topic"].astype(np.int64),
+        "top_weight": ctm["top_prop"].astype(np.float64)}))
+    tt = two_topic_mix(sf_dir)
+    parts.append(pd.DataFrame({
+        "model": "two_topic", "entity": tt["doc_id"].astype(str),
+        "top_topic": np.int64(-1),
+        "top_weight": tt["loglik"].astype(np.float64)}))
+    tu = tuir_profiles(sf_dir)
+    parts.append(pd.DataFrame({
+        "model": "tuir", "entity": tu["entity"].astype(str),
+        "top_topic": tu["top_topic"].astype(np.int64),
+        "top_weight": tu["top_weight"].astype(np.float64)}))
+    return pd.concat(parts, ignore_index=True)
+
+
+def sentence_models(sf_dir: str):
+    """M11 + R7 sentence-HMM suite: sentence_stats (per-doc counts;
+    stn=-1, a=n_sentences, b=n_terms) and the four restricted-HMM topic
+    models (per-sentence MAP paths; a=topic, b=sentiment or -1). Schema
+    (model, doc_id, stn, a, b); rows-only."""
+    parts = []
+    ss = sentence_stats(sf_dir)
+    parts.append(pd.DataFrame({
+        "model": "sentence_stats", "doc_id": ss["doc_id"].astype(np.int64),
+        "stn": np.int64(-1), "a": ss["n_sentences"].astype(np.int64),
+        "b": ss["n_terms"].astype(np.int64)}))
+    for name, fn, has_senti in (("htmm", htmm_topics, False),
+                                ("htsm", htsm_topics, True),
+                                ("lrhtmm", lrhtmm_topics, False),
+                                ("lrhtsm", lrhtsm_topics, True)):
+        df = fn(sf_dir)
+        parts.append(pd.DataFrame({
+            "model": name, "doc_id": df["doc_id"].astype(np.int64),
+            "stn": df["stn"].astype(np.int64),
+            "a": df["topic"].astype(np.int64),
+            "b": (df["sentiment"].astype(np.int64) if has_senti
+                  else np.int64(-1))}))
+    return pd.concat(parts, ignore_index=True)
+
+
+def corr_topic_models(sf_dir: str):
+    """R7 correspondence suite: ACCTM + its C/CZ/CHard/CZLR variants,
+    corrLDA, DCM-CorrLDA and WCM over the same parent/child units. Schema
+    (model, doc_id, role, parent_id, top_topic, aux1, aux2, aux3):
+    aux1 = x_local (C/CZ/CHard/CZLR) or top_weight (WCM);
+    aux2/aux3 = the CZLR per-parent logistic weights. Rows-only."""
+    parts = []
+    for name, fn in (("acctm", acctm_topics), ("acctm_c", acctm_c_topics),
+                     ("acctm_cz", acctm_cz_topics),
+                     ("acctm_chard", acctm_chard_topics),
+                     ("acctm_czlr", acctm_czlr_topics),
+                     ("corrlda", corrlda_topics),
+                     ("dcmcorrlda", dcmcorrlda_topics),
+                     ("wcm", wcm_profiles)):
+        df = fn(sf_dir).copy()
+        out = pd.DataFrame({
+            "model": name, "doc_id": df["doc_id"].astype(np.int64),
+            "role": df["role"].astype(str),
+            "parent_id": df["parent_id"].astype(np.int64),
+            "top_topic": df["top_topic"].astype(np.int64),
+            "aux1": (df["x_local"] if "x_local" in df
+                     else df.get("top_weight", 0.0)),
+            "aux2": df.get("w_child_tf", 0.0),
+            "aux3": df.get("w_parent_tf", 0.0)})
+        out["aux1"] = out["aux1"].astype(np.float64)
+        out["aux2"] = out["aux2"].astype(np.float64)
+        out["aux3"] = out["aux3"].astype(np.float64)
+        parts.append(out)
+    return pd.concat(parts, ignore_index=True)
+
+
+def classify_suite(sf_dir: str):
+    """R6 suite: every classifier/clusterer as (model, doc_id, pred) —
+    LR, NB-EM, PR-LR, SVM (pred = predicted lang), KMeans (pred =
+    cluster id as string), GaussianFields random-walk SEMI (odd doc_ids
+    only), plus LinAdapt when present. Rows-only; per-model semantics
+    pinned by their own pytest modules."""
+    parts = []
+    for name, fn, col in (("lr", lr_classify, "pred_lang"),
+                          ("nbem", nbem_classify, "pred_lang"),
+                          ("prlr", prlr_classify, "pred_lang"),
+                          ("svm", svm_classify, "pred_lang"),
+                          ("kmeans", kmeans_clusters, "cluster"),
+                          ("gaussianfields_rw", semi_supervised_walk,
+                           "pred_lang"),
+                          ("linadapt", globals().get("linadapt_classify"),
+                           "pred_lang")):
+        if fn is None:
+            continue
+        df = fn(sf_dir)
+        parts.append(pd.DataFrame({
+            "model": name, "doc_id": df["doc_id"].astype(np.int64),
+            "pred": df[col].astype(str)}))
+    return pd.concat(parts, ignore_index=True)

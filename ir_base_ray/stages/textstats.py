@@ -124,7 +124,13 @@ class TokenCountActor:
 class FingerprintActor:
     """Rolling polynomial fingerprint (Rabin-Karp style, base 257 mod 2^61-1)
     over the raw bytes, plus the min rolling window hash (winnowing-lite) —
-    deterministic 64-bit doc fingerprints for fast prefiltering."""
+    deterministic 64-bit doc fingerprints for fast prefiltering.
+
+    Hot path is the compile-once C kernel (functions/ckernels.py) fed the
+    batch's UTF-8 buffer zero-copy through the Arrow string offsets —
+    hundreds of MB/s/core vs ~1 MB/s for the per-byte Python loop, which is
+    kept as ``_call_py`` for compiler-less workers and as the pytest parity
+    oracle."""
 
     MOD = (1 << 61) - 1
     BASE = 257
@@ -135,8 +141,42 @@ class FingerprintActor:
         self.text_col = text_col
         # precompute BASE^(window-1) mod MOD for the rolling update
         self.pow_w = pow(self.BASE, window - 1, self.MOD)
+        from ir_base_ray.functions.ckernels import fingerprint_kernel
+        self.lib = fingerprint_kernel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.lib is None:
+            return self._call_py(batch)
+        import ctypes
+
+        col = batch.column(self.text_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            arr = arr.fill_null("")
+        if pa.types.is_large_string(arr.type):
+            off_dt = np.int64
+        else:
+            off_dt = np.int32
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dt)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+        full_fp = np.empty(len(arr), dtype=np.uint64)
+        min_fp = np.empty(len(arr), dtype=np.uint64)
+        self.lib.fingerprints(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(arr), self.window, self.pow_w,
+            full_fp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            min_fp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "fingerprint": pa.array(full_fp, pa.uint64()),
+            "min_window_hash": pa.array(min_fp, pa.uint64()),
+        })
+
+    def _call_py(self, batch: pa.Table) -> pa.Table:
         full_fp, min_window = [], []
         for t in batch.column(self.text_col).to_pylist():
             data = (t or "").encode("utf-8")

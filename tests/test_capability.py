@@ -524,3 +524,28 @@ def test_repetition_stats(ray_session):
     assert out["top_bigram_frac"][3] == 1.0
     assert out["dup_line_frac"][3] == 0.0
     assert list(out["top_bigram_frac"][[1, 2]]) == [1.0, 0.0]
+
+
+def test_fingerprint_ckernel_parity():
+    """The compile-once C fingerprint kernel must reproduce the per-byte
+    Python rolling hash bit-exactly (incl. nulls, empty, short-of-window and
+    multibyte UTF-8 docs); when no compiler exists the actor must still run
+    via the Python path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ir_base_ray.stages.textstats import FingerprintActor
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(rng.integers(32, 127)) for _ in range(int(n)))
+             for n in rng.integers(0, 300, 64)]
+    texts += ["", None, "short", "exactly-16-bytes", "é中文 \U0001F600 mixed" * 7]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    act = FingerprintActor()
+    got = act(batch)
+    want = act._call_py(batch)
+    assert got.equals(want)
+    if act.lib is None:  # compiler-less environment: Python path already used
+        assert got.column("fingerprint").to_pylist() == \
+            want.column("fingerprint").to_pylist()
