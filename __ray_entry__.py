@@ -159,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ops.SQL_ANN_COSINE,
         "ann_ivf_topk": ops.SQL_ANN_COSINE,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
+        "embedding_near_dup": ops.sql_embedding_lsh(),
         "text_quality": ops.SQL_TEXT_QUALITY,
         "repetition_stats": ops.SQL_REPETITION,
         "token_counts": ops.SQL_TOKEN_COUNTS,

