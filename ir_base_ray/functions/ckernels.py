@@ -282,3 +282,119 @@ def md5_prefix64_strings(arr) -> "object":
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(arr), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# LDA collapsed-Gibbs sweep — the C twin of pipelines/lda._gibbs_epoch's
+# per-token walk. Consumes one pre-drawn uniform per token (the Python side
+# batches rng.random(n), which produces the identical Philox stream), and
+# performs the identical IEEE float64 op sequence (mult, div, sequential
+# cumsum, searchsorted-left) so 1-block == serial stays bit-exact.
+# ---------------------------------------------------------------------------
+
+_LDA_SRC = r"""
+#include <stdint.h>
+
+void lda_sweep(const int64_t *words, const int64_t *docs, int64_t n,
+               int64_t *z, double *doc_sstat, double *wts, double *m_sstat,
+               const double *us, double *cache, int64_t K, int64_t V) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = words[i], d = docs[i], t = z[i];
+        doc_sstat[d * K + t] -= 1.0;
+        wts[t * V + wid] -= 1.0;
+        m_sstat[t] -= 1.0;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            /* same op order as numpy: (a*b)/c per element, then running add */
+            cum += doc_sstat[d * K + k] * wts[k * V + wid] / m_sstat[k];
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = K - 1;
+        for (int64_t k = 0; k < K; k++) {
+            if (cache[k] >= u) { tn = k; break; }   /* searchsorted left */
+        }
+        z[i] = tn;
+        doc_sstat[d * K + tn] += 1.0;
+        wts[tn * V + wid] += 1.0;
+        m_sstat[tn] += 1.0;
+    }
+}
+"""
+
+_lda_lib = None
+_lda_tried = False
+
+
+def lda_kernel():
+    global _lda_lib, _lda_tried
+    if not _lda_tried:
+        _lda_tried = True
+        lib = load("ldasweep", _LDA_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            lib.lda_sweep.argtypes = [
+                P(ctypes.c_int64), P(ctypes.c_int64), ctypes.c_int64,
+                P(ctypes.c_int64), P(ctypes.c_double), P(ctypes.c_double),
+                P(ctypes.c_double), P(ctypes.c_double), P(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64]
+            lib.lda_sweep.restype = None
+        _lda_lib = lib
+    return _lda_lib
+
+
+# ---------------------------------------------------------------------------
+# DCM-LDA per-doc Gibbs sweep — C twin of pipelines/dcmlda._gibbs_doc
+# (doc-local count tables, searchsorted-RIGHT walk). Same pre-drawn-uniform
+# contract as lda_sweep.
+# ---------------------------------------------------------------------------
+
+_DCM_SRC = r"""
+#include <stdint.h>
+
+void dcm_sweep(const int64_t *words, int64_t n, int64_t *z,
+               double *n_dk, double *n_dkw,
+               const double *alpha, const double *beta_k,
+               const double *total_beta, const double *us, double *cache,
+               int64_t K, int64_t V) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = words[i], t = z[i];
+        n_dk[t] -= 1.0;
+        n_dkw[t * V + wid] -= 1.0;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            cum += (n_dk[k] + alpha[k]) * (n_dkw[k * V + wid] + beta_k[k * V + wid])
+                   / (n_dk[k] + total_beta[k]);
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = K - 1;
+        for (int64_t k = 0; k < K; k++) {
+            if (cache[k] > u) { tn = k; break; }    /* searchsorted right */
+        }
+        z[i] = tn;
+        n_dk[tn] += 1.0;
+        n_dkw[tn * V + wid] += 1.0;
+    }
+}
+"""
+
+_dcm_lib = None
+_dcm_tried = False
+
+
+def dcm_kernel():
+    global _dcm_lib, _dcm_tried
+    if not _dcm_tried:
+        _dcm_tried = True
+        lib = load("dcmsweep", _DCM_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            lib.dcm_sweep.argtypes = [
+                P(ctypes.c_int64), ctypes.c_int64, P(ctypes.c_int64),
+                P(ctypes.c_double), P(ctypes.c_double), P(ctypes.c_double),
+                P(ctypes.c_double), P(ctypes.c_double), P(ctypes.c_double),
+                P(ctypes.c_double), ctypes.c_int64, ctypes.c_int64]
+            lib.dcm_sweep.restype = None
+        _dcm_lib = lib
+    return _dcm_lib

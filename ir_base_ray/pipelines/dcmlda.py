@@ -48,8 +48,42 @@ def _expand_docs(block):
 
 
 def _gibbs_doc(words, z, n_dk, n_dkw, alpha, beta_k, total_beta, rng):
-    """One in-place sweep over one doc (reference :230-270 order)."""
+    """One in-place sweep over one doc (reference :230-270 order).
+
+    Uniforms pre-drawn in one ``rng.random(n)`` call (identical Philox
+    stream); the walk runs in the compile-once C kernel
+    (functions/ckernels.dcm_kernel) with the identical IEEE op order — the
+    Python loop below is the compiler-less fallback and parity oracle."""
+    from ir_base_ray.functions.ckernels import dcm_kernel
+
     K = alpha.size
+    if words.size == 0:
+        return z
+    us = rng.random(words.size)
+    lib = dcm_kernel()
+    if lib is not None:
+        import ctypes
+
+        P = ctypes.POINTER
+        cache = np.empty(K, dtype=np.float64)
+        words_c = np.ascontiguousarray(words, dtype=np.int64)
+        alpha_c = np.ascontiguousarray(alpha, dtype=np.float64)
+        beta_c = np.ascontiguousarray(beta_k, dtype=np.float64)
+        tb_c = np.ascontiguousarray(total_beta, dtype=np.float64)
+        assert z.flags.c_contiguous and n_dk.flags.c_contiguous \
+            and n_dkw.flags.c_contiguous
+        lib.dcm_sweep(
+            words_c.ctypes.data_as(P(ctypes.c_int64)), words.size,
+            z.ctypes.data_as(P(ctypes.c_int64)),
+            n_dk.ctypes.data_as(P(ctypes.c_double)),
+            n_dkw.ctypes.data_as(P(ctypes.c_double)),
+            alpha_c.ctypes.data_as(P(ctypes.c_double)),
+            beta_c.ctypes.data_as(P(ctypes.c_double)),
+            tb_c.ctypes.data_as(P(ctypes.c_double)),
+            us.ctypes.data_as(P(ctypes.c_double)),
+            cache.ctypes.data_as(P(ctypes.c_double)),
+            K, n_dkw.shape[1])
+        return z
     for i in range(words.size):
         wid = words[i]
         t = z[i]
@@ -58,7 +92,7 @@ def _gibbs_doc(words, z, n_dk, n_dkw, alpha, beta_k, total_beta, rng):
         cache = (n_dk + alpha) * (n_dkw[:, wid] + beta_k[:, wid]) \
             / (n_dk + total_beta)
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * us[i]
         # reference walk (:254-259): tid starts at 0, subtract-first
         t = int(np.searchsorted(cum, u, side="right"))
         if t >= K:

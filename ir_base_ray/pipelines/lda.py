@@ -57,8 +57,40 @@ def _expand_block(tbl: pa.Table):
 
 def _gibbs_epoch(words, doc_of_word, z, doc_sstat, wts, m_sstat, rng):
     """One in-place sweep over all tokens (reference :113-151 order: doc
-    blocks ascending, tokens in stored order)."""
+    blocks ascending, tokens in stored order).
+
+    Uniforms are pre-drawn in ONE ``rng.random(n)`` call (identical Philox
+    stream to per-token draws) and the walk runs in the compile-once C
+    kernel (functions/ckernels.lda_kernel) with the identical IEEE op
+    sequence — 1-block == serial stays bit-exact (pinned by test_lda); the
+    Python loop below is the compiler-less fallback and parity oracle."""
+    from ir_base_ray.functions.ckernels import lda_kernel
+
     K = m_sstat.size
+    if words.size == 0:
+        return z
+    us = rng.random(words.size)
+    lib = lda_kernel()
+    if lib is not None:
+        import ctypes
+
+        P = ctypes.POINTER
+        cache = np.empty(K, dtype=np.float64)
+        words_c = np.ascontiguousarray(words, dtype=np.int64)
+        docs_c = np.ascontiguousarray(doc_of_word, dtype=np.int64)
+        assert z.flags.c_contiguous and doc_sstat.flags.c_contiguous \
+            and wts.flags.c_contiguous and m_sstat.flags.c_contiguous
+        lib.lda_sweep(
+            words_c.ctypes.data_as(P(ctypes.c_int64)),
+            docs_c.ctypes.data_as(P(ctypes.c_int64)), words.size,
+            z.ctypes.data_as(P(ctypes.c_int64)),
+            doc_sstat.ctypes.data_as(P(ctypes.c_double)),
+            wts.ctypes.data_as(P(ctypes.c_double)),
+            m_sstat.ctypes.data_as(P(ctypes.c_double)),
+            us.ctypes.data_as(P(ctypes.c_double)),
+            cache.ctypes.data_as(P(ctypes.c_double)),
+            K, wts.shape[1])
+        return z
     for i in range(words.size):
         wid = words[i]
         d = doc_of_word[i]
@@ -68,7 +100,7 @@ def _gibbs_epoch(words, doc_of_word, z, doc_sstat, wts, m_sstat, rng):
         m_sstat[t] -= 1.0
         cache = doc_sstat[d] * wts[:, wid] / m_sstat
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * us[i]
         t = int(np.searchsorted(cum, u, side="left"))
         if t >= K:
             t = K - 1

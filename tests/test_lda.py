@@ -60,3 +60,41 @@ def test_topic_recovery(ray_session):
     phi = out["topic_term"]
     mass_low = phi[:, :5].sum(axis=1)   # per-topic mass on planted set A
     assert mass_low.max() > 0.8 and mass_low.min() < 0.2, mass_low
+
+
+def test_gibbs_ckernel_bit_exact_parity():
+    """The C sweep kernels (LDA + DCM-LDA) must match the pure-Python walks
+    bit-exactly on the same Philox stream (pre-drawn uniforms == per-token
+    draws)."""
+    import os
+
+    import numpy as np
+
+    from ir_base_ray.functions import ckernels
+    from ir_base_ray.pipelines.dcmlda import train_dcmlda
+    from ir_base_ray.pipelines.lda import lda_gibbs_serial
+
+    rng = np.random.default_rng(3)
+    tids = [np.unique(rng.integers(0, 300, size=rng.integers(3, 40)))
+            for _ in range(60)]
+    vals = [rng.integers(1, 4, size=len(t)) for t in tids]
+    docs = [(t.tolist(), v.tolist()) for t, v in zip(tids, vals)]
+
+    lda_c = lda_gibbs_serial(tids, vals, n_topics=4, vocab_size=300,
+                             n_iters=6, seed=11)
+    dcm_c = train_dcmlda(docs, n_topics=4, vocab_size=300, n_em_iters=2,
+                         inner_iters=3, seed=41)
+    os.environ["IRBR_NO_CKERNELS"] = "1"
+    ckernels._lda_tried = ckernels._dcm_tried = False
+    ckernels._lda_lib = ckernels._dcm_lib = None
+    try:
+        lda_py = lda_gibbs_serial(tids, vals, n_topics=4, vocab_size=300,
+                                  n_iters=6, seed=11)
+        dcm_py = train_dcmlda(docs, n_topics=4, vocab_size=300, n_em_iters=2,
+                              inner_iters=3, seed=41)
+    finally:
+        del os.environ["IRBR_NO_CKERNELS"]
+        ckernels._lda_tried = ckernels._dcm_tried = False
+        ckernels._lda_lib = ckernels._dcm_lib = None
+    assert np.array_equal(lda_c["topic_term"], lda_py["topic_term"])
+    assert np.array_equal(dcm_c["topic_term"], dcm_py["topic_term"])
