@@ -138,3 +138,60 @@ def gaussian_fields_predict(unlabeled: list[dict], labeled: list[dict],
     return random_walk(edges, y_l, np.asarray(clf_preds, dtype=np.float64),
                        n_classes=n_classes, alpha=alpha, beta=beta, eta=eta,
                        delta=delta, weighted=weighted)
+
+
+def exact_propagation(edges, labeled_labels: np.ndarray, clf_preds: np.ndarray,
+                      *, n_classes: int, alpha: float = 1.0, beta: float = 0.1,
+                      eta: float = 0.6):
+    """GaussianFields EXACT mode — the matrix-solution path
+    (``GaussianFields.java:318-377``). The shipped reference code is dead:
+    ``constructGraph``'s C+scale·Δ matrix body is commented out ("Currently,
+    we only support random walk"), so ``test()`` would invert an empty
+    matrix. The exact semantics are therefore pinned to the closed-form
+    fixed point of the SAME weighted-sum update the random walk iterates
+    (``updateFu``): per unlabeled node i
+
+        f_i = η·(α·Σ_L w·y + β·Σ_U w·f)/(α·ΣwL + β·ΣwU) + (1−η)·clf_i
+
+    rearranged to the U×U linear system (I − ηβ·D·W_UU) f = ηα·D·W_UL y +
+    (1−η)·clf (D the per-row denominators) and solved directly with
+    ``numpy.linalg`` — the harmonic-function solution (Zhu, Ghahramani &
+    Lafferty 2003) of the reference's kNN graph. Agreement with the
+    converged walk is pinned by tests/test_gaussianfields.py."""
+    U = len(clf_preds)
+    y_l = labeled_labels.astype(np.float64)
+    A = np.eye(U)
+    c = np.zeros(U)
+    for i in range(U):
+        l_nbrs = np.asarray(list(edges["l_nbrs"][i]), dtype=np.int64)
+        l_sims = np.asarray(list(edges["l_sims"][i]), dtype=np.float64)
+        u_nbrs = np.asarray(list(edges["u_nbrs"][i]), dtype=np.int64)
+        u_sims = np.asarray(list(edges["u_sims"][i]), dtype=np.float64)
+        denom = alpha * l_sims.sum() + beta * u_sims.sum()
+        if denom == 0.0:
+            c[i] = clf_preds[i]
+            continue
+        coef = eta / denom
+        np.subtract.at(A[i], u_nbrs, coef * beta * u_sims)
+        c[i] = coef * alpha * float((l_sims * y_l[l_nbrs]).sum()) \
+            + (1.0 - eta) * clf_preds[i]
+    pred = np.linalg.solve(A, c)
+    hard = np.array([int(np.argmin(np.abs(np.arange(n_classes) - p)))
+                     for p in pred])
+    return pred, hard
+
+
+def gaussian_fields_predict_exact(unlabeled: list[dict], labeled: list[dict],
+                                  clf_preds: np.ndarray, *, n_classes: int,
+                                  k: int = 5, k_prime: int = 10,
+                                  alpha: float = 1.0, beta: float = 0.1,
+                                  eta: float = 0.6):
+    """style=SEMI exact pipeline: distributed kNN edges → direct solve.
+    Small-L+U correctness anchor; the random walk is the scale path (the
+    dense U×U solve is O(U³))."""
+    edges = build_knn_edges(unlabeled, labeled, k=k, k_prime=k_prime)
+    y_l = np.array([d["label"] for d in labeled])
+    return exact_propagation(edges, y_l,
+                             np.asarray(clf_preds, dtype=np.float64),
+                             n_classes=n_classes, alpha=alpha, beta=beta,
+                             eta=eta)

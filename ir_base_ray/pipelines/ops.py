@@ -2090,6 +2090,56 @@ def dcmlda_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def sparse_dcmlda_topics(sf_dir: str):
+    """R7 tail: sparseDCMLDA (``topicmodels/DCM/sparseDCMLDA.java``) —
+    DCM-LDA plus per-doc Beta(s,t)-prior topic on/off indicators; the
+    reference's off-by-one draw walk and per-M-step α/β re-randomization are
+    transcribed (see ``pipelines/sparsedcmlda.py``). Top-10 terms per topic.
+    Deterministic; rows-only; pinned by tests/test_sparsedcmlda.py."""
+    from ir_base_ray.pipelines.sparsedcmlda import train_sparse_dcmlda
+
+    ds, vocab = _doc_vectors(sf_dir)
+    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
+    out = train_sparse_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
+                              n_em_iters=3, inner_iters=4, seed=43)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
+def sparse_cluster_dcmlda_topics(sf_dir: str):
+    """R7 tail: sparseClusterDCMLDA
+    (``topicmodels/DCM/sparseClusterDCMLDA.java``) — sparseDCMLDA with a
+    per-doc cluster indicator over shared (cluster, topic, word) tables,
+    CRP-ish log-space cluster resampling; AD-style block-local tables with
+    fixed-order delta merge. Top-10 terms per topic. Deterministic;
+    rows-only; pinned by tests/test_sparsedcmlda.py."""
+    from ir_base_ray.pipelines.sparsedcmlda import train_sparse_cluster_dcmlda
+
+    ds, vocab = _doc_vectors(sf_dir)
+    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
+    out = train_sparse_cluster_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
+                                      n_clusters=3, n_em_iters=3,
+                                      inner_iters=3, seed=53)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with
@@ -2425,6 +2475,41 @@ def semi_supervised_walk(sf_dir: str):
     }).sort_values("doc_id").reset_index(drop=True)
 
 
+def semi_supervised_exact(sf_dir: str):
+    """R6 style=SEMI exact mode: GaussianFields by direct linear solve
+    (``GaussianFields.java:318-377`` — the matrix path, whose shipped body
+    is dead code; pinned to the walk's closed-form fixed point, see
+    ``pipelines/gaussianfields.exact_propagation``). Same split/baseline as
+    ``semi_supervised_walk``; the walk-vs-exact agreement is pinned by
+    tests/test_gaussianfields.py."""
+    from ir_base_ray.pipelines.gaussianfields import \
+        gaussian_fields_predict_exact
+
+    ds, _vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    pdf = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = []
+    for _, r in pdf.iterrows():
+        vals = np.asarray(list(r["vals"]), dtype=np.float64)
+        nrm = np.sqrt(float(vals @ vals))
+        docs.append({"doc_id": int(r["doc_id"]),
+                     "tids": np.asarray(list(r["tids"]), dtype=np.int64),
+                     "vals": vals / nrm if nrm else vals,
+                     "label": int(r["label"]),
+                     "doc_len": int(vals.sum())})
+    labeled = [d for d in docs if d["doc_id"] % 2 == 0]
+    unlabeled = [d for d in docs if d["doc_id"] % 2 == 1]
+    counts = Counter(d["label"] for d in labeled)
+    baseline = float(counts.most_common(1)[0][0])
+    clf = np.full(len(unlabeled), baseline)
+    _pred, hard = gaussian_fields_predict_exact(
+        unlabeled, labeled, clf, n_classes=len(classes), k=8, k_prime=8,
+        eta=0.9)
+    return pd.DataFrame({
+        "doc_id": [d["doc_id"] for d in unlabeled],
+        "pred_lang": [classes[int(h)] for h in hard],
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def sentence_stats(sf_dir: str):
     """M11: sentence-split analyzer over documents — per-doc kept-sentence
     and distinct-term counts (rows-only: the splitter + analyzer chain is not
@@ -2608,6 +2693,8 @@ def classify_suite(sf_dir: str):
                           ("svm", svm_classify, "pred_lang"),
                           ("kmeans", kmeans_clusters, "cluster"),
                           ("gaussianfields_rw", semi_supervised_walk,
+                           "pred_lang"),
+                          ("gaussianfields_exact", semi_supervised_exact,
                            "pred_lang"),
                           ("linadapt", globals().get("linadapt_classify"),
                            "pred_lang")):

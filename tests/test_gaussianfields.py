@@ -51,3 +51,44 @@ def test_deterministic(ray_session):
     a = gaussian_fields_predict(unlabeled, labeled, clf, n_classes=2)
     b = gaussian_fields_predict(unlabeled, labeled, clf, n_classes=2)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_exact_mode_is_walk_fixed_point(ray_session):
+    """The matrix-solution mode must be the exact fixed point of the
+    weighted-sum walk: (a) a tightly-converged random walk lands on it,
+    (b) applying one more walk update to the exact solution leaves it
+    unchanged to float tolerance."""
+    from ir_base_ray.pipelines.gaussianfields import (
+        build_knn_edges, exact_propagation, gaussian_fields_predict,
+        gaussian_fields_predict_exact, random_walk)
+
+    labeled = _docs(8, 0, 1) + _docs(8, 1, 2)
+    unlabeled = _docs(6, 0, 3) + _docs(6, 1, 4)
+    clf = np.full(len(unlabeled), 0.0)
+
+    pred_rw, hard_rw = gaussian_fields_predict(
+        unlabeled, labeled, clf, n_classes=2, k=4, k_prime=4,
+        delta=1e-13)
+    pred_ex, hard_ex = gaussian_fields_predict_exact(
+        unlabeled, labeled, clf, n_classes=2, k=4, k_prime=4)
+    assert np.allclose(pred_rw, pred_ex, atol=1e-6)
+    assert (hard_rw == hard_ex).all()
+
+    # determinism + equation re-derivation on the same edge table
+    edges = build_knn_edges(unlabeled, labeled, k=4, k_prime=4)
+    y_l = np.array([d["label"] for d in labeled])
+    ex2, _ = exact_propagation(edges, y_l, clf, n_classes=2)
+    assert np.allclose(ex2, pred_ex, atol=1e-12)
+    # residual: substituting the exact solution into the walk's update
+    # equation reproduces it (true fixed-point check, done inline so the
+    # (1-eta) term uses the ORIGINAL classifier predictions)
+    for i in range(len(unlabeled)):
+        ln = np.asarray(list(edges["l_nbrs"][i]), dtype=np.int64)
+        ls = np.asarray(list(edges["l_sims"][i]), dtype=np.float64)
+        un = np.asarray(list(edges["u_nbrs"][i]), dtype=np.int64)
+        us = np.asarray(list(edges["u_sims"][i]), dtype=np.float64)
+        denom = 1.0 * ls.sum() + 0.1 * us.sum()
+        f = (0.6 * (1.0 * (ls * y_l[ln]).sum()
+                    + 0.1 * (us * pred_ex[un]).sum()) / denom
+             + 0.4 * clf[i])
+        assert abs(f - pred_ex[i]) < 1e-10
