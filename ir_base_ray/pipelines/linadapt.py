@@ -1,0 +1,116 @@
+"""LinAdapt — per-user scaling/shifting adaptation of a global logistic
+model (``Classifier/supervised/modelAdaptation/CoLinAdapt/LinAdapt.java`` +
+its ``RegLR/RegLR.java`` base and ``_LinAdaptStruct.java``; the reference's
+shipped entry point — ``tmpRun.sh:1`` launches ``mains.LinAdaptMain``).
+
+Semantics transcribed:
+
+- per user u a transformation A_u = (a_0..a_{dim-1}, b_0..b_{dim-1}) over
+  feature GROUPS (bias = group 0; with no group file dim = F+1 and the map is
+  identity — ``loadFeatureGroupMap`` :67-76); a init 1, b init 0
+  (``_LinAdaptStruct``);
+- decision function (``linearFunc`` :121-131):
+  f(x) = a_{g(0)}·w_0 + b_0 + Σ_n (a_{g(n)}·w_n + b_{g(n)})·x_n, P = σ(f);
+- objective per user (``calculateFuncValue`` :143-157, ``calcLogLikelihood``
+  RegLR:94-117): −L̄ + Σ_k [η1(a_k−1)² + η2 b_k²], with L̄ the log-likelihood
+  normalized by the user's adaptation-set size (m_LNormFlag default true) and
+  the reference's ±MAX_VALUE guards at saturated σ;
+- gradient (``gradientByFunc`` :160-181, ``gradientByR1`` :184-193):
+  δ = (y−P)/|adapt|; ∂a_{g(n)} −= δ·w_n·x_n, ∂b_{g(n)} −= δ·x_n, plus
+  2η1(a_k−1) / 2η2 b_k;
+- per-user batch L-BFGS (RegLR.train :186-232, m=6) — users are fully
+  independent given the broadcast global weights, so the train IS a
+  ``groupby(user).map_groups`` (each group optimizes its own 2·dim vector);
+  η1 = η2 = 0.5 defaults (:32-34);
+- personalized weights (``setPersonalizedModel`` :215-227):
+  w^u_n = a_{g(n)}·w_n + b_{g(n)}, prediction P>0.5 → 1 (RegLR ``predict``).
+
+Determinism: the optimization is deterministic given the data (no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ir_base_ray.pipelines.linear import lbfgs_minimize
+
+MAX_VALUE = 1e10  # utils.Utils.MAX_VALUE guard at saturated sigmoid
+
+
+def _user_value_grad(A, g_w, docs, eta1, eta2):
+    """Objective −L̄ + R1 and its gradient for one user. ``docs`` is a list
+    of (tids, vals, y); identity feature-group map (dim = F+1)."""
+    dim = A.size // 2
+    a, b = A[:dim], A[dim:]
+    n_adapt = max(1, len(docs))
+    L = 0.0
+    grad = np.zeros_like(A)
+    for tids, vals, y in docs:
+        n = tids + 1                       # feature index (bias at 0)
+        f = a[0] * g_w[0] + b[0] + float(
+            ((a[n] * g_w[n] + b[n]) * vals).sum())
+        p = 1.0 / (1.0 + np.exp(-f)) if f > -500 else 0.0
+        if y == 1:
+            L += np.log(p) if p > 0.0 else -MAX_VALUE
+        else:
+            L += np.log(1.0 - p) if p < 1.0 else -MAX_VALUE
+        delta = (y - p) / n_adapt
+        grad[0] -= delta * g_w[0]
+        grad[dim] -= delta
+        np.subtract.at(grad, n, delta * g_w[n] * vals)
+        np.subtract.at(grad, dim + n, delta * vals)
+    L /= n_adapt
+    R1 = eta1 * float(((a - 1.0) ** 2).sum()) + eta2 * float((b ** 2).sum())
+    grad[:dim] += 2.0 * eta1 * (a - 1.0)
+    grad[dim:] += 2.0 * eta2 * b
+    return R1 - L, grad
+
+
+def adapt_user(docs, g_w, *, eta1=0.5, eta2=0.5, m=6, max_iter=100,
+               gtol=1e-5):
+    """Per-user batch L-BFGS (RegLR.train). Returns (a, b, fvalue)."""
+    F1 = g_w.size
+    A0 = np.concatenate([np.ones(F1), np.zeros(F1)])
+    A, f, _it = lbfgs_minimize(
+        lambda x: _user_value_grad(x, g_w, docs, eta1, eta2), A0, m=m,
+        gtol=gtol, max_iter=max_iter)
+    return A[:F1], A[F1:], f
+
+
+def personalized_weights(a, b, g_w):
+    """setPersonalizedModel: w^u = a∘w_g + b (identity group map)."""
+    return a * g_w + b
+
+
+def train_linadapt(vec_ds, g_w: np.ndarray, *, user_col: str = "user",
+                   eta1: float = 0.5, eta2: float = 0.5,
+                   num_partitions: int = 8):
+    """Distributed LinAdapt over a vectors Dataset (doc_id, tids, vals,
+    label, user): one broadcast of the global weights, a groupby(user)
+    shuffle, and a fully-local per-user L-BFGS inside ``map_groups``.
+    Returns a Dataset of (doc_id, pred) — each user's docs scored with their
+    personalized model."""
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+
+    def fit_group(group: pd.DataFrame) -> pd.DataFrame:
+        gw = ray.get(g_ref)
+        docs = []
+        for r in group.itertuples():
+            docs.append((np.asarray(list(r.tids), dtype=np.int64),
+                         np.asarray(list(r.vals), dtype=np.float64),
+                         int(r.label)))
+        a, b, _f = adapt_user(docs, gw, eta1=eta1, eta2=eta2)
+        pw = personalized_weights(a, b, gw)
+        ids, preds = [], []
+        for r, (tids, vals, _y) in zip(group.itertuples(), docs):
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            ids.append(int(r.doc_id))
+            preds.append(1 if 1.0 / (1.0 + np.exp(-f)) > 0.5 else 0)
+        return pd.DataFrame({"doc_id": ids, "pred": preds})
+
+    return vec_ds.groupby(user_col).map_groups(fit_group,
+                                               batch_format="pandas")

@@ -2090,6 +2090,41 @@ def dcmlda_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def linadapt_classify(sf_dir: str):
+    """modelAdaptation mainline: LinAdapt
+    (``modelAdaptation/CoLinAdapt/LinAdapt.java``; the reference's shipped
+    entry — ``tmpRun.sh:1`` → ``mains.LinAdaptMain``). Global binary LR
+    (label: lang=='en') trained distributed, then per-user (u{doc_id%8},
+    the TUIR user derivation) scaling/shifting adaptation via
+    groupby(user).map_groups, predictions from the personalized weights.
+    Rows-only; pinned by tests/test_linadapt.py (numeric-gradient,
+    disagreeing-user correction, distributed==serial)."""
+    import pyarrow as _pa
+
+    from ir_base_ray.pipelines.linadapt import train_linadapt
+    from ir_base_ray.pipelines.linear import train_logistic_regression
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    en = classes.index("en") if "en" in classes else 0
+
+    def binarize(batch: _pa.Table) -> _pa.Table:
+        lab = batch.column("label").to_numpy()
+        user = pa.array([f"u{int(d) % 8}"
+                         for d in batch.column("doc_id").to_pylist()],
+                        pa.string())
+        out = batch.set_column(batch.schema.get_field_index("label"), "label",
+                               pa.array((lab == en).astype(np.int64)))
+        return out.append_column("user", user)
+
+    bds = ds.map_batches(binarize, batch_format="pyarrow").materialize()
+    beta, _f, _it = train_logistic_regression(
+        bds, n_classes=2, n_features=len(vocab), lam=1.0, max_iter=60)
+    g_w = beta[1] - beta[0]          # 2-class softmax → binary logit weights
+    pred = train_linadapt(bds, g_w).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = np.where(pred["pred"] == 1, "en", "non-en")
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
 def sparse_dcmlda_topics(sf_dir: str):
     """R7 tail: sparseDCMLDA (``topicmodels/DCM/sparseDCMLDA.java``) —
     DCM-LDA plus per-doc Beta(s,t)-prior topic on/off indicators; the

@@ -1,0 +1,91 @@
+"""LinAdapt pins (modelAdaptation/CoLinAdapt/LinAdapt.java + RegLR.java)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ir_base_ray.pipelines.linadapt import (_user_value_grad, adapt_user,
+                                            personalized_weights,
+                                            train_linadapt)
+
+
+def _docs_for_weights(w, n, seed, flip=None):
+    """Linearly-separable docs under weight vector w (bias w[0]); ``flip``
+    optionally inverts the labels (a user disagreeing with the global
+    model)."""
+    rng = np.random.default_rng(seed)
+    F = w.size - 1
+    docs = []
+    for _ in range(n):
+        tids = np.sort(rng.choice(F, size=4, replace=False)).astype(np.int64)
+        vals = rng.uniform(0.5, 1.5, size=4)
+        f = w[0] + float((w[tids + 1] * vals).sum())
+        y = 1 if f > 0 else 0
+        if flip:
+            y = 1 - y
+        docs.append((tids, vals, y))
+    return docs
+
+
+def test_gradient_matches_numeric():
+    rng = np.random.default_rng(0)
+    F = 6
+    g_w = rng.standard_normal(F + 1)
+    docs = _docs_for_weights(g_w, 5, 1)
+    A = np.concatenate([np.ones(F + 1), np.zeros(F + 1)]) \
+        + 0.1 * rng.standard_normal(2 * (F + 1))
+    f0, g = _user_value_grad(A, g_w, docs, 0.5, 0.5)
+    eps = 1e-6
+    for i in range(A.size):
+        Ap = A.copy()
+        Ap[i] += eps
+        fp, _ = _user_value_grad(Ap, g_w, docs, 0.5, 0.5)
+        num = (fp - f0) / eps
+        assert abs(num - g[i]) < 1e-4 * max(1.0, abs(g[i])), (i, num, g[i])
+
+
+def test_adaptation_corrects_disagreeing_user():
+    """A user whose labels invert the global decision should be fixed by
+    their personal (a, b) while a strongly-regularized user stays global."""
+    rng = np.random.default_rng(3)
+    F = 10
+    g_w = rng.standard_normal(F + 1) * 2.0
+    docs = _docs_for_weights(g_w, 30, 4, flip=True)
+
+    def acc(pw):
+        ok = 0
+        for tids, vals, y in docs:
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            ok += int((f > 0) == (y == 1))
+        return ok / len(docs)
+
+    assert acc(g_w) <= 0.2                      # global is wrong for them
+    a, b, _ = adapt_user(docs, g_w, eta1=0.01, eta2=0.01)
+    assert acc(personalized_weights(a, b, g_w)) >= 0.9
+    # heavy regularization pins a≈1, b≈0 → personalized ≈ global
+    a2, b2, _ = adapt_user(docs, g_w, eta1=1e6, eta2=1e6)
+    assert np.allclose(a2, 1.0, atol=1e-3) and np.allclose(b2, 0.0, atol=1e-3)
+
+
+def test_distributed_matches_serial(ray_session):
+    """groupby(user).map_groups == the per-user serial loop."""
+    rng = np.random.default_rng(7)
+    F = 8
+    g_w = rng.standard_normal(F + 1)
+    rows = []
+    serial = {}
+    for u in range(3):
+        docs = _docs_for_weights(g_w, 12, 10 + u, flip=(u == 1))
+        a, b, _ = adapt_user(docs, g_w)
+        pw = personalized_weights(a, b, g_w)
+        for i, (tids, vals, y) in enumerate(docs):
+            did = u * 100 + i
+            rows.append({"doc_id": did, "tids": tids.tolist(),
+                         "vals": vals.tolist(), "label": y, "user": f"u{u}"})
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            serial[did] = 1 if 1.0 / (1.0 + np.exp(-f)) > 0.5 else 0
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = train_linadapt(ds, g_w).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["pred"]))
+    assert got == serial
