@@ -19,6 +19,10 @@ class AnalyzerSpec:
     length_threshold: int = 0  # doc accepted iff #distinct terms > threshold (M8)
     stopwords_path: str | None = None  # None -> packaged 749-word list
     mode: str = "full"  # "full" = tokenize/NFKC/stem chain; "simple" = SQL-parity mode
+    # stemmer language (the reference selects among 16 vendored Snowball
+    # stemmers in its analyzer constructor; see functions/snowball.py for the
+    # registry — "en" = Porter2, de/es/fr = pure-Python Snowball)
+    lang: str = "en"
 
 
 @dataclass(frozen=True)

@@ -27,7 +27,7 @@ import re
 from collections import Counter
 from dataclasses import dataclass, field
 
-from ir_base_ray.functions.normalize import normalize
+from ir_base_ray.functions.normalize import normalize, normalize_unicode
 from ir_base_ray.functions.porter2 import CachedStemmer, stem
 from ir_base_ray.sources.stopwords import load_stopwords
 
@@ -74,9 +74,15 @@ class Analyzer:
     min_len_exclusive: int = 1  # isLegit: len > 1
     max_len_exclusive: int = 20  # isLegit: len < 20
     stopwords: frozenset[str] = field(default_factory=load_stopwords)
+    lang: str = "en"  # stemmer language (functions/snowball.py registry)
 
     def __post_init__(self):
-        self._stemmer = CachedStemmer()
+        from ir_base_ray.functions.snowball import get_stemmer
+
+        self._stemmer = CachedStemmer(stem_fn=get_stemmer(self.lang))
+        # en = the byte-parity ASCII normalize; other languages use the
+        # Unicode-aware variant (accents survive to reach their stemmers)
+        self._normalize = normalize if self.lang == "en" else normalize_unicode
         # cache: raw token -> analyzed (normalized+stemmed) token
         self._token_cache: dict[str, str] = {}
         # cache: raw whitespace chunk -> tuple of (analyzed token, legit) in
@@ -89,7 +95,7 @@ class Analyzer:
         cached = self._token_cache.get(raw)
         if cached is not None:
             return cached
-        result = self._stemmer(normalize(raw))
+        result = self._stemmer(self._normalize(raw))
         if len(self._token_cache) < 2_000_000:
             self._token_cache[raw] = result
         return result

@@ -28,3 +28,21 @@ def normalize(token: str) -> str:
     if token and _ALL_DIGITS.match(token):
         return "NUM"
     return token
+
+
+_NON_WORD_UNICODE = re.compile(r"\W+")  # \w is Unicode-aware in Python
+
+
+def normalize_unicode(token: str) -> str:
+    """Unicode-aware variant for the multilingual analyzer path
+    (``AnalyzerSpec.lang != "en"``): same chain but the strip keeps
+    non-ASCII letters. Deliberate, documented deviation — the reference's
+    ASCII ``\\W`` (a Java default-flags artifact, DocAnalyzer.java:165-174)
+    would delete every accented/umlaut character before its vendored
+    non-English Snowball stemmers ever saw them."""
+    token = unicodedata.normalize("NFKC", token)
+    token = _NON_WORD_UNICODE.sub("", token)
+    token = token.lower()
+    if token and _ALL_DIGITS.match(token):
+        return "NUM"
+    return token

@@ -271,18 +271,19 @@ class CachedStemmer:
     turns almost every stem() into a dict hit. One instance per analyzer actor
     (mirrors the per-core stemmer pool, ``MultiThreadedUserAnalyzer.java:39-62``)."""
 
-    __slots__ = ("_cache", "_maxsize")
+    __slots__ = ("_cache", "_maxsize", "_stem")
 
-    def __init__(self, maxsize: int = 1_000_000):
+    def __init__(self, maxsize: int = 1_000_000, stem_fn=None):
         self._cache: dict[str, str] = {}
         self._maxsize = maxsize
+        self._stem = stem_fn or stem
 
     def __call__(self, word: str) -> str:
         c = self._cache
         hit = c.get(word)
         if hit is not None:
             return hit
-        result = stem(word)
+        result = self._stem(word)
         if len(c) < self._maxsize:
             c[word] = result
         return result

@@ -213,6 +213,7 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
             "ngram": cfg.analyzer.ngram,
             "length_threshold": cfg.analyzer.length_threshold,
             "mode": cfg.analyzer.mode,
+            "lang": cfg.analyzer.lang,
         },
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         "partitions_built": int(len(part_metrics)),

@@ -47,7 +47,8 @@ class AnalyzerActor:
         self._id_col = id_col
         if spec.mode == "full":
             stopwords = load_stopwords(spec.stopwords_path)
-            self._analyzer = Analyzer(ngram=spec.ngram, stopwords=stopwords)
+            self._analyzer = Analyzer(ngram=spec.ngram, stopwords=stopwords,
+                                      lang=spec.lang)
             self._count = self._analyzer.term_counts
         else:
             from collections import Counter

@@ -1,0 +1,107 @@
+"""Multilingual Snowball stemmer pins (functions/snowball.py — the rebuild's
+equivalent of the reference's vendored org/tartarus/snowball/ext stemmers)
++ AnalyzerSpec.lang plumbing (spec → analyzer actor → index meta.json)."""
+
+import numpy as np
+import pyarrow as pa
+
+from ir_base_ray.functions.snowball import (get_stemmer, stem_french,
+                                            stem_german, stem_spanish,
+                                            supported_languages)
+
+# golden tokens per language (hand-traced through the published algorithms;
+# regressions in region computation / suffix tables move these)
+GOLDEN_DE = [
+    ("aufeinander", "aufeinand"),
+    ("kategorie", "kategori"),
+    ("abschließen", "abschliess"),       # ß→ss, -en removed in R1
+    ("bücher", "buch"),
+    ("häuser", "haus"),
+    ("schönheit", "schonheit"),          # heit needs R2 — kept
+    ("arbeiten", "arbeit"),
+    ("möglichkeiten", "moglich"),        # en → keit(R2) → lich(R2)
+    ("verständnis", "verstandnis"),
+    ("kindes", "kind"),
+    ("gutes", "gut"),
+    ("haus", "haus"),
+]
+GOLDEN_ES = [
+    ("caminando", "camin"),
+    ("corriendo", "corr"),
+    ("librerías", "libr"),
+    ("nacionalización", "nacionaliz"),
+    ("importancia", "import"),
+    ("rápidamente", "rapid"),
+    ("hablaré", "habl"),
+    ("tenía", "ten"),
+    ("lógicamente", "logic"),
+    ("niños", "niñ"),
+    ("casas", "cas"),
+]
+GOLDEN_FR = [
+    ("continuité", "continu"),
+    ("nationalement", "national"),
+    ("majestueux", "majestu"),
+    ("parlerons", "parl"),
+    ("mangeaient", "mang"),
+    ("finissent", "fin"),
+    ("actionnelle", "actionnel"),
+    ("maisons", "maison"),
+    ("librairies", "librair"),           # step 2a: -ies after non-vowel in RV
+]
+
+
+def test_german_goldens():
+    for w, want in GOLDEN_DE:
+        assert stem_german(w) == want, (w, stem_german(w), want)
+
+
+def test_spanish_goldens():
+    for w, want in GOLDEN_ES:
+        assert stem_spanish(w) == want, (w, stem_spanish(w), want)
+
+
+def test_french_goldens():
+    for w, want in GOLDEN_FR:
+        assert stem_french(w) == want, (w, stem_french(w), want)
+
+
+def test_registry_and_fallback():
+    assert get_stemmer("de")("bücher") == "buch"
+    assert get_stemmer("german")("bücher") == "buch"
+    assert get_stemmer("en")("running") == "run"
+    assert get_stemmer("zz")("running") == "running"   # identity fallback
+    assert set(supported_languages()) == {"en", "de", "es", "fr"}
+
+
+def test_analyzer_lang_plumbing(ray_session, tmp_path):
+    """AnalyzerSpec.lang reaches the analyzer actor pool and round-trips
+    through the index meta.json."""
+    import json
+
+    import ray.data
+
+    from ir_base_ray.config import AnalyzerSpec, IndexConfig
+    from ir_base_ray.functions.analyzer import Analyzer
+    from ir_base_ray.pipelines.build_index import build_index
+
+    a = Analyzer(lang="es")
+    assert a.analyze("caminando rápidamente").tokens == ["camin", "rapid"]
+
+    docs = pa.table({
+        "url": pa.array([f"http://x/{i}" for i in range(8)]),
+        "text": pa.array(["die bücher arbeiten häuser"] * 8),
+    })
+    out = str(tmp_path / "de_index")
+    cfg = IndexConfig(out_dir=out, block_doc_range=64, num_partitions=2,
+                      analyzer_concurrency=2,
+                      analyzer=AnalyzerSpec(lang="de"))
+    build_index(ray.data.from_arrow(docs), cfg)
+    meta = json.load(open(f"{out}/meta.json"))
+    assert meta["analyzer"]["lang"] == "de"
+    # the German stems must be in the dictionary
+    import pyarrow.parquet as pq
+
+    dict_tbl = pq.ParquetDataset(f"{out}/dict").read()
+    terms = set(dict_tbl.column("term").to_pylist())
+    assert {"buch", "arbeit", "haus"} <= terms, terms
