@@ -1479,6 +1479,34 @@ def plsa_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def plsa_group_topics(sf_dir: str):
+    """A7 variant: pLSAGroup (``topicmodels/pLSA/pLSAGroup.java``) — pLSA
+    whose per-doc prior is the group-averaged θ re-derived every iteration
+    (group = ``source``). Top-10 terms per topic; rows-only; prior formula +
+    cohesion pinned by tests/test_capability.py::test_plsa_group_prior."""
+    from ir_base_ray.pipelines.plsa import train_plsa_group
+
+    ds, vocab, _classes = _doc_vectors(sf_dir, label_col="source")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        labs = batch.column("label")
+        return batch.append_column(
+            "group", pa.compute.cast(labs, pa.string()))
+
+    gds = ds.map_batches(tag, batch_format="pyarrow")
+    out = train_plsa_group(gds, n_topics=5, vocab_size=len(vocab),
+                           n_iters=5, seed=7)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lda_topics(sf_dir: str):
     """R7: LDA collapsed Gibbs (``topicmodels/LDA/LDA_Gibbs.java``; AD-LDA
     block parallelism, seeded Philox streams) over the documents table —
@@ -2621,7 +2649,9 @@ def topic_term_models(sf_dir: str):
     rows-only (iterative training), per-model semantics pinned by their
     own pytest modules."""
     parts = []
-    for name, fn in (("plsa", plsa_topics), ("lda_gibbs", lda_topics),
+    for name, fn in (("plsa", plsa_topics),
+                     ("plsa_group", plsa_group_topics),
+                     ("lda_gibbs", lda_topics),
                      ("lda_variational", lda_var_topics),
                      ("dcmlda", dcmlda_topics),
                      ("sparse_dcmlda", globals().get("sparse_dcmlda_topics")),

@@ -49,8 +49,12 @@ def _block_arrays(tbl: pa.Table):
 
 @ray.remote
 def _estep_block(tbl: pa.Table, theta: np.ndarray, phi_ref, bg, lam: float,
-                 alpha: float, beta_pseudo_unused: float, K: int, V: int):
-    """One E-step over one pinned block: returns (θ', K×V partial, loglik)."""
+                 alpha: float, beta_pseudo_unused: float, K: int, V: int,
+                 doc_prior=None):
+    """One E-step over one pinned block: returns (θ', K×V partial, loglik).
+    ``doc_prior`` (n_docs×K), when given, replaces the scalar (α−1) doc
+    pseudo-count — the pLSAGroup device (``pLSAGroup.enforceGroupPrior``:
+    each doc's sstat is seeded with its group's averaged θ)."""
     phi = phi_ref  # ray resolves the ObjectRef argument to the array
     j, v, lengths = _block_arrays(tbl)
     doc_idx = np.repeat(np.arange(len(lengths)), lengths)
@@ -64,11 +68,11 @@ def _estep_block(tbl: pa.Table, theta: np.ndarray, phi_ref, bg, lam: float,
     scale = v * (1.0 - prop_b) / s              # (P,)
     expect = (scale[:, None] * th * phi_cols)   # (P, K)
 
-    # doc sstat: (α−1) pseudo + segment sum over each doc's postings
+    # doc sstat: (α−1) pseudo (or the group prior) + per-doc segment sum
     starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
     doc_sstat = np.add.reduceat(expect, starts, axis=0) if len(lengths) else \
         np.zeros((0, K))
-    doc_sstat = doc_sstat + (alpha - 1.0)
+    doc_sstat = doc_sstat + ((alpha - 1.0) if doc_prior is None else doc_prior)
     new_theta = doc_sstat / doc_sstat.sum(axis=1, keepdims=True)
 
     # corpus partial: scatter-add expectations into K×V
@@ -166,3 +170,80 @@ def plsa_reference_serial(tids_list, vals_list, *, n_topics: int, vocab_size: in
         phi = new_sstat / new_sstat.sum(axis=1, keepdims=True)
         trace.append(ll)
     return {"topic_term": phi, "theta": theta, "loglik_trace": trace}
+
+
+def train_plsa_group(analyzed_ds, *, n_topics: int, vocab_size: int,
+                     group_col: str = "group", n_iters: int = 20,
+                     lam: float = 0.9, alpha: float = 1.05,
+                     beta: float = 1.01, seed: int = 7):
+    """pLSAGroup (``topicmodels/pLSA/pLSAGroup.java``): pLSA whose per-doc
+    topic prior is re-derived EVERY iteration from the doc's group —
+    ``enforceGroupPrior`` (:29-45): prior_g = ((α−1) + Σ_{d∈g} θ_d)/(1+|g|),
+    seeded into each group member's sstat before the E-step accumulates.
+
+    Execution shape: identical to :func:`train_plsa` (pinned blocks, one
+    φ broadcast + partial merge per iteration); the group priors are a
+    driver-side reduction over the small per-block θ matrices keyed by the
+    blocks' group-id arrays (θ is n_docs×K — group state never touches the
+    token stream). The reference requires group members adjacent in train
+    order; here groups may span blocks freely."""
+    import pyarrow.compute as pc
+
+    K, V = n_topics, vocab_size
+    blocks, group_arrs = [], []
+    for b in analyzed_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+        blocks.append(ray.put(b.drop_columns([group_col])))
+        col = b.column(group_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        group_arrs.append(np.asarray(col.to_pylist(), dtype=object))
+
+    # global group index
+    all_groups = sorted({g for arr in group_arrs for g in arr})
+    gid = {g: i for i, g in enumerate(all_groups)}
+    gidx = [np.array([gid[g] for g in arr], dtype=np.int64)
+            for arr in group_arrs]
+    n_groups = len(all_groups)
+    group_sizes = np.zeros(n_groups)
+    for arr in gidx:
+        np.add.at(group_sizes, arr, 1.0)
+
+    bg = np.full(V, beta - 1.0)
+    doc_counts = []
+    for b in blocks:
+        tbl = ray.get(b)
+        j, v, _lengths = _block_arrays(tbl)
+        np.add.at(bg, j, v)
+        doc_counts.append(tbl.num_rows)
+    bg = bg / bg.sum()
+
+    rng = np.random.default_rng(seed)
+    sstat = rng.random((K, V)) + (beta - 1.0)
+    phi = sstat / sstat.sum(axis=1, keepdims=True)
+    thetas = [np.full((n, K), 1.0 / K) for n in doc_counts]
+
+    trace = []
+    for _ in range(n_iters):
+        # enforceGroupPrior from the CURRENT θs
+        gsum = np.full((n_groups, K), alpha - 1.0)
+        for th, arr in zip(thetas, gidx):
+            np.add.at(gsum, arr, th)
+        gprior = gsum / (1.0 + group_sizes)[:, None]
+        phi_ref = ray.put(phi)
+        outs = ray.get([
+            _estep_block.remote(b, thetas[i], phi_ref, bg, lam, alpha, beta,
+                                K, V, gprior[gidx[i]])
+            for i, b in enumerate(blocks)
+        ])
+        sstat = np.full((K, V), beta - 1.0)
+        ll = 0.0
+        for i, (new_theta, partial, block_ll) in enumerate(outs):
+            thetas[i] = new_theta
+            sstat += partial
+            ll += block_ll
+        phi = sstat / sstat.sum(axis=1, keepdims=True)
+        trace.append(ll)
+
+    return {"topic_term": phi, "background": bg, "thetas": thetas,
+            "groups": all_groups, "group_prior": gprior,
+            "loglik_trace": trace}

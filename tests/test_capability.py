@@ -549,3 +549,55 @@ def test_fingerprint_ckernel_parity():
     if act.lib is None:  # compiler-less environment: Python path already used
         assert got.column("fingerprint").to_pylist() == \
             want.column("fingerprint").to_pylist()
+
+
+def test_plsa_group_prior(ray_session):
+    """pLSAGroup (pLSAGroup.java): the per-iteration group prior must equal
+    ((α−1) + Σ_{d∈g} θ_d)/(1+|g|), and the prior must pull same-group docs'
+    θ together relative to plain pLSA."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ir_base_ray.pipelines.plsa import train_plsa, train_plsa_group
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(24):
+        base = 0 if i % 2 == 0 else 15
+        tids = np.unique(rng.integers(base, base + 15,
+                                      size=rng.integers(4, 10)))
+        rows.append({"doc_id": i, "tids": tids.tolist(),
+                     "vals": [1.0] * len(tids), "group": f"g{i % 2}"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    # 1 iteration from the uniform θ init: prior_g = ((α−1) + n_g/K)/(1+n_g)
+    out1 = train_plsa_group(ds, n_topics=4, vocab_size=30, n_iters=1,
+                            seed=7, alpha=1.05)
+    n_g = 12
+    want = ((1.05 - 1.0) + n_g / 4.0) / (1.0 + n_g)
+    assert np.allclose(out1["group_prior"], want)
+
+    out = train_plsa_group(ds, n_topics=4, vocab_size=30, n_iters=8, seed=7)
+    base = train_plsa(ds.drop_columns(["group"]), n_topics=4, vocab_size=30,
+                      n_iters=8, seed=7)
+
+    def cohesion(thetas_blocks, groups_of_doc):
+        # mean pairwise L1 distance within groups (blocks concatenated in
+        # block order; group ids aligned the same way)
+        th = np.concatenate(thetas_blocks)
+        d0 = th[groups_of_doc == 0]
+        d1 = th[groups_of_doc == 1]
+        tot, cnt = 0.0, 0
+        for grp in (d0, d1):
+            for a in range(len(grp)):
+                for b in range(a + 1, len(grp)):
+                    tot += float(np.abs(grp[a] - grp[b]).sum())
+                    cnt += 1
+        return tot / cnt
+
+    gids = np.array([i % 2 for i in range(24)])
+    assert cohesion(out["thetas"], gids) < cohesion(base["thetas"], gids)
+    out2 = train_plsa_group(ds, n_topics=4, vocab_size=30, n_iters=8, seed=7)
+    assert all(np.array_equal(a, b) for a, b in zip(out["thetas"],
+                                                    out2["thetas"]))
