@@ -114,3 +114,115 @@ def train_linadapt(vec_ds, g_w: np.ndarray, *, user_col: str = "user",
 
     return vec_ds.groupby(user_col).map_groups(fit_group,
                                                batch_format="pandas")
+
+
+# ------------------------------------------------------------------ CoLinAdapt
+
+def _bow_profile(docs, F1):
+    """User BoW profile = L2-normalized sum of the user's doc vectors (the
+    ST_BoW similarity basis, ``_AdaptStruct.getSimilarity``)."""
+    prof = np.zeros(F1 - 1)
+    for tids, vals, _y in docs:
+        np.add.at(prof, tids, vals)
+    n = np.linalg.norm(prof)
+    return prof / n if n else prof
+
+
+def build_neighbors(user_docs, F1, topk: int):
+    """Directed top-K cosine neighbor lists per user (``topK<0`` = fully
+    connected, like the reference). Returns {i: [(j, sim), ...]}."""
+    users = list(user_docs)
+    profs = np.stack([_bow_profile(user_docs[u], F1) for u in users])
+    sims = profs @ profs.T
+    np.fill_diagonal(sims, -np.inf)
+    nbrs = {}
+    for i in range(len(users)):
+        order = np.argsort(-sims[i], kind="stable")
+        take = order if topk < 0 else order[:topk]
+        nbrs[i] = [(int(j), float(sims[i, j])) for j in take
+                   if np.isfinite(sims[i, j])]
+    return users, nbrs
+
+
+@ray.remote
+def _colin_block_fg(user_idx_block, docs_block, x, g_w, dim, eta1, eta2,
+                    eta3, eta4, nbrs_block):
+    """Per-block partial of the joint objective: each user's LinAdapt data +
+    R1 term plus the R2 coupling over the user's OUT-edges (each directed
+    edge contributes once to f; its gradient hits both endpoints, exactly
+    ``gradientByR2``)."""
+    f = 0.0
+    g = np.zeros_like(x)
+    for ui, docs, edges in zip(user_idx_block, docs_block, nbrs_block):
+        off_i = 2 * dim * ui
+        A = x[off_i: off_i + 2 * dim]
+        fu, gu = _user_value_grad(A, g_w, docs, eta1, eta2)
+        f += fu
+        g[off_i: off_i + 2 * dim] += gu
+        ai, bi = A[:dim], A[dim:]
+        for j, w in edges:
+            off_j = 2 * dim * j
+            aj = x[off_j: off_j + dim]
+            bj = x[off_j + dim: off_j + 2 * dim]
+            da, db = ai - aj, bi - bj
+            f += w * (eta3 * float(da @ da) + eta4 * float(db @ db))
+            g[off_i: off_i + dim] += 2.0 * w * eta3 * da
+            g[off_i + dim: off_i + 2 * dim] += 2.0 * w * eta4 * db
+            g[off_j: off_j + dim] -= 2.0 * w * eta3 * da
+            g[off_j + dim: off_j + 2 * dim] -= 2.0 * w * eta4 * db
+    return f, g
+
+
+def train_colinadapt(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
+                     eta1: float = 0.5, eta2: float = 0.5, eta3: float = 0.5,
+                     eta4: float = 0.5, n_blocks: int = 4,
+                     max_iter: int = 100, gtol: float = 1e-4):
+    """CoLinAdapt (``modelAdaptation/CoLinAdapt/CoLinAdapt.java``): ONE joint
+    L-BFGS (reference m=5 over the concatenated sharedA) over every user's
+    (a, b), coupling top-K BoW-similar neighbors through the R2 graph
+    penalty Σ_edges sim·(η3‖a_i−a_j‖² + η4‖b_i−b_j‖²) on top of each user's
+    LinAdapt data/R1 terms.
+
+    Execution shape: the objective is a sum over users (data+R1) and
+    directed edges (R2), so each L-BFGS iteration broadcasts the parameter
+    vector and sums per-user-block (f, g) partials in fixed block order —
+    the same distributed-L-BFGS device as pipelines/linear.py.
+
+    Returns dict: users (ordered), A (n_users × 2·dim), personalized
+    (n_users × F1) weight matrix."""
+    F1 = g_w.size
+    dim = F1
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    idx = list(range(n))
+    blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+    docs_refs = [ray.put([user_docs[users[i]] for i in blk])
+                 for blk in blocks]
+    nbrs_blocks = [[nbrs[i] for i in blk] for blk in blocks]
+
+    x0 = np.concatenate([np.concatenate([np.ones(dim), np.zeros(dim)])
+                         for _ in range(n)])
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _colin_block_fg.remote(blk, dref, x_ref, g_ref, dim, eta1, eta2,
+                                   eta3, eta4, nb)
+            for blk, dref, nb in zip(blocks, docs_refs, nbrs_blocks)
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:          # fixed order: deterministic float sum
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=5, gtol=gtol,
+                                max_iter=max_iter)
+    A = x.reshape(n, 2 * dim)
+    personalized = np.stack([personalized_weights(A[i, :dim], A[i, dim:],
+                                                  np.asarray(g_w))
+                             for i in range(n)])
+    return {"users": users, "A": A, "personalized": personalized,
+            "neighbors": nbrs}

@@ -2153,6 +2153,50 @@ def linadapt_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def colinadapt_classify(sf_dir: str):
+    """modelAdaptation: CoLinAdapt
+    (``modelAdaptation/CoLinAdapt/CoLinAdapt.java``) — joint L-BFGS over
+    every user's (a, b) with the top-K BoW-similarity R2 graph coupling;
+    distributed per-user-block (f, g) partials each iteration. Same user
+    derivation / global LR as ``linadapt_classify``. Rows-only; pinned by
+    tests/test_linadapt.py (joint-gradient numeric check, eta3=eta4=0
+    decoupling to LinAdapt, coupling pulls a data-poor user)."""
+    from ir_base_ray.pipelines.linadapt import train_colinadapt
+    from ir_base_ray.pipelines.linear import train_logistic_regression
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    en = classes.index("en") if "en" in classes else 0
+
+    def binarize(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        return batch.set_column(batch.schema.get_field_index("label"),
+                                "label",
+                                pa.array((lab == en).astype(np.int64)))
+
+    bds = ds.map_batches(binarize, batch_format="pyarrow").materialize()
+    beta, _f, _it = train_logistic_regression(
+        bds, n_classes=2, n_features=len(vocab), lam=1.0, max_iter=60)
+    g_w = beta[1] - beta[0]
+    pdf = bds.to_pandas().sort_values("doc_id")
+    user_docs: dict[str, list] = {}
+    doc_of_user: dict[str, list] = {}
+    for r in pdf.itertuples():
+        u = f"u{int(r.doc_id) % 8}"
+        user_docs.setdefault(u, []).append(
+            (np.asarray(list(r.tids), dtype=np.int64),
+             np.asarray(list(r.vals), dtype=np.float64), int(r.label)))
+        doc_of_user.setdefault(u, []).append(int(r.doc_id))
+    out = train_colinadapt(user_docs, g_w, topk=3)
+    rows = []
+    for u, pw in zip(out["users"], out["personalized"]):
+        for did, (tids, vals, _y) in zip(doc_of_user[u], user_docs[u]):
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            rows.append({"doc_id": did,
+                         "pred_lang": "en" if f > 0 else "non-en"})
+    return (pd.DataFrame(rows).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def sparse_dcmlda_topics(sf_dir: str):
     """R7 tail: sparseDCMLDA (``topicmodels/DCM/sparseDCMLDA.java``) —
     DCM-LDA plus per-doc Beta(s,t)-prior topic on/off indicators; the
@@ -2762,6 +2806,8 @@ def classify_suite(sf_dir: str):
                           ("gaussianfields_exact", semi_supervised_exact,
                            "pred_lang"),
                           ("linadapt", globals().get("linadapt_classify"),
+                           "pred_lang"),
+                          ("colinadapt", globals().get("colinadapt_classify"),
                            "pred_lang")):
         if fn is None:
             continue

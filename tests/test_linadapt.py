@@ -89,3 +89,73 @@ def test_distributed_matches_serial(ray_session):
     out = train_linadapt(ds, g_w).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["pred"]))
     assert got == serial
+
+
+def test_colinadapt_gradient_and_decoupling(ray_session):
+    """CoLinAdapt joint objective: analytic gradient matches numeric, and
+    with eta3=eta4=0 the joint optimum decomposes into independent per-user
+    LinAdapt solutions."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_colin_block_fg,
+                                                build_neighbors,
+                                                train_colinadapt)
+
+    rng = np.random.default_rng(11)
+    F = 5
+    g_w = rng.standard_normal(F + 1)
+    user_docs = {f"u{u}": _docs_for_weights(g_w, 8, 20 + u, flip=(u == 2))
+                 for u in range(3)}
+    users, nbrs = build_neighbors(user_docs, F + 1, topk=-1)
+    dim = F + 1
+    x = np.concatenate([np.concatenate([np.ones(dim), np.zeros(dim)])
+                        for _ in users]) + 0.05 * rng.standard_normal(3 * 2 * dim)
+    idx = list(range(3))
+    f0, g = _ray.get(_colin_block_fg.remote(
+        idx, [user_docs[u] for u in users], x, g_w, dim, 0.5, 0.5, 0.3, 0.4,
+        [nbrs[i] for i in idx]))
+    eps = 1e-6
+    for i in range(0, x.size, 7):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_colin_block_fg.remote(
+            idx, [user_docs[u] for u in users], xp, g_w, dim, 0.5, 0.5, 0.3,
+            0.4, [nbrs[i2] for i2 in idx]))
+        num = (fp - f0) / eps
+        assert abs(num - g[i]) < 1e-3 * max(1.0, abs(g[i])), (i, num, g[i])
+
+    out = train_colinadapt(user_docs, g_w, topk=2, eta3=0.0, eta4=0.0,
+                           n_blocks=2)
+    for u, pw_joint in zip(out["users"], out["personalized"]):
+        a, b, _ = adapt_user(user_docs[u], g_w)
+        assert np.allclose(pw_joint, personalized_weights(a, b, g_w),
+                           atol=5e-3), u
+
+
+def test_colinadapt_coupling_pulls_sparse_user(ray_session):
+    """A data-poor user coupled to a data-rich disagreeing-with-global
+    neighbor should inherit the neighbor's correction through R2."""
+    from ir_base_ray.pipelines.linadapt import train_colinadapt
+
+    rng = np.random.default_rng(13)
+    F = 8
+    g_w = rng.standard_normal(F + 1) * 2.0
+    rich = _docs_for_weights(g_w, 40, 30, flip=True)
+    poor = _docs_for_weights(g_w, 2, 31, flip=True)
+    user_docs = {"rich": rich, "poor": poor}
+
+    def acc(pw, docs):
+        ok = 0
+        for tids, vals, y in docs:
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            ok += int((f > 0) == (y == 1))
+        return ok / len(docs)
+
+    test_docs = _docs_for_weights(g_w, 30, 32, flip=True)
+    uncoupled = train_colinadapt(user_docs, g_w, topk=-1, eta3=0.0, eta4=0.0)
+    coupled = train_colinadapt(user_docs, g_w, topk=-1, eta3=2.0, eta4=2.0,
+                               eta1=0.05, eta2=0.05)
+    pw_u = dict(zip(uncoupled["users"], uncoupled["personalized"]))["poor"]
+    pw_c = dict(zip(coupled["users"], coupled["personalized"]))["poor"]
+    assert acc(pw_c, test_docs) >= acc(pw_u, test_docs)
+    assert acc(pw_c, test_docs) >= 0.8
