@@ -42,14 +42,20 @@ from ir_base_ray.pipelines.l2r import default_similarity
 
 
 def build_knn_edges(unlabeled: list[dict], labeled: list[dict], *,
-                    k: int = 5, k_prime: int = 10, concurrency=4):
+                    k: int = 5, k_prime: int = 10, concurrency=4,
+                    sim_fn=None):
     """Distributed edge construction → (uidx, labeled_nbrs, labeled_sims,
-    unlabeled_nbrs, unlabeled_sims) per unlabeled doc."""
-    cand_ref = ray.put((unlabeled, labeled))
+    unlabeled_nbrs, unlabeled_sims) per unlabeled doc. ``sim_fn`` overrides
+    the default exp-BoW similarity — the metricLearning subclasses
+    (pipelines/metriclearning.py) plug their LEARNED similarities in here
+    (``LinearSVMMetricLearning.getSimilarity`` / ``L2RWithQueryClustering``);
+    must be picklable (broadcast to the edge-builder actors)."""
+    cand_ref = ray.put((unlabeled, labeled, sim_fn))
 
     class EdgeBuilder:
         def __init__(self):
-            self.unlabeled, self.labeled = ray.get(cand_ref)
+            self.unlabeled, self.labeled, simf = ray.get(cand_ref)
+            self.sim = simf or default_similarity
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = {"uidx": [], "l_nbrs": [], "l_sims": [], "u_nbrs": [],
@@ -58,11 +64,11 @@ def build_knn_edges(unlabeled: list[dict], labeled: list[dict], *,
                 q = self.unlabeled[ui]
                 ql = BoundedTopK(k)
                 for j, d in enumerate(self.labeled):
-                    ql.add(default_similarity(q, d), j)
+                    ql.add(self.sim(q, d), j)
                 qu = BoundedTopK(k_prime)
                 for j, d in enumerate(self.unlabeled):
                     if j != ui:
-                        qu.add(default_similarity(q, d), j)
+                        qu.add(self.sim(q, d), j)
                 out["uidx"].append(ui)
                 out["l_nbrs"].append([j for _, j in ql.result()])
                 out["l_sims"].append([s for s, _ in ql.result()])

@@ -2153,6 +2153,46 @@ def linadapt_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+def gf_metric_svm_classify(sf_dir: str):
+    """metricLearning: LinearSVMMetricLearning
+    (``Classifier/metricLearning/LinearSVMMetricLearning.java``) — the SEMI
+    random walk driven by a LEARNED pair similarity (L1-SVC feature
+    selection → triangle diff-outer-product pair features → metric SVM →
+    exp(w·feat)), instead of the default exp-BoW. Same even/odd split as
+    ``semi_supervised_walk``; label = lang=='en' (binary, like the
+    reference's sentiment setup). Rows-only; pinned by
+    tests/test_metriclearning.py."""
+    from ir_base_ray.pipelines.gaussianfields import (build_knn_edges,
+                                                      random_walk)
+    from ir_base_ray.pipelines.metriclearning import train_linear_svm_metric
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    en = classes.index("en") if "en" in classes else 0
+    pdf = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = []
+    for _, r in pdf.iterrows():
+        vals = np.asarray(list(r["vals"]), dtype=np.float64)
+        nrm = np.sqrt(float(vals @ vals))
+        docs.append({"doc_id": int(r["doc_id"]),
+                     "tids": np.asarray(list(r["tids"]), dtype=np.int64),
+                     "vals": vals / nrm if nrm else vals,
+                     "label": 1 if int(r["label"]) == en else 0,
+                     "doc_len": int(vals.sum())})
+    labeled = [d for d in docs if d["doc_id"] % 2 == 0][:150]
+    unlabeled = [d for d in docs if d["doc_id"] % 2 == 1][:150]
+    metric = train_linear_svm_metric(labeled, n_features=len(vocab), bound=0)
+    edges = build_knn_edges(unlabeled, labeled, k=8, k_prime=8,
+                            sim_fn=metric["similarity"])
+    y_l = np.array([d["label"] for d in labeled])
+    clf = np.full(len(unlabeled),
+                  float(Counter(y_l.tolist()).most_common(1)[0][0]))
+    _pred, hard = random_walk(edges, y_l, clf, n_classes=2, eta=0.9)
+    return pd.DataFrame({
+        "doc_id": [d["doc_id"] for d in unlabeled],
+        "pred_lang": ["en" if int(h) == 1 else "non-en" for h in hard],
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def colinadapt_classify(sf_dir: str):
     """modelAdaptation: CoLinAdapt
     (``modelAdaptation/CoLinAdapt/CoLinAdapt.java``) — joint L-BFGS over
@@ -2808,6 +2848,9 @@ def classify_suite(sf_dir: str):
                           ("linadapt", globals().get("linadapt_classify"),
                            "pred_lang"),
                           ("colinadapt", globals().get("colinadapt_classify"),
+                           "pred_lang"),
+                          ("gf_metric_svm",
+                           globals().get("gf_metric_svm_classify"),
                            "pred_lang")):
         if fn is None:
             continue
