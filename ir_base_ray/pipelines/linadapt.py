@@ -226,3 +226,301 @@ def train_colinadapt(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
                              for i in range(n)])
     return {"users": users, "A": A, "personalized": personalized,
             "neighbors": nbrs}
+
+
+# ------------------------------------------------------------------ MT-SVM
+
+@ray.remote
+def _mtsvm_block_fg(rows, x, F1, n_users, sqrt_u, C):
+    """Squared-hinge data partial over one review block. Row = (tids, vals,
+    y±1, user_idx); score = w_u·φ(x) + w_g·φ(x)/√u with per-block bias at
+    position 0 (the reference appends bias last — layout-internal, same
+    math)."""
+    g_off = F1 * n_users
+    f = 0.0
+    g = np.zeros_like(x)
+    for tids, vals, y, uix in rows:
+        u_off = F1 * uix
+        n = tids + 1
+        s = x[u_off] + x[g_off] / sqrt_u + float(
+            ((x[u_off + n] + x[g_off + n] / sqrt_u) * vals).sum())
+        margin = 1.0 - y * s
+        if margin > 0:
+            f += C * margin * margin
+            coef = -2.0 * C * margin * y
+            g[u_off] += coef
+            g[g_off] += coef / sqrt_u
+            np.add.at(g, u_off + n, coef * vals)
+            np.add.at(g, g_off + n, coef * vals / sqrt_u)
+    return f, g
+
+
+def train_mtsvm(user_docs: dict, *, n_features: int, u: float = 1.0,
+                C: float = 1.0, n_blocks: int = 4, max_iter: int = 200,
+                gtol: float = 1e-4):
+    """MultiTaskSVM (``modelAdaptation/MultiTaskSVM.java``) — the
+    feature-augmentation multi-task SVM (Evgeniou & Pontil's public
+    construction, used verbatim by the reference): every review appears
+    twice in the joint feature space, once in its user's block (value x)
+    and once in the global block (value x/√u, ``createLibLinearFV``
+    :147-187); ONE binary SVM over (F+1)(U+1) weights; personalized model
+    w_u = w_global/√u + w_user (``setPersonalizedModel`` :118-143 —
+    liblinear's first-label sign flip is unnecessary here because the
+    primal trainer fixes label 1 → +1). liblinear's dual hinge solver is
+    substituted by the repo's primal squared-hinge L-BFGS (same trade as
+    R6 ``svm_classify``). Distribution: per-review-block (f, g) partials
+    against the broadcast joint weight vector, summed in fixed order.
+
+    ``user_docs``: {user: [(tids, vals, y01), ...]}. Returns dict with
+    ordered users, per-user personalized (F+1) weights and the global
+    component."""
+    F1 = n_features + 1
+    users = [u_ for u_ in user_docs if user_docs[u_]]   # valid users only
+    uix = {u_: i for i, u_ in enumerate(users)}
+    n_users = len(users)
+    sqrt_u = float(np.sqrt(u))
+    rows = []
+    for u_, docs in user_docs.items():
+        if not docs:
+            continue
+        for tids, vals, y in docs:
+            rows.append((np.asarray(tids, dtype=np.int64),
+                         np.asarray(vals, dtype=np.float64),
+                         1.0 if y == 1 else -1.0, uix[u_]))
+    blocks = [rows[i::n_blocks] for i in range(min(n_blocks, max(1, len(rows))))]
+    refs = [ray.put(b) for b in blocks]
+    dim = F1 * (n_users + 1)
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _mtsvm_block_fg.remote(r, x_ref, F1, n_users, sqrt_u, C)
+            for r in refs
+        ])
+        f = 0.5 * float(x @ x)
+        g = x.copy()
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, np.zeros(dim), gtol=gtol,
+                                max_iter=max_iter)
+    g_off = F1 * n_users
+    w_global = x[g_off: g_off + F1] / sqrt_u
+    personalized = {u_: w_global + x[F1 * i: F1 * (i + 1)]
+                    for u_, i in uix.items()}
+    return {"users": users, "personalized": personalized,
+            "global": w_global}
+
+
+# --------------------------------------------------------- RegLR family
+
+def _reglr_value_grad(w, g_w, docs, eta1):
+    """RegLR per-user objective (``RegLR.java``): −L̄ + η1‖w−w_g‖² with the
+    reference's MAX_VALUE saturation guards; w is the user's own (F+1)
+    weight vector (``logit`` :78-83 uses the personal weights directly)."""
+    n_adapt = max(1, len(docs))
+    L = 0.0
+    grad = np.zeros_like(w)
+    for tids, vals, y in docs:
+        n = tids + 1
+        f = w[0] + float((w[n] * vals).sum())
+        p = 1.0 / (1.0 + np.exp(-f)) if f > -500 else 0.0
+        if y == 1:
+            L += np.log(p) if p > 0.0 else -MAX_VALUE
+        else:
+            L += np.log(1.0 - p) if p < 1.0 else -MAX_VALUE
+        delta = (y - p) / n_adapt
+        grad[0] -= delta
+        np.subtract.at(grad, n, delta * vals)
+    L /= n_adapt
+    diff = w - g_w
+    grad += 2.0 * eta1 * diff
+    return eta1 * float(diff @ diff) - L, grad
+
+
+def adapt_user_reglr(docs, g_w, *, eta1=0.5, m=6, max_iter=100, gtol=1e-5):
+    """Per-user batch L-BFGS from the zero init (``_User.initModel``)."""
+    w, f, _it = lbfgs_minimize(
+        lambda x: _reglr_value_grad(x, g_w, docs, eta1),
+        np.zeros_like(np.asarray(g_w, dtype=np.float64)), m=m, gtol=gtol,
+        max_iter=max_iter)
+    return w, f
+
+
+def train_reglr(vec_ds, g_w: np.ndarray, *, user_col: str = "user",
+                eta1: float = 0.5):
+    """Distributed RegLR (``RegLR.java`` — global-model-regularized per-user
+    LR, the modelAdaptation base class run as its own model):
+    groupby(user).map_groups, one broadcast of the global weights. Returns
+    (doc_id, pred) rows under each user's personal model."""
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+
+    def fit_group(group: pd.DataFrame) -> pd.DataFrame:
+        gw = ray.get(g_ref)
+        docs = [(np.asarray(list(r.tids), dtype=np.int64),
+                 np.asarray(list(r.vals), dtype=np.float64), int(r.label))
+                for r in group.itertuples()]
+        w, _f = adapt_user_reglr(docs, gw, eta1=eta1)
+        ids, preds = [], []
+        for r, (tids, vals, _y) in zip(group.itertuples(), docs):
+            f = w[0] + float((w[tids + 1] * vals).sum())
+            ids.append(int(r.doc_id))
+            preds.append(1 if 1.0 / (1.0 + np.exp(-f)) > 0.5 else 0)
+        return pd.DataFrame({"doc_id": ids, "pred": preds})
+
+    return vec_ds.groupby(user_col).map_groups(fit_group,
+                                               batch_format="pandas")
+
+
+@ray.remote
+def _coreglr_block_fg(user_idx_block, docs_block, x, g_w, F1, eta1, eta2,
+                      nbrs_block):
+    """CoRegLR (``RegLR/CoRegLR.java``): per-user RegLR terms + the η2
+    neighbor coupling Σ sim·‖w_i−w_j‖² (coef 2·η2·sim on both endpoints)."""
+    f = 0.0
+    g = np.zeros_like(x)
+    for ui, docs, edges in zip(user_idx_block, docs_block, nbrs_block):
+        off_i = F1 * ui
+        w_i = x[off_i: off_i + F1]
+        fu, gu = _reglr_value_grad(w_i, g_w, docs, eta1)
+        f += fu
+        g[off_i: off_i + F1] += gu
+        for j, sim in edges:
+            off_j = F1 * j
+            d = w_i - x[off_j: off_j + F1]
+            f += eta2 * sim * float(d @ d)
+            g[off_i: off_i + F1] += 2.0 * eta2 * sim * d
+            g[off_j: off_j + F1] -= 2.0 * eta2 * sim * d
+    return f, g
+
+
+def train_coreglr(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
+                  eta1: float = 0.5, eta2: float = 0.5, n_blocks: int = 4,
+                  max_iter: int = 100, gtol: float = 1e-4):
+    """Joint CoRegLR over all users' weight vectors (same distributed
+    L-BFGS shape as CoLinAdapt; neighbors from the BoW top-K graph)."""
+    F1 = g_w.size
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    idx = list(range(n))
+    blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+    docs_refs = [ray.put([user_docs[users[i]] for i in blk])
+                 for blk in blocks]
+    nbrs_blocks = [[nbrs[i] for i in blk] for blk in blocks]
+    x0 = np.zeros(n * F1)
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _coreglr_block_fg.remote(blk, dref, x_ref, g_ref, F1, eta1,
+                                     eta2, nb)
+            for blk, dref, nb in zip(blocks, docs_refs, nbrs_blocks)
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=5, gtol=gtol,
+                                max_iter=max_iter)
+    return {"users": users,
+            "personalized": {u: x[F1 * i: F1 * (i + 1)]
+                             for u, i in ((users[i], i) for i in idx)}}
+
+
+@ray.remote
+def _mtreglr_block_fg(rows, x, F1, n_users, sqrt_u, g_w, eta1):
+    """MTRegLR (``RegLR/MTRegLR.java``): per-review data term under
+    w_u + √u·w_g, plus the per-user η1‖w_u + √u·w_g − w_0‖² regularizer —
+    the R1 is attached to the user's FIRST row in the block so each user
+    contributes it exactly once."""
+    g_off = F1 * n_users
+    f = 0.0
+    g = np.zeros_like(x)
+    seen = set()
+    # group rows by user for L-normalization and the once-per-user R1
+    by_user: dict[int, list] = {}
+    for tids, vals, y, uix in rows:
+        by_user.setdefault(uix, []).append((tids, vals, y))
+    for uix, docs in by_user.items():
+        u_off = F1 * uix
+        n_adapt = len(docs)
+        L = 0.0
+        for tids, vals, y in docs:
+            n = tids + 1
+            s = x[u_off] + sqrt_u * x[g_off] + float(
+                ((x[u_off + n] + sqrt_u * x[g_off + n]) * vals).sum())
+            p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            if y == 1:
+                L += np.log(p) if p > 0.0 else -MAX_VALUE
+            else:
+                L += np.log(1.0 - p) if p < 1.0 else -MAX_VALUE
+            delta = (y - p) / n_adapt
+            g[u_off] -= delta
+            g[g_off] -= sqrt_u * delta
+            np.subtract.at(g, u_off + n, delta * vals)
+            np.subtract.at(g, g_off + n, delta * sqrt_u * vals)
+        f -= L / n_adapt
+        if uix not in seen:
+            seen.add(uix)
+            eff = x[u_off: u_off + F1] + sqrt_u * x[g_off: g_off + F1] - g_w
+            f += eta1 * float(eff @ eff)
+            g[u_off: u_off + F1] += 2.0 * eta1 * eff
+            g[g_off: g_off + F1] += 2.0 * eta1 * sqrt_u * eff
+    return f, g
+
+
+def train_mtreglr(user_docs: dict, g_w: np.ndarray, *, u: float = 1.0,
+                  eta1: float = 0.001, n_blocks: int = 4,
+                  max_iter: int = 200, gtol: float = 1e-4):
+    """MTRegLR: ONE joint L-BFGS over (U+1)(F+1) weights — every user is
+    (w_u + √u·w_g), regularized toward the OLD global model w_0; the global
+    block starts AT w_0 and user blocks at zero (``loadUsers`` :36-44).
+    Users must stay whole within a block (the per-user L̄ normalization and
+    once-per-user R1), so blocks partition USERS."""
+    F1 = g_w.size
+    users = [u_ for u_ in user_docs if user_docs[u_]]
+    uix = {u_: i for i, u_ in enumerate(users)}
+    n_users = len(users)
+    sqrt_u = float(np.sqrt(u))
+    rows_by_block: list[list] = [[] for _ in range(min(n_blocks,
+                                                       max(1, n_users)))]
+    for u_, docs in user_docs.items():
+        if not docs:
+            continue
+        blk = uix[u_] % len(rows_by_block)
+        for tids, vals, y in docs:
+            rows_by_block[blk].append((np.asarray(tids, dtype=np.int64),
+                                       np.asarray(vals, dtype=np.float64),
+                                       1 if y == 1 else 0, uix[u_]))
+    refs = [ray.put(b) for b in rows_by_block]
+    g_w = np.asarray(g_w, dtype=np.float64)
+    x0 = np.zeros(F1 * (n_users + 1))
+    x0[F1 * n_users:] = g_w                      # global block starts at w_0
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _mtreglr_block_fg.remote(r, x_ref, F1, n_users, sqrt_u, g_w,
+                                     eta1)
+            for r in refs
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=6, gtol=gtol,
+                                max_iter=max_iter)
+    g_block = x[F1 * n_users:]
+    personalized = {u_: x[F1 * i: F1 * (i + 1)] + sqrt_u * g_block
+                    for u_, i in uix.items()}
+    return {"users": users, "personalized": personalized,
+            "global": sqrt_u * g_block}

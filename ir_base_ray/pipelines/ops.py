@@ -2153,6 +2153,116 @@ def linadapt_classify(sf_dir: str):
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
+_BINARY_USER_CACHE: dict = {}
+
+
+def _binary_user_setup(sf_dir: str):
+    """Shared prep for the modelAdaptation entries: binary label
+    (lang=='en'), u{doc_id%8} users, one distributed global binary LR —
+    memoized per sf_dir so the classify_suite doesn't retrain it per
+    model."""
+    hit = _BINARY_USER_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from ir_base_ray.pipelines.linear import train_logistic_regression
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    en = classes.index("en") if "en" in classes else 0
+
+    def binarize(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        user = pa.array([f"u{int(d) % 8}"
+                         for d in batch.column("doc_id").to_pylist()],
+                        pa.string())
+        out = batch.set_column(batch.schema.get_field_index("label"), "label",
+                               pa.array((lab == en).astype(np.int64)))
+        return out.append_column("user", user)
+
+    bds = ds.map_batches(binarize, batch_format="pyarrow").materialize()
+    beta, _f, _it = train_logistic_regression(
+        bds, n_classes=2, n_features=len(vocab), lam=1.0, max_iter=60)
+    g_w = beta[1] - beta[0]
+    pdf = bds.to_pandas().sort_values("doc_id")
+    user_docs: dict[str, list] = {}
+    doc_of_user: dict[str, list] = {}
+    for r in pdf.itertuples():
+        u = f"u{int(r.doc_id) % 8}"
+        user_docs.setdefault(u, []).append(
+            (np.asarray(list(r.tids), dtype=np.int64),
+             np.asarray(list(r.vals), dtype=np.float64), int(r.label)))
+        doc_of_user.setdefault(u, []).append(int(r.doc_id))
+    out = (bds, g_w, user_docs, doc_of_user, len(vocab))
+    _BINARY_USER_CACHE[sf_dir] = out
+    return out
+
+
+def _personalized_preds(out_users, personalized, user_docs, doc_of_user):
+    rows = []
+    for u in out_users:
+        pw = personalized[u] if isinstance(personalized, dict)             else personalized[out_users.index(u)]
+        for did, (tids, vals, _y) in zip(doc_of_user[u], user_docs[u]):
+            s = pw[0] + float((pw[tids + 1] * vals).sum())
+            rows.append({"doc_id": did,
+                         "pred_lang": "en" if s > 0 else "non-en"})
+    return (pd.DataFrame(rows).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def reglr_classify(sf_dir: str):
+    """modelAdaptation base: RegLR (``modelAdaptation/RegLR/RegLR.java``) —
+    per-user LR regularized toward the global model (η1‖w−w_g‖², zero
+    init), groupby(user).map_groups. Rows-only; pinned by
+    tests/test_linadapt.py::test_reglr_family."""
+    from ir_base_ray.pipelines.linadapt import train_reglr
+
+    bds, g_w, _ud, _du, _nf = _binary_user_setup(sf_dir)
+    pred = train_reglr(bds, g_w).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = np.where(pred["pred"] == 1, "en", "non-en")
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
+def coreglr_classify(sf_dir: str):
+    """modelAdaptation: CoRegLR (``RegLR/CoRegLR.java``) — RegLR jointly
+    optimized with the η2 top-K BoW neighbor coupling (same distributed
+    L-BFGS shape as CoLinAdapt). Rows-only; pinned by
+    tests/test_linadapt.py."""
+    from ir_base_ray.pipelines.linadapt import train_coreglr
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_coreglr(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtreglr_classify(sf_dir: str):
+    """modelAdaptation: MTRegLR (``RegLR/MTRegLR.java``) — one joint L-BFGS
+    over (U+1)(F+1) weights, each user = w_u + √u·w_g regularized toward
+    the old global model; user-partitioned blocks. Rows-only; pinned by
+    tests/test_linadapt.py."""
+    from ir_base_ray.pipelines.linadapt import train_mtreglr
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_mtreglr(user_docs, g_w)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtsvm_classify(sf_dir: str):
+    """modelAdaptation: MultiTaskSVM
+    (``modelAdaptation/MultiTaskSVM.java``) — the feature-augmentation
+    MT-SVM: one joint SVM over (F+1)(U+1) weights (user blocks at x, global
+    block at x/√u), personalized w_u = w_global/√u + w_user. Same user
+    derivation / binary label as ``linadapt_classify``; squared-hinge primal
+    substitution documented in ``pipelines/linadapt.train_mtsvm``.
+    Rows-only; pinned by tests/test_linadapt.py."""
+    from ir_base_ray.pipelines.linadapt import train_mtsvm
+
+    _bds, _g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    out = train_mtsvm(user_docs, n_features=n_feat)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def gf_metric_svm_classify(sf_dir: str):
     """metricLearning: LinearSVMMetricLearning
     (``Classifier/metricLearning/LinearSVMMetricLearning.java``) — the SEMI
@@ -2851,6 +2961,14 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("gf_metric_svm",
                            globals().get("gf_metric_svm_classify"),
+                           "pred_lang"),
+                          ("mtsvm", globals().get("mtsvm_classify"),
+                           "pred_lang"),
+                          ("reglr", globals().get("reglr_classify"),
+                           "pred_lang"),
+                          ("coreglr", globals().get("coreglr_classify"),
+                           "pred_lang"),
+                          ("mtreglr", globals().get("mtreglr_classify"),
                            "pred_lang")):
         if fn is None:
             continue

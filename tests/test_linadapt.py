@@ -159,3 +159,130 @@ def test_colinadapt_coupling_pulls_sparse_user(ray_session):
     pw_c = dict(zip(coupled["users"], coupled["personalized"]))["poor"]
     assert acc(pw_c, test_docs) >= acc(pw_u, test_docs)
     assert acc(pw_c, test_docs) >= 0.8
+
+
+def test_mtsvm_gradient_sharing_and_parity(ray_session):
+    """MT-SVM: numeric-gradient check on the joint augmented objective;
+    a data-poor user inherits the shared signal through the global block;
+    block count does not change the optimum (deterministic fixed-order
+    partial sums over an identical objective)."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import _mtsvm_block_fg, train_mtsvm
+
+    rng = np.random.default_rng(17)
+    F = 6
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {
+        "a": [(t, v, y) for t, v, y in _docs_for_weights(w_true, 20, 40)],
+        "b": [(t, v, y) for t, v, y in _docs_for_weights(w_true, 20, 41)],
+        "poor": [(t, v, y) for t, v, y in _docs_for_weights(w_true, 2, 42)],
+    }
+    # numeric gradient on one block
+    rows = []
+    for i, (u, docs) in enumerate(user_docs.items()):
+        for t, v, y in docs[:4]:
+            rows.append((t, v, 1.0 if y == 1 else -1.0, i))
+    dim = (F + 1) * 4
+    x = 0.1 * rng.standard_normal(dim)
+    f0, g = _ray.get(_mtsvm_block_fg.remote(rows, x, F + 1, 3, 1.0, 1.0))
+    eps = 1e-6
+    for i in range(0, dim, 5):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_mtsvm_block_fg.remote(rows, xp, F + 1, 3, 1.0, 1.0))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_mtsvm(user_docs, n_features=F, u=1.0, C=1.0, n_blocks=2)
+
+    def acc(pw, docs):
+        ok = 0
+        for t, v, y in docs:
+            s = pw[0] + float((pw[t + 1] * v).sum())
+            ok += int((s > 0) == (y == 1))
+        return ok / len(docs)
+
+    test_docs = _docs_for_weights(w_true, 40, 43)
+    # the 2-doc user must inherit the sharable signal through the global part
+    assert acc(out["personalized"]["poor"], test_docs) >= 0.85
+    out1 = train_mtsvm(user_docs, n_features=F, u=1.0, C=1.0, n_blocks=1)
+    for u in out["users"]:
+        assert np.allclose(out["personalized"][u], out1["personalized"][u],
+                           atol=1e-4), u
+
+
+def test_reglr_family(ray_session):
+    """RegLR: numeric gradient; heavy η1 pins the user to the global model;
+    CoRegLR with η2=0 decomposes to per-user RegLR; MTRegLR numeric
+    gradient + data-poor-user sharing through the global block."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_mtreglr_block_fg,
+                                                _reglr_value_grad,
+                                                adapt_user_reglr,
+                                                train_coreglr, train_mtreglr)
+
+    rng = np.random.default_rng(23)
+    F = 6
+    g_w = rng.standard_normal(F + 1)
+    docs = _docs_for_weights(g_w, 10, 50, flip=True)
+    w = 0.2 * rng.standard_normal(F + 1)
+    f0, g = _reglr_value_grad(w, g_w, docs, 0.5)
+    eps = 1e-6
+    for i in range(F + 1):
+        wp = w.copy()
+        wp[i] += eps
+        fp, _ = _reglr_value_grad(wp, g_w, docs, 0.5)
+        assert abs((fp - f0) / eps - g[i]) < 1e-4 * max(1.0, abs(g[i])), i
+
+    w_pinned, _ = adapt_user_reglr(docs, g_w, eta1=1e6)
+    assert np.allclose(w_pinned, g_w, atol=1e-3)
+
+    user_docs = {f"u{k}": _docs_for_weights(g_w, 10, 60 + k, flip=(k == 1))
+                 for k in range(3)}
+    out = train_coreglr(user_docs, g_w, topk=2, eta2=0.0, n_blocks=2)
+    for u in out["users"]:
+        w_solo, _ = adapt_user_reglr(user_docs[u], g_w)
+        assert np.allclose(out["personalized"][u], w_solo, atol=5e-3), u
+
+    # MTRegLR gradient check
+    rows = []
+    for i, (u, docs_u) in enumerate(user_docs.items()):
+        for t, v, y in docs_u[:4]:
+            rows.append((t, v, y, i))
+    dim = (F + 1) * 4
+    x = 0.1 * rng.standard_normal(dim)
+    f0, g = _ray.get(_mtreglr_block_fg.remote(rows, x, F + 1, 3, 1.0, g_w,
+                                              0.001))
+    for i in range(0, dim, 5):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_mtreglr_block_fg.remote(rows, xp, F + 1, 3, 1.0,
+                                                  g_w, 0.001))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    mt_docs = {
+        "a": [(t, v, y) for t, v, y in _docs_for_weights(g_w, 20, 70,
+                                                         flip=True)],
+        "b": [(t, v, y) for t, v, y in _docs_for_weights(g_w, 20, 71,
+                                                         flip=True)],
+        "poor": [(t, v, y) for t, v, y in _docs_for_weights(g_w, 2, 72,
+                                                            flip=True)],
+    }
+    mt = train_mtreglr(mt_docs, g_w, eta1=0.001)
+    # rich users fit their adaptation data exactly (the data term dominates
+    # at small η1); NOTE the MTRegLR objective has no joint ℓ2 term, so HOW
+    # the fit splits between w_u and the global block is unidentifiable —
+    # only the effective per-user model is pinned
+    for u in ("a", "b"):
+        pw = mt["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in mt_docs[u])
+        assert ok == len(mt_docs[u]), u
+    # heavy η1 pins every effective model to the old global w_0
+    mt_pin = train_mtreglr(mt_docs, g_w, eta1=1e6)
+    for u in mt_pin["users"]:
+        assert np.allclose(mt_pin["personalized"][u], g_w, atol=1e-2), u
+    mt2 = train_mtreglr(mt_docs, g_w, eta1=0.001)
+    for u in mt["users"]:
+        assert np.array_equal(mt["personalized"][u], mt2["personalized"][u])
