@@ -2247,6 +2247,37 @@ def mtreglr_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def clr_dp_classify(sf_dir: str):
+    """modelAdaptation DP tier: CLRWithDP
+    (``modelAdaptation/DirichletProcess/CLRWithDP.java``) — Dirichlet-
+    process clustering of users with cluster-shared LR weights (Neal's
+    Algorithm 8 E-step, joint distributed-L-BFGS M-step); unnormalized
+    likelihood per the shipped main (setLNormFlag(false)). Rows-only;
+    pinned by tests/test_dpadapt.py (gradient, two-population recovery,
+    the LNorm collapse quirk, determinism)."""
+    from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_dp_adaptation(user_docs, g_w, model="clr", burn_in=2,
+                              n_iters=4, seed=29)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def clinadapt_dp_classify(sf_dir: str):
+    """modelAdaptation DP tier: CLinAdaptWithDP (``CLinAdaptWithDP.java``)
+    — DP clustering with cluster-shared LinAdapt (a, b) transforms of the
+    global model (DoubleNormalPrior G0: scaling N(1,0.1) ⊗ shifting
+    N(0,1)). Rows-only; pinned by tests/test_dpadapt.py."""
+    from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_dp_adaptation(user_docs, g_w, model="clin", burn_in=2,
+                              n_iters=4, seed=31)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def mtsvm_classify(sf_dir: str):
     """modelAdaptation: MultiTaskSVM
     (``modelAdaptation/MultiTaskSVM.java``) — the feature-augmentation
@@ -2969,6 +3000,11 @@ def classify_suite(sf_dir: str):
                           ("coreglr", globals().get("coreglr_classify"),
                            "pred_lang"),
                           ("mtreglr", globals().get("mtreglr_classify"),
+                           "pred_lang"),
+                          ("clr_dp", globals().get("clr_dp_classify"),
+                           "pred_lang"),
+                          ("clinadapt_dp",
+                           globals().get("clinadapt_dp_classify"),
                            "pred_lang")):
         if fn is None:
             continue
