@@ -24,7 +24,13 @@ Gibbs; public), exactly as the reference runs it:
 - models: "clr" = cluster weight vector w (dim F+1, G0 = N(g_w, σ_A));
   "clin" = cluster transform (a, b) (dim 2(F+1), identity feature groups,
   G0 = N(1, 0.1) scaling ⊗ N(0, 1) shifting, decision
-  a∘w_g + b like LinAdapt).
+  a∘w_g + b like LinAdapt); "mtclin" = ``MTCLinAdaptWithDP.java`` —
+  cluster transforms applied over a JOINTLY-LEARNED super model
+  w_s = a_s∘w_g + b_s (the super block sits at the END of the joint
+  parameter vector exactly like ``accumulateClusterModels`` :41-46;
+  its G0 energy is scaled by η3/η4, ``calculateR1`` :57-70; gradients
+  flow into both the cluster block and the super block per review,
+  ``gradientByFunc`` :77-111).
 
 Execution shape: the CRP sweep is inherently sequential over users (cheap —
 per-user candidate scoring is a small dense op), while the M-step dominates
@@ -58,6 +64,14 @@ def _loglik_clr(w, docs, l_norm=True):
         else:
             L += np.log(1.0 - p) if p < 1.0 else -MAX_VALUE
     return L / max(1, len(docs)) if l_norm else L
+
+
+def _loglik_mtclin(A, sup, g_w, docs, l_norm=True):
+    """MTCLinAdaptWithDP likelihood: cluster transform over the super
+    weights w_s = a_s∘w_g + b_s."""
+    F1 = g_w.size
+    w_s = sup[:F1] * g_w + sup[F1:]
+    return _loglik_clin(A, w_s, docs, l_norm)
 
 
 def _loglik_clin(A, g_w, docs, l_norm=True):
@@ -100,7 +114,7 @@ def _dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
                 delta = (y - p) / n_adapt
                 g[off] -= delta
                 np.subtract.at(g, off + n, delta * vals)
-        else:
+        elif model == "clin":
             a = x[off: off + F1]
             b = x[off + F1: off + 2 * F1]
             for tids, vals, y in docs:
@@ -117,6 +131,33 @@ def _dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
                 g[off + F1] -= delta
                 np.subtract.at(g, off + n, delta * g_w[n] * vals)
                 np.subtract.at(g, off + F1 + n, delta * vals)
+        else:  # mtclin: cluster transform over the learned super model
+            sup_off = pdim * n_clusters
+            a = x[off: off + F1]
+            b = x[off + F1: off + 2 * F1]
+            a_s = x[sup_off: sup_off + F1]
+            b_s = x[sup_off + F1: sup_off + 2 * F1]
+            w_s = a_s * g_w + b_s
+            for tids, vals, y in docs:
+                n = tids + 1
+                s = a[0] * w_s[0] + b[0] + float(
+                    ((a[n] * w_s[n] + b[n]) * vals).sum())
+                p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+                if y == 1:
+                    f -= (np.log(p) if p > 0.0 else -MAX_VALUE) / n_adapt
+                else:
+                    f -= (np.log(1.0 - p) if p < 1.0 else -MAX_VALUE) / n_adapt
+                delta = (y - p) / n_adapt
+                # cluster block (gradientByFunc :93-104)
+                g[off] -= delta * w_s[0]
+                g[off + F1] -= delta
+                np.subtract.at(g, off + n, delta * w_s[n] * vals)
+                np.subtract.at(g, off + F1 + n, delta * vals)
+                # super block (:96-110)
+                g[sup_off] -= delta * a[0] * g_w[0]
+                g[sup_off + F1] -= delta * a[0]
+                np.subtract.at(g, sup_off + n, delta * a[n] * g_w[n] * vals)
+                np.subtract.at(g, sup_off + F1 + n, delta * a[n] * vals)
     return f, g
 
 
@@ -124,6 +165,7 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                         model: str = "clr", alpha: float = 1.0, M: int = 6,
                         burn_in: int = 3, n_iters: int = 8,
                         eta1: float = 0.5, eta2: float = 0.5,
+                        eta3: float = 1.0, eta4: float = 1.0,
                         nuA: tuple = (0.0, 1.0), nuB: tuple = (1.0, 0.1),
                         seed: int = 29, n_blocks: int = 4,
                         lbfgs_iter: int = 60, l_norm: bool = False):
@@ -138,6 +180,7 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
     g_w = np.asarray(g_w, dtype=np.float64)
     F1 = g_w.size
     pdim = F1 if model == "clr" else 2 * F1
+    has_sup = model == "mtclin"
     users = [u for u in user_docs if user_docs[u]]
     docs_by_user = [
         [(np.asarray(t, dtype=np.int64), np.asarray(v, dtype=np.float64),
@@ -155,9 +198,14 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
         out[:, F1:] = rng.normal(nuA[0], nuA[1], size=(k, F1))
         return out
 
+    sup = sample_g0(1)[0].copy() if has_sup else None  # initPriorG0 :50-54
+
     def loglik(theta, docs):
-        return (_loglik_clr(theta, docs, l_norm) if model == "clr"
-                else _loglik_clin(theta, g_w, docs, l_norm))
+        if model == "clr":
+            return _loglik_clr(theta, docs, l_norm)
+        if model == "clin":
+            return _loglik_clin(theta, g_w, docs, l_norm)
+        return _loglik_mtclin(theta, sup, g_w, docs, l_norm)
 
     clusters: list[np.ndarray] = []      # kBar cluster models (in order)
     mem: list[int] = []
@@ -212,8 +260,10 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
               for i in range(min(n_blocks, max(1, len(users))))]
 
     def m_step():
+        nonlocal sup
         k_bar = len(clusters)
-        x0 = np.concatenate(clusters) if clusters else np.zeros(0)
+        parts = list(clusters) + ([sup] if has_sup else [])
+        x0 = np.concatenate(parts) if parts else np.zeros(0)
         entries_refs = [
             ray.put([(docs_by_user[ui], assign[ui]) for ui in blk])
             for blk in blocks
@@ -236,6 +286,14 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                           + eta2 * float(db @ db) / (nuA[1] ** 2)) / 2.0
                     g[off: off + F1] += eta1 * da / (nuB[1] ** 2)
                     g[off + F1: off + 2 * F1] += eta2 * db / (nuA[1] ** 2)
+            if has_sup:
+                off = pdim * k_bar
+                da = x[off: off + F1] - nuB[0]
+                db = x[off + F1: off + 2 * F1] - nuA[0]
+                f += (eta3 * float(da @ da) / (nuB[1] ** 2)
+                      + eta4 * float(db @ db) / (nuA[1] ** 2)) / 2.0
+                g[off: off + F1] += eta3 * da / (nuB[1] ** 2)
+                g[off + F1: off + 2 * F1] += eta4 * db / (nuA[1] ** 2)
             x_ref = ray.put(x)
             outs = ray.get([
                 _dp_block_fg.remote(r, x_ref, g_w, pdim, model, k_bar,
@@ -251,6 +309,8 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                                     max_iter=lbfgs_iter)
         for i in range(k_bar):
             clusters[i] = x[pdim * i: pdim * (i + 1)].copy()
+        if has_sup:
+            sup = x[pdim * k_bar: pdim * k_bar + 2 * F1].copy()
         return fv
 
     e_step(first=True)
@@ -269,12 +329,14 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
         personalized = {u: clusters[assign[i]]
                         for i, u in enumerate(users)}
     else:
+        base = g_w if model == "clin" else sup[:F1] * g_w + sup[F1:]
         personalized = {}
         for i, u in enumerate(users):
             A = clusters[assign[i]]
-            personalized[u] = A[:F1] * g_w + A[F1:]
+            personalized[u] = A[:F1] * base + A[F1:]
     return {"users": users, "assign": {u: assign[i]
                                        for i, u in enumerate(users)},
             "clusters": [c.copy() for c in clusters],
             "personalized": personalized, "k_trace": k_trace,
+            "super_model": (None if sup is None else sup.copy()),
             "final_f": fv}

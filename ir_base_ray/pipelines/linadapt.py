@@ -524,3 +524,225 @@ def train_mtreglr(user_docs: dict, g_w: np.ndarray, *, u: float = 1.0,
                     for u_, i in uix.items()}
     return {"users": users, "personalized": personalized,
             "global": sqrt_u * g_block}
+
+
+# -------------------------------------------- WeightedAvgAdapt / asyncRegLR
+
+def _avg_theta(nbrs):
+    """WeightedAvgTransAdapt's neighborhood normalization (:44-66):
+    θ_ii = 1/(1+Σsim), θ_ij = sim_ij/(1+Σsim) (selfSim = 1)."""
+    out = {}
+    for i, edges in nbrs.items():
+        ssum = 1.0 + sum(s for _j, s in edges)
+        out[i] = (1.0 / ssum, [(j, s / ssum) for j, s in edges])
+    return out
+
+
+@ray.remote
+def _wavg_block_fg(user_idx_block, docs_block, x, g_w, F1, eta1,
+                   theta_block):
+    """WeightedAvgAdapt (``CoLinAdapt/WeightedAvgAdapt.java``) block
+    partial: per user, logit under the θ-weighted average of self+neighbor
+    FULL weight vectors (:46-58), R1 = η1‖w_i−w_g‖² (:60-69), gradient
+    scattering θ_ii to the user and θ_ij to each neighbor (:71-97)."""
+    f = 0.0
+    g = np.zeros_like(x)
+    for ui, docs, (self_th, edges) in zip(user_idx_block, docs_block,
+                                          theta_block):
+        off_i = F1 * ui
+        n_adapt = max(1, len(docs))
+        for tids, vals, y in docs:
+            n = tids + 1
+            s = self_th * (x[off_i] + float((x[off_i + n] * vals).sum()))
+            for j, th in edges:
+                off_j = F1 * j
+                s += th * (x[off_j] + float((x[off_j + n] * vals).sum()))
+            p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            if y == 1:
+                f -= (np.log(p) if p > 0.0 else -MAX_VALUE) / n_adapt
+            else:
+                f -= (np.log(1.0 - p) if p < 1.0 else -MAX_VALUE) / n_adapt
+            delta = (y - p) / n_adapt
+            g[off_i] -= delta * self_th
+            np.subtract.at(g, off_i + n, delta * self_th * vals)
+            for j, th in edges:
+                off_j = F1 * j
+                g[off_j] -= delta * th
+                np.subtract.at(g, off_j + n, delta * th * vals)
+        d = x[off_i: off_i + F1] - g_w
+        f += eta1 * float(d @ d)
+        g[off_i: off_i + F1] += 2.0 * eta1 * d
+    return f, g
+
+
+def train_weighted_avg_adapt(user_docs: dict, g_w: np.ndarray, *,
+                             topk: int = 2, eta1: float = 0.5,
+                             n_blocks: int = 4, max_iter: int = 100,
+                             gtol: float = 1e-4):
+    """WeightedAvgAdapt: every user owns a FULL weight vector (init = the
+    global model, ``constructUserList`` :25-43), decisions use the
+    normalized similarity-weighted average over self + top-K neighbors, and
+    ONE joint L-BFGS fits all vectors (the same distributed per-user-block
+    partial shape as CoLinAdapt)."""
+    F1 = g_w.size
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    theta = _avg_theta(nbrs)
+    n = len(users)
+    idx = list(range(n))
+    blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+    docs_refs = [ray.put([user_docs[users[i]] for i in blk])
+                 for blk in blocks]
+    theta_blocks = [[theta[i] for i in blk] for blk in blocks]
+    x0 = np.tile(np.asarray(g_w, dtype=np.float64), n)
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _wavg_block_fg.remote(blk, dref, x_ref, g_ref, F1, eta1, tb)
+            for blk, dref, tb in zip(blocks, docs_refs, theta_blocks)
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=5, gtol=gtol,
+                                max_iter=max_iter)
+    # personalized decision weights = the θ-weighted average
+    personalized = {}
+    for i, u in enumerate(users):
+        self_th, edges = theta[i]
+        pw = self_th * x[F1 * i: F1 * (i + 1)]
+        for j, th in edges:
+            pw = pw + th * x[F1 * j: F1 * (j + 1)]
+        personalized[u] = pw
+    return {"users": users, "personalized": personalized,
+            "weights": {u: x[F1 * i: F1 * (i + 1)]
+                        for i, u in enumerate(users)}}
+
+
+def adapt_user_async_reglr(docs, g_w, *, eta1: float = 0.5,
+                           init_step: float = 0.5, seed: int = 61):
+    """asyncRegLR (``RegLR/asyncRegLR.java``): ONLINE per-review gradient
+    descent — step = (0.5+0.5·U)·η0/(2+updateCount) (the reference's
+    Math.random made deterministic with a seeded stream), gradient = one
+    review's data term (L-normalized like the batch path) + the full R1
+    pull toward the global model per step."""
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    w = np.zeros_like(np.asarray(g_w, dtype=np.float64))
+    n_adapt = max(1, len(docs))
+    for count, (tids, vals, y) in enumerate(docs):
+        n = tids + 1
+        fscore = w[0] + float((w[n] * vals).sum())
+        p = 1.0 / (1.0 + np.exp(-fscore)) if fscore > -500 else 0.0
+        delta = (y - p) / n_adapt
+        grad = 2.0 * eta1 * (w - g_w)
+        grad[0] -= delta
+        np.subtract.at(grad, n, delta * vals)
+        step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + count)
+        w -= step * grad
+    return w
+
+
+def train_async_reglr(vec_ds, g_w: np.ndarray, *, user_col: str = "user",
+                      eta1: float = 0.5, seed: int = 61):
+    """Distributed asyncRegLR: per-user online pass inside
+    groupby(user).map_groups (users independent, one global broadcast)."""
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+
+    def fit_group(group: pd.DataFrame) -> pd.DataFrame:
+        gw = ray.get(g_ref)
+        group = group.sort_values("doc_id")
+        docs = [(np.asarray(list(r.tids), dtype=np.int64),
+                 np.asarray(list(r.vals), dtype=np.float64), int(r.label))
+                for r in group.itertuples()]
+        # per-user seed from the user key: deterministic and order-free
+        # (stable md5-derived hash — Python's hash() is per-process salted)
+        import hashlib as _hl
+
+        u_key = str(group[user_col].iloc[0]).encode()
+        u_seed = seed + int(_hl.md5(u_key).hexdigest()[:8], 16)
+        w = adapt_user_async_reglr(docs, gw, eta1=eta1, seed=u_seed)
+        ids, preds = [], []
+        for r, (tids, vals, _y) in zip(group.itertuples(), docs):
+            fscore = w[0] + float((w[tids + 1] * vals).sum())
+            ids.append(int(r.doc_id))
+            preds.append(1 if 1.0 / (1.0 + np.exp(-fscore)) > 0.5 else 0)
+        return pd.DataFrame({"doc_id": ids, "pred": preds})
+
+    return vec_ds.groupby(user_col).map_groups(fit_group,
+                                               batch_format="pandas")
+
+
+# ------------------------------------------------------------------ MTLinAdapt
+
+def train_mtlinadapt(user_docs: dict, g_w: np.ndarray, *, eta1: float = 0.5,
+                     eta2: float = 0.5, eta3: float = 0.5, eta4: float = 0.1,
+                     n_blocks: int = 4, max_iter: int = 150,
+                     gtol: float = 1e-4, l_norm: bool = False):
+    """MTLinAdapt (``modelAdaptation/CoLinAdapt/MTLinAdapt.java``): every
+    user's LinAdapt transform applies over a JOINTLY-LEARNED super model
+    w_s = a_s∘w_g + b_s (``getSupWeights``/``logit`` :112-121), one joint
+    L-BFGS over (U+1)·2(F+1) parameters — per-user R1 = η1(a−1)²+η2b²
+    (:126-139) and the super R1 = η3(a_s−1)²+η4b_s² (``calculateRs``
+    :149-158); gradients flow into both blocks per review
+    (``gradientByFunc`` :170-199, the identical math transcribed in
+    ``dpadapt._dp_block_fg``'s "mtclin" branch, which this trainer reuses
+    with users playing the cluster role — each user is its own block).
+    ``l_norm`` False per the shipped main's setLNormFlag(false)."""
+    from ir_base_ray.pipelines.dpadapt import _dp_block_fg
+
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    pdim = 2 * F1
+    users = [u for u in user_docs if user_docs[u]]
+    n = len(users)
+    entries_all = [([(np.asarray(t, dtype=np.int64),
+                      np.asarray(v, dtype=np.float64), int(y))
+                     for t, v, y in user_docs[u]], i)
+                   for i, u in enumerate(users)]
+    blocks = [entries_all[i::n_blocks] for i in range(min(n_blocks, n))]
+    refs = [ray.put(b) for b in blocks]
+    unit = np.concatenate([np.ones(F1), np.zeros(F1)])
+    x0 = np.tile(unit, n + 1)             # users' transforms + super at end
+
+    def value_grad(x):
+        f = 0.0
+        g = np.zeros_like(x)
+        for i in range(n):                # per-user R1
+            off = pdim * i
+            da = x[off: off + F1] - 1.0
+            db = x[off + F1: off + 2 * F1]
+            f += eta1 * float(da @ da) + eta2 * float(db @ db)
+            g[off: off + F1] += 2.0 * eta1 * da
+            g[off + F1: off + 2 * F1] += 2.0 * eta2 * db
+        off = pdim * n                    # super R1 (calculateRs)
+        da = x[off: off + F1] - 1.0
+        db = x[off + F1: off + 2 * F1]
+        f += eta3 * float(da @ da) + eta4 * float(db @ db)
+        g[off: off + F1] += 2.0 * eta3 * da
+        g[off + F1: off + 2 * F1] += 2.0 * eta4 * db
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _dp_block_fg.remote(r, x_ref, g_w, pdim, "mtclin", n, l_norm)
+            for r in refs
+        ])
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=6, gtol=gtol,
+                                max_iter=max_iter)
+    sup = x[pdim * n:]
+    w_s = sup[:F1] * g_w + sup[F1:]
+    personalized = {}
+    for i, u in enumerate(users):
+        A = x[pdim * i: pdim * (i + 1)]
+        personalized[u] = A[:F1] * w_s + A[F1:]
+    return {"users": users, "personalized": personalized,
+            "super_weights": w_s, "super_transform": sup.copy()}

@@ -2278,6 +2278,91 @@ def clinadapt_dp_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def mtclinadapt_dp_classify(sf_dir: str):
+    """modelAdaptation DP tier: MTCLinAdaptWithDP
+    (``DirichletProcess/MTCLinAdaptWithDP.java``) — DP-clustered LinAdapt
+    transforms over a JOINTLY-LEARNED super model w_s = a_s∘w_g + b_s (the
+    super block appended to the joint L-BFGS vector, η3/η4-scaled G0
+    energy). Rows-only; pinned by
+    tests/test_dpadapt.py::test_mtclin_dp_variant."""
+    from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_dp_adaptation(user_docs, g_w, model="mtclin", burn_in=2,
+                              n_iters=4, seed=37)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def weighted_avg_classify(sf_dir: str):
+    """modelAdaptation: WeightedAvgAdapt
+    (``CoLinAdapt/WeightedAvgAdapt.java``) — every user owns a full weight
+    vector (init = global), decisions use the normalized top-K
+    similarity-weighted average over self + neighbors, one joint
+    distributed L-BFGS. Rows-only; pinned by tests/test_linadapt.py."""
+    from ir_base_ray.pipelines.linadapt import train_weighted_avg_adapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_weighted_avg_adapt(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_reglr_classify(sf_dir: str):
+    """modelAdaptation: asyncRegLR (``RegLR/asyncRegLR.java``) — per-user
+    ONLINE gradient descent with the (0.5+0.5U)·η0/(2+t) decaying step
+    (seeded), distributed as groupby(user).map_groups. Rows-only; pinned by
+    tests/test_linadapt.py::test_async_reglr_online."""
+    from ir_base_ray.pipelines.linadapt import train_async_reglr
+
+    bds, g_w, _ud, _du, _nf = _binary_user_setup(sf_dir)
+    pred = train_async_reglr(bds, g_w).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = np.where(pred["pred"] == 1, "en", "non-en")
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
+def clr_hdp_classify(sf_dir: str):
+    """modelAdaptation HDP tier: CLRWithHDP
+    (``modelAdaptation/HDP/CLRWithHDP.java``) — review-level HDP cluster
+    assignment (cluster LR model + Dirichlet-multinomial language model,
+    Antoniak-table γ resampling), joint distributed-L-BFGS M-step.
+    Rows-only; pinned by tests/test_hdpadapt.py (Stirling/ascending-lgamma
+    identities, two-population recovery, γ bookkeeping, determinism)."""
+    from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_hdp_adaptation(user_docs, g_w, model="clr", burn_in=2,
+                               n_iters=3, seed=41)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def clinadapt_hdp_classify(sf_dir: str):
+    """modelAdaptation HDP tier: CLinAdaptWithHDP
+    (``HDP/CLinAdaptWithHDP.java``) — review-level HDP with cluster-shared
+    LinAdapt transforms. Rows-only; pinned by tests/test_hdpadapt.py."""
+    from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_hdp_adaptation(user_docs, g_w, model="clin", burn_in=2,
+                               n_iters=3, eta1=0.01, eta2=0.01, seed=43)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtlinadapt_classify(sf_dir: str):
+    """modelAdaptation: MTLinAdapt (``CoLinAdapt/MTLinAdapt.java``) —
+    per-user LinAdapt transforms over a jointly-learned super model
+    (non-DP MT variant), one joint distributed L-BFGS. Rows-only; pinned by
+    tests/test_linadapt.py::test_mtlinadapt."""
+    from ir_base_ray.pipelines.linadapt import train_mtlinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_mtlinadapt(user_docs, g_w)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def mtsvm_classify(sf_dir: str):
     """modelAdaptation: MultiTaskSVM
     (``modelAdaptation/MultiTaskSVM.java``) — the feature-augmentation
@@ -3005,6 +3090,23 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("clinadapt_dp",
                            globals().get("clinadapt_dp_classify"),
+                           "pred_lang"),
+                          ("mtclinadapt_dp",
+                           globals().get("mtclinadapt_dp_classify"),
+                           "pred_lang"),
+                          ("weighted_avg",
+                           globals().get("weighted_avg_classify"),
+                           "pred_lang"),
+                          ("async_reglr",
+                           globals().get("async_reglr_classify"),
+                           "pred_lang"),
+                          ("clr_hdp", globals().get("clr_hdp_classify"),
+                           "pred_lang"),
+                          ("clinadapt_hdp",
+                           globals().get("clinadapt_hdp_classify"),
+                           "pred_lang"),
+                          ("mtlinadapt",
+                           globals().get("mtlinadapt_classify"),
                            "pred_lang")):
         if fn is None:
             continue

@@ -112,3 +112,42 @@ def test_clinadapt_dp_variant(ray_session):
             int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
             for t, v, y in docs) / 30)
     assert np.mean(accs) >= 0.85, accs
+
+
+def test_mtclin_dp_variant(ray_session):
+    """MTCLinAdaptWithDP: gradient check of the cluster+super joint
+    objective, and recovery — with a ZERO global model only the learned
+    super model can carry signal (the cluster transforms alone have nothing
+    to scale), so good held-out accuracy proves the super block learns."""
+    rng = np.random.default_rng(11)
+    user_docs, wA, wB, docs_for = _two_pop_users(scale=2.0)
+    F = wA.size - 1
+    # gradient check: 2 clusters + super at the end
+    entries = [([(np.asarray(t), np.asarray(v), y)
+                 for t, v, y in docs], i % 2)
+               for i, docs in enumerate(list(user_docs.values())[:4])]
+    pdim = 2 * (F + 1)
+    x = np.concatenate([np.ones(F + 1), np.zeros(F + 1)] * 3) \
+        + 0.1 * rng.standard_normal(3 * pdim)
+    f0, g = ray.get(_dp_block_fg.remote(entries, x, wA, pdim, "mtclin", 2,
+                                        False))
+    eps = 1e-6
+    for i in range(0, x.size, 5):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = ray.get(_dp_block_fg.remote(entries, xp, wA, pdim, "mtclin",
+                                            2, False))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_dp_adaptation(user_docs, wA, model="mtclin", burn_in=4,
+                              n_iters=8, eta1=0.05, eta2=0.05, seed=37)
+    accs = []
+    for i in range(12):
+        w_true = wA if i % 2 == 0 else wB
+        pw = out["personalized"][f"u{i}"]
+        docs = docs_for(w_true, 30, 400 + i)
+        accs.append(sum(
+            int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+            for t, v, y in docs) / 30)
+    assert np.mean(accs) >= 0.85, accs
+    assert out["super_model"] is not None

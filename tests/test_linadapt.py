@@ -286,3 +286,90 @@ def test_reglr_family(ray_session):
     mt2 = train_mtreglr(mt_docs, g_w, eta1=0.001)
     for u in mt["users"]:
         assert np.array_equal(mt["personalized"][u], mt2["personalized"][u])
+
+
+def test_weighted_avg_adapt(ray_session):
+    """WeightedAvgAdapt: numeric gradient of the averaged-logit objective;
+    with topk=0 (no neighbors, θ_ii=1) it reduces to per-user RegLR."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_avg_theta, _wavg_block_fg,
+                                                adapt_user_reglr,
+                                                build_neighbors,
+                                                train_weighted_avg_adapt)
+
+    rng = np.random.default_rng(31)
+    F = 6
+    g_w = rng.standard_normal(F + 1)
+    user_docs = {f"u{k}": _docs_for_weights(g_w, 10, 80 + k, flip=(k == 1))
+                 for k in range(3)}
+    users, nbrs = build_neighbors(user_docs, F + 1, topk=-1)
+    theta = _avg_theta(nbrs)
+    x = np.tile(g_w, 3) + 0.1 * rng.standard_normal(3 * (F + 1))
+    idx = [0, 1, 2]
+    f0, g = _ray.get(_wavg_block_fg.remote(
+        idx, [user_docs[u] for u in users], x, g_w, F + 1, 0.5,
+        [theta[i] for i in idx]))
+    eps = 1e-6
+    for i in range(0, x.size, 4):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_wavg_block_fg.remote(
+            idx, [user_docs[u] for u in users], xp, g_w, F + 1, 0.5,
+            [theta[i2] for i2 in idx]))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_weighted_avg_adapt(user_docs, g_w, topk=0, n_blocks=2)
+    for u in out["users"]:
+        w_solo, _ = adapt_user_reglr(user_docs[u], g_w)
+        assert np.allclose(out["personalized"][u], w_solo, atol=5e-3), u
+
+
+def test_async_reglr_online(ray_session):
+    """asyncRegLR: the online pass moves a disagreeing user away from the
+    global model in the right direction, deterministically."""
+    from ir_base_ray.pipelines.linadapt import adapt_user_async_reglr
+
+    rng = np.random.default_rng(37)
+    F = 8
+    g_w = rng.standard_normal(F + 1) * 2.0
+    docs = _docs_for_weights(g_w, 60, 90, flip=True)
+    w = adapt_user_async_reglr(docs, g_w, eta1=0.01, init_step=2.0)
+    w2 = adapt_user_async_reglr(docs, g_w, eta1=0.01, init_step=2.0)
+    assert np.array_equal(w, w2)
+
+    def acc(pw):
+        return sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                       == (y == 1)) for t, v, y in docs) / len(docs)
+
+    assert acc(w) > acc(g_w)   # moved toward the user's flipped labels
+
+
+def test_mtlinadapt(ray_session):
+    """MTLinAdapt: per-user transforms over a learned super model. With a
+    zero global model, signal can only flow through the super SHIFTING
+    block (scaling multiplies zeros) — good fit proves the joint super
+    learning; heavy user-R1 pins every user's transform to identity so all
+    personalized models collapse onto the super weights."""
+    from ir_base_ray.pipelines.linadapt import train_mtlinadapt
+
+    rng = np.random.default_rng(41)
+    F = 8
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {
+        f"u{k}": [(t, v, y) for t, v, y in _docs_for_weights(w_true, 20,
+                                                             50 + k)]
+        for k in range(3)
+    }
+    out = train_mtlinadapt(user_docs, np.zeros(F + 1), eta1=0.01, eta2=0.01,
+                           eta3=0.01, eta4=0.001)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.9, u
+    pinned = train_mtlinadapt(user_docs, np.zeros(F + 1), eta1=1e6,
+                              eta2=1e6, eta3=0.01, eta4=0.001)
+    ws = pinned["super_weights"]
+    for u in pinned["users"]:
+        assert np.allclose(pinned["personalized"][u], ws, atol=1e-2), u
