@@ -746,3 +746,124 @@ def train_mtlinadapt(user_docs: dict, g_w: np.ndarray, *, eta1: float = 0.5,
         personalized[u] = A[:F1] * w_s + A[F1:]
     return {"users": users, "personalized": personalized,
             "super_weights": w_s, "super_transform": sup.copy()}
+
+
+# ------------------------------------------------------- MT-SVM with clusters
+
+@ray.remote
+def _mtsvm_cluster_block_fg(rows, x, F1, n_users, n_clusters, mi, mc, mu, C,
+                            cluster_of_user):
+    """MultiTaskSVMWithClusters (``MultiTaskSVMWithClusters.java``) data
+    partial: three-block augmentation — user block at x·m_i, cluster block
+    at x/m_c, global block at x/m_u (``createLibLinearFV`` :47-94, incl.
+    the coefficient-zero guards). Row = (tids, vals, y±1, user_idx)."""
+    c_base = F1 * n_users
+    g_off = F1 * (n_users + n_clusters)
+    ci = 0.0 if mi == 0 else mi          # user part MULTIPLIES
+    cc = 0.0 if mc == 0 else 1.0 / mc    # cluster part divides
+    cg = 0.0 if mu == 0 else 1.0 / mu    # global part divides
+    f = 0.0
+    g = np.zeros_like(x)
+    for tids, vals, y, uix in rows:
+        u_off = F1 * uix
+        cl_off = c_base + F1 * cluster_of_user[uix]
+        n = tids + 1
+        s = ci * x[u_off] + cc * x[cl_off] + cg * x[g_off] + float(
+            ((ci * x[u_off + n] + cc * x[cl_off + n] + cg * x[g_off + n])
+             * vals).sum())
+        margin = 1.0 - y * s
+        if margin > 0:
+            f += C * margin * margin
+            coef = -2.0 * C * margin * y
+            g[u_off] += coef * ci
+            g[cl_off] += coef * cc
+            g[g_off] += coef * cg
+            np.add.at(g, u_off + n, coef * ci * vals)
+            np.add.at(g, cl_off + n, coef * cc * vals)
+            np.add.at(g, g_off + n, coef * cg * vals)
+    return f, g
+
+
+def train_mtsvm_clusters(user_docs: dict, cluster_of: dict, *,
+                         n_features: int, n_clusters: int, mi: float = 1.0,
+                         mc: float = 1.0, mu: float = 1.0, C: float = 1.0,
+                         n_blocks: int = 4, max_iter: int = 200,
+                         gtol: float = 1e-4):
+    """Three-level MT-SVM: joint squared-hinge primal over
+    (F+1)(U + #clusters + 1) weights. The reference's personalized model
+    MULTIPLIES the coefficients (``setPersonalizedModel`` :95-125:
+    m_u·w_g + m_c·w_c + m_i·w_u) while training DIVIDES for the cluster and
+    global parts — an inconsistency quirk that cancels only at unit
+    coefficients; both formulas are transcribed exactly and the mismatch is
+    pinned by test."""
+    F1 = n_features + 1
+    users = [u for u in user_docs if user_docs[u]]
+    uix = {u: i for i, u in enumerate(users)}
+    n_users = len(users)
+    cluster_arr = [int(cluster_of[u]) for u in users]
+    rows = []
+    for u, docs in user_docs.items():
+        if not docs:
+            continue
+        for tids, vals, y in docs:
+            rows.append((np.asarray(tids, dtype=np.int64),
+                         np.asarray(vals, dtype=np.float64),
+                         1.0 if y == 1 else -1.0, uix[u]))
+    blocks = [rows[i::n_blocks]
+              for i in range(min(n_blocks, max(1, len(rows))))]
+    refs = [ray.put(b) for b in blocks]
+    dim = F1 * (n_users + n_clusters + 1)
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _mtsvm_cluster_block_fg.remote(r, x_ref, F1, n_users, n_clusters,
+                                           mi, mc, mu, C, cluster_arr)
+            for r in refs
+        ])
+        f = 0.5 * float(x @ x)
+        g = x.copy()
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, np.zeros(dim), gtol=gtol,
+                                max_iter=max_iter)
+    g_off = F1 * (n_users + n_clusters)
+    w_g = x[g_off: g_off + F1]
+    personalized = {}
+    for u, i in uix.items():
+        w_u = x[F1 * i: F1 * (i + 1)]
+        cl = cluster_arr[i]
+        w_c = x[F1 * (n_users + cl): F1 * (n_users + cl + 1)]
+        personalized[u] = mu * w_g + mc * w_c + mi * w_u   # predict formula
+    return {"users": users, "personalized": personalized,
+            "global": w_g, "cluster_weights": [
+                x[F1 * (n_users + c): F1 * (n_users + c + 1)]
+                for c in range(n_clusters)]}
+
+
+def cluster_users_kmeans(user_docs: dict, F1: int, k: int = 2,
+                         n_iters: int = 20, seed: int = 3) -> dict:
+    """Deterministic k-means over the users' L2-normalized BoW profiles —
+    the external clustering the reference's mains feed into
+    MultiTaskSVMWithClusters / L2RWithQueryClustering."""
+    users = list(user_docs)
+    profs = np.stack([_bow_profile(user_docs[u], F1) for u in users])
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    centers = profs[rng.choice(len(users), size=min(k, len(users)),
+                               replace=False)]
+    assign = np.zeros(len(users), dtype=np.int64)
+    for _ in range(n_iters):
+        d = ((profs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        new_assign = d.argmin(axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+        for c in range(centers.shape[0]):
+            m = assign == c
+            if m.any():
+                centers[c] = profs[m].mean(axis=0)
+    return {u: int(a) for u, a in zip(users, assign)}

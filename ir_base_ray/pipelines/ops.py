@@ -2379,6 +2379,24 @@ def mtsvm_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def mtsvm_clusters_classify(sf_dir: str):
+    """modelAdaptation: MultiTaskSVMWithClusters
+    (``modelAdaptation/MultiTaskSVMWithClusters.java``) — three-level MT-SVM
+    (user + kmeans-cluster + global blocks); divide-train/multiply-predict
+    coefficient quirk transcribed. Clusters from deterministic kmeans over
+    user BoW profiles. Rows-only; pinned by
+    tests/test_linadapt.py::test_mtsvm_clusters."""
+    from ir_base_ray.pipelines.linadapt import (cluster_users_kmeans,
+                                                train_mtsvm_clusters)
+
+    _bds, _g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    km = cluster_users_kmeans(user_docs, n_feat + 1, k=3)
+    out = train_mtsvm_clusters(user_docs, km, n_features=n_feat,
+                               n_clusters=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def gf_metric_svm_classify(sf_dir: str):
     """metricLearning: LinearSVMMetricLearning
     (``Classifier/metricLearning/LinearSVMMetricLearning.java``) — the SEMI
@@ -3107,6 +3125,9 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("mtlinadapt",
                            globals().get("mtlinadapt_classify"),
+                           "pred_lang"),
+                          ("mtsvm_clusters",
+                           globals().get("mtsvm_clusters_classify"),
                            "pred_lang")):
         if fn is None:
             continue

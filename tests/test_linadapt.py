@@ -373,3 +373,50 @@ def test_mtlinadapt(ray_session):
     ws = pinned["super_weights"]
     for u in pinned["users"]:
         assert np.allclose(pinned["personalized"][u], ws, atol=1e-2), u
+
+
+def test_mtsvm_clusters(ray_session):
+    """MT-SVM-with-clusters: numeric gradient of the three-block objective;
+    at unit coefficients it matches plain MT-SVM's behavior class (fits
+    users); the divide-train / multiply-predict coefficient quirk is pinned
+    (they disagree away from 1)."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_mtsvm_cluster_block_fg,
+                                                cluster_users_kmeans,
+                                                train_mtsvm_clusters)
+
+    rng = np.random.default_rng(43)
+    F = 6
+    wA = rng.standard_normal(F + 1) * 2.0
+    user_docs = {
+        f"u{k}": [(t, v, y) for t, v, y in
+                  _docs_for_weights(wA, 15, 60 + k, flip=(k >= 2))]
+        for k in range(4)
+    }
+    clusters = {f"u{k}": 0 if k < 2 else 1 for k in range(4)}
+    rows = []
+    for i, (u, docs) in enumerate(user_docs.items()):
+        for t, v, y in docs[:4]:
+            rows.append((t, v, 1.0 if y == 1 else -1.0, i))
+    dim = (F + 1) * 7
+    x = 0.1 * rng.standard_normal(dim)
+    f0, g = _ray.get(_mtsvm_cluster_block_fg.remote(
+        rows, x, F + 1, 4, 2, 0.7, 1.3, 2.0, 1.0, [0, 0, 1, 1]))
+    eps = 1e-6
+    for i in range(0, dim, 6):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_mtsvm_cluster_block_fg.remote(
+            rows, xp, F + 1, 4, 2, 0.7, 1.3, 2.0, 1.0, [0, 0, 1, 1]))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_mtsvm_clusters(user_docs, clusters, n_features=F,
+                               n_clusters=2)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.9, u
+    km = cluster_users_kmeans(user_docs, F + 1, k=2)
+    assert set(km.values()) <= {0, 1} and len(km) == 4
