@@ -90,11 +90,13 @@ def _loglik_clin(A, g_w, docs, l_norm=True):
     return L / max(1, len(docs)) if l_norm else L
 
 
-@ray.remote
-def _dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
-                 l_norm=True):
+def dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
+                l_norm=True):
     """Data-term partial for one user block: −L̄ under the user's assigned
-    cluster model, gradient into that cluster's parameter block."""
+    cluster model, gradient into that cluster's parameter block. Plain
+    function — ``_dp_block_fg`` is its ray.remote wrapper; callers use the
+    local form when the whole problem is driver-scale (the per-iteration
+    remote-call latency would dominate a sub-millisecond partial)."""
     F1 = g_w.size
     f = 0.0
     g = np.zeros_like(x)
@@ -159,6 +161,9 @@ def _dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
                 np.subtract.at(g, sup_off + n, delta * a[n] * g_w[n] * vals)
                 np.subtract.at(g, sup_off + F1 + n, delta * a[n] * vals)
     return f, g
+
+
+_dp_block_fg = ray.remote(dp_block_fg)
 
 
 def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,

@@ -2379,6 +2379,35 @@ def mtsvm_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def clr_mmb_classify(sf_dir: str):
+    """modelAdaptation MMB tier: CLRWithMMB
+    (``modelAdaptation/MMB/CLRWithMMB.java``) — the review-level HDP
+    extended with a user-user network whose directed edge memberships share
+    the clusters (Beta-Bernoulli block matrix, (1−ρ) background gate for
+    zero edges). The network the reference loads from friendship files is
+    derived deterministically here: an edge e=1 between users whose BoW
+    profile cosine exceeds the pair median, e=0 otherwise. Rows-only;
+    pinned by tests/test_mmbadapt.py (coupled text+network recovery,
+    background-gate release, block-matrix ordering, determinism)."""
+    from ir_base_ray.pipelines.linadapt import _bow_profile
+    from ir_base_ray.pipelines.mmbadapt import train_mmb_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    users = sorted(user_docs)
+    profs = np.stack([_bow_profile(user_docs[u], n_feat + 1)
+                      for u in users])
+    sims = profs @ profs.T
+    vals = [sims[i, j] for i in range(len(users))
+            for j in range(i + 1, len(users))]
+    med = float(np.median(vals)) if vals else 0.0
+    edges = {(users[i], users[j]): int(sims[i, j] > med)
+             for i in range(len(users)) for j in range(i + 1, len(users))}
+    out = train_mmb_adaptation(user_docs, edges, g_w, model="clr",
+                               burn_in=2, n_iters=3, seed=47)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def mtsvm_clusters_classify(sf_dir: str):
     """modelAdaptation: MultiTaskSVMWithClusters
     (``modelAdaptation/MultiTaskSVMWithClusters.java``) — three-level MT-SVM
@@ -3128,6 +3157,8 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("mtsvm_clusters",
                            globals().get("mtsvm_clusters_classify"),
+                           "pred_lang"),
+                          ("clr_mmb", globals().get("clr_mmb_classify"),
                            "pred_lang")):
         if fn is None:
             continue
