@@ -867,3 +867,22 @@ def cluster_users_kmeans(user_docs: dict, F1: int, k: int = 2,
             if m.any():
                 centers[c] = profs[m].mean(axis=0)
     return {u: int(a) for u, a in zip(users, assign)}
+
+
+def adapt_user_async_linadapt(docs, g_w, *, eta1: float = 0.5,
+                              eta2: float = 0.5, init_step: float = 0.5,
+                              seed: int = 67):
+    """asyncLinAdapt (``CoLinAdapt/asyncLinAdapt.java``): ONLINE LinAdapt —
+    as each review arrives, one gradient-descent step on the LinAdapt
+    objective over the reviews seen so far (``calculateGradients(user)``
+    iterates the user's revealed adaptation set) with asyncRegLR's decaying
+    step (0.5+0.5·U)·η0/(2+t), seeded. Returns (a, b)."""
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    F1 = np.asarray(g_w).size
+    A = np.concatenate([np.ones(F1), np.zeros(F1)])
+    for count in range(len(docs)):
+        _f, grad = _user_value_grad(A, g_w, docs[: count + 1], eta1, eta2)
+        step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + count)
+        A -= step * grad
+    return A[:F1], A[F1:]

@@ -420,3 +420,26 @@ def test_mtsvm_clusters(ray_session):
         assert ok / len(docs) >= 0.9, u
     km = cluster_users_kmeans(user_docs, F + 1, k=2)
     assert set(km.values()) <= {0, 1} and len(km) == 4
+
+
+def test_async_linadapt_online(ray_session):
+    """asyncLinAdapt: the online transform pass moves a disagreeing user's
+    personalized model toward their labels, deterministically."""
+    from ir_base_ray.pipelines.linadapt import adapt_user_async_linadapt
+
+    rng = np.random.default_rng(47)
+    F = 8
+    g_w = rng.standard_normal(F + 1) * 2.0
+    docs = _docs_for_weights(g_w, 50, 95, flip=True)
+    a, b = adapt_user_async_linadapt(docs, g_w, eta1=0.01, eta2=0.01,
+                                     init_step=2.0)
+    a2, b2 = adapt_user_async_linadapt(docs, g_w, eta1=0.01, eta2=0.01,
+                                       init_step=2.0)
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
+    pw = personalized_weights(a, b, g_w)
+
+    def acc(w):
+        return sum(int(((w[0] + float((w[t + 1] * v).sum())) > 0)
+                       == (y == 1)) for t, v, y in docs) / len(docs)
+
+    assert acc(pw) > acc(g_w)
