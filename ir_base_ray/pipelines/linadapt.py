@@ -886,3 +886,192 @@ def adapt_user_async_linadapt(docs, g_w, *, eta1: float = 0.5,
         step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + count)
         A -= step * grad
     return A[:F1], A[F1:]
+
+
+def train_async_colinadapt(user_docs: dict, g_w: np.ndarray, *,
+                           topk: int = 2, eta1: float = 0.5,
+                           eta2: float = 0.5, eta3: float = 0.5,
+                           eta4: float = 0.5, init_step: float = 0.5,
+                           seed: int = 71, reglr: bool = False):
+    """asyncCoLinAdapt / asyncCoRegLR
+    (``CoLinAdapt/asyncCoLinAdapt.java``, ``RegLR/asyncCoRegLR.java``):
+    ONLINE co-adaptation — reviews arrive round-robin across users; each
+    arrival takes one decaying gradient step on the arriving user's block
+    only: their data term over the newly arrived review (the adaptation
+    cache, ``getAdaptationCacheSize``), their R1, and the R2 coupling
+    against BOTH forward and REVERSE neighbors with the neighbor held
+    constant (``gradientByR2(ui, uj, sim)`` :56-69 — the one-sided update
+    that distinguishes the async variant from batch CoLinAdapt's symmetric
+    gradient). ``reglr=True`` runs the asyncCoRegLR flavor (full weight
+    vectors, R1 toward the global model). Step follows asyncRegLR's seeded
+    (0.5+0.5·U)·η0/(2+count). Returns per-user personalized weights."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    reverse: dict[int, list] = {i: [] for i in range(n)}
+    for i, edges in nbrs.items():
+        for j, sim in edges:
+            reverse[j].append((i, sim))
+    pdim = F1 if reglr else 2 * F1
+    if reglr:
+        A = [np.zeros(F1) for _ in range(n)]
+    else:
+        A = [np.concatenate([np.ones(F1), np.zeros(F1)]) for _ in range(n)]
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    counts = [0] * n
+    max_docs = max(len(user_docs[u]) for u in users)
+    for r_idx in range(max_docs):           # round-robin arrivals
+        for i, u in enumerate(users):
+            docs = user_docs[u]
+            if r_idx >= len(docs):
+                continue
+            cache = [docs[r_idx]]
+            if reglr:
+                _f, grad = _reglr_value_grad(A[i], g_w, cache, eta1)
+            else:
+                _f, grad = _user_value_grad(A[i], g_w, cache, eta1, eta2)
+                ai, bi = A[i][:F1], A[i][F1:]
+                for j, sim in nbrs[i] + reverse[i]:
+                    if reglr:
+                        continue
+                    aj = A[j][:F1]
+                    bj = A[j][F1:]
+                    grad[:F1] += 2.0 * sim * eta3 * (ai - aj)
+                    grad[F1:] += 2.0 * sim * eta4 * (bi - bj)
+            if reglr:
+                for j, sim in nbrs[i] + reverse[i]:
+                    grad += 2.0 * sim * eta3 * (A[i] - A[j])
+            step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + counts[i])
+            A[i] = A[i] - step * grad
+            counts[i] += 1
+    personalized = {}
+    for i, u in enumerate(users):
+        if reglr:
+            personalized[u] = A[i].copy()
+        else:
+            personalized[u] = personalized_weights(A[i][:F1], A[i][F1:], g_w)
+    return {"users": users, "personalized": personalized}
+
+
+# ---------------------------------------------------- CLinAdaptWithKmeans
+
+@ray.remote
+def _clin_kmeans_block_fg(rows, x, g_w, F1, n_users, n_clusters, mi, mc, mu,
+                          eta1, eta2, cluster_of_user, l_norm):
+    """CLinAdaptWithKmeans (``DirichletProcess/CLinAdaptWithKmeans.java``)
+    data+R1 partial: effective transform = m_u·(a_g,b_g) + m_c·(a_c,b_c) +
+    m_i·(a_u,b_u) (``logit`` :78-94); the review gradient scatters into all
+    three blocks with the matching coefficients (:121-163); per-user R1 =
+    η1(a_u−1)²+η2b_u² (:166-175). Row = (tids, vals, y01, user_idx,
+    n_adapt)."""
+    pdim = 2 * F1
+    c_base = pdim * n_users
+    g_off = pdim * (n_users + n_clusters)
+    f = 0.0
+    g = np.zeros_like(x)
+    for tids, vals, y, uixv, n_adapt in rows:
+        u_off = pdim * uixv
+        cl_off = c_base + pdim * cluster_of_user[uixv]
+        n = tids + 1
+        a_eff0 = (mu * x[g_off] + mc * x[cl_off] + mi * x[u_off])
+        b_eff0 = (mu * x[g_off + F1] + mc * x[cl_off + F1]
+                  + mi * x[u_off + F1])
+        a_eff = (mu * x[g_off + n] + mc * x[cl_off + n] + mi * x[u_off + n])
+        b_eff = (mu * x[g_off + F1 + n] + mc * x[cl_off + F1 + n]
+                 + mi * x[u_off + F1 + n])
+        s = a_eff0 * g_w[0] + b_eff0 + float(
+            ((a_eff * g_w[n] + b_eff) * vals).sum())
+        p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+        nrm = n_adapt if l_norm else 1
+        if y == 1:
+            f -= (np.log(p) if p > 0.0 else -MAX_VALUE) / nrm
+        else:
+            f -= (np.log(1.0 - p) if p < 1.0 else -MAX_VALUE) / nrm
+        delta = (y - p) / nrm
+        for off, co in ((u_off, mi), (cl_off, mc), (g_off, mu)):
+            g[off] -= delta * co * g_w[0]
+            g[off + F1] -= delta * co
+            np.subtract.at(g, off + n, delta * co * g_w[n] * vals)
+            np.subtract.at(g, off + F1 + n, delta * co * vals)
+    return f, g
+
+
+def train_clinadapt_kmeans(user_docs: dict, cluster_of: dict,
+                           g_w: np.ndarray, *, n_clusters: int,
+                           mi: float = 1.0, mc: float = 1.0,
+                           mu: float = 1.0, eta1: float = 0.5,
+                           eta2: float = 0.5, eta3: float = 0.1,
+                           eta4: float = 0.1, n_blocks: int = 4,
+                           max_iter: int = 150, gtol: float = 1e-4,
+                           l_norm: bool = True):
+    """Joint batch L-BFGS over (U + #clusters + 1)·2(F+1) transform
+    parameters (``train`` :197-246): per-user R1 (η1/η2) + the cluster and
+    global blocks' η3/η4 regularization (``calculateRcRg`` :100-118);
+    all transform blocks initialized at the identity (a=1, b=0,
+    ``constructUserList``). Distributed per-review-block partials."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    pdim = 2 * F1
+    users = [u for u in user_docs if user_docs[u]]
+    uix = {u: i for i, u in enumerate(users)}
+    n_users = len(users)
+    cluster_arr = [int(cluster_of[u]) for u in users]
+    rows = []
+    for u, docs in user_docs.items():
+        if not docs:
+            continue
+        for tids, vals, y in docs:
+            rows.append((np.asarray(tids, dtype=np.int64),
+                         np.asarray(vals, dtype=np.float64), int(y),
+                         uix[u], len(docs)))
+    blocks = [rows[i::n_blocks]
+              for i in range(min(n_blocks, max(1, len(rows))))]
+    refs = [ray.put(b) for b in blocks]
+    unit = np.concatenate([np.ones(F1), np.zeros(F1)])
+    x0 = np.tile(unit, n_users + n_clusters + 1)
+
+    def value_grad(x):
+        f = 0.0
+        g = np.zeros_like(x)
+        for i in range(n_users):              # per-user R1
+            off = pdim * i
+            da = x[off: off + F1] - 1.0
+            db = x[off + F1: off + 2 * F1]
+            f += eta1 * float(da @ da) + eta2 * float(db @ db)
+            g[off: off + F1] += 2.0 * eta1 * da
+            g[off + F1: off + 2 * F1] += 2.0 * eta2 * db
+        for c in range(n_clusters + 1):       # cluster + global (RcRg)
+            off = pdim * (n_users + c)
+            da = x[off: off + F1] - 1.0
+            db = x[off + F1: off + 2 * F1]
+            f += eta3 * float(da @ da) + eta4 * float(db @ db)
+            g[off: off + F1] += 2.0 * eta3 * da
+            g[off + F1: off + 2 * F1] += 2.0 * eta4 * db
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _clin_kmeans_block_fg.remote(r, x_ref, g_w, F1, n_users,
+                                         n_clusters, mi, mc, mu, eta1, eta2,
+                                         cluster_arr, l_norm)
+            for r in refs
+        ])
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=6, gtol=gtol,
+                                max_iter=max_iter)
+    g_off = pdim * (n_users + n_clusters)
+    personalized = {}
+    for u, i in uix.items():
+        cl_off = pdim * (n_users + cluster_arr[i])
+        u_off = pdim * i
+        a = (mu * x[g_off: g_off + F1] + mc * x[cl_off: cl_off + F1]
+             + mi * x[u_off: u_off + F1])
+        b = (mu * x[g_off + F1: g_off + 2 * F1]
+             + mc * x[cl_off + F1: cl_off + 2 * F1]
+             + mi * x[u_off + F1: u_off + 2 * F1])
+        personalized[u] = a * g_w + b
+    return {"users": users, "personalized": personalized}

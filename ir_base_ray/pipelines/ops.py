@@ -2379,6 +2379,36 @@ def mtsvm_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def clinadapt_kmeans_classify(sf_dir: str):
+    """modelAdaptation: CLinAdaptWithKmeans
+    (``DirichletProcess/CLinAdaptWithKmeans.java``) — three-level transform
+    stack (user + kmeans-cluster + global (a,b) blocks, effective =
+    m_u·g + m_c·c + m_i·u) fit by one joint distributed L-BFGS; clusters
+    from the deterministic kmeans over user BoW profiles. Rows-only;
+    pinned by tests/test_linadapt.py::test_clinadapt_kmeans."""
+    from ir_base_ray.pipelines.linadapt import (cluster_users_kmeans,
+                                                train_clinadapt_kmeans)
+
+    _bds, g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    km = cluster_users_kmeans(user_docs, n_feat + 1, k=3)
+    out = train_clinadapt_kmeans(user_docs, km, g_w, n_clusters=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_colinadapt_classify(sf_dir: str):
+    """modelAdaptation: asyncCoLinAdapt (``CoLinAdapt/asyncCoLinAdapt.java``)
+    — online co-adaptation with one-sided R2 against forward + reverse
+    neighbors, decaying seeded steps. Rows-only; pinned by
+    tests/test_linadapt.py::test_async_colinadapt_online."""
+    from ir_base_ray.pipelines.linadapt import train_async_colinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_async_colinadapt(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def clr_mmb_classify(sf_dir: str):
     """modelAdaptation MMB tier: CLRWithMMB
     (``modelAdaptation/MMB/CLRWithMMB.java``) — the review-level HDP
@@ -3159,6 +3189,12 @@ def classify_suite(sf_dir: str):
                            globals().get("mtsvm_clusters_classify"),
                            "pred_lang"),
                           ("clr_mmb", globals().get("clr_mmb_classify"),
+                           "pred_lang"),
+                          ("clinadapt_kmeans",
+                           globals().get("clinadapt_kmeans_classify"),
+                           "pred_lang"),
+                          ("async_colinadapt",
+                           globals().get("async_colinadapt_classify"),
                            "pred_lang")):
         if fn is None:
             continue

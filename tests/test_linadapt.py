@@ -443,3 +443,91 @@ def test_async_linadapt_online(ray_session):
                        == (y == 1)) for t, v, y in docs) / len(docs)
 
     assert acc(pw) > acc(g_w)
+
+
+def test_async_colinadapt_online(ray_session):
+    """asyncCoLinAdapt: online co-adaptation corrects a disagreeing user
+    and couples a data-poor user to its rich neighbor (one-sided R2);
+    deterministic; the reglr flavor (asyncCoRegLR) runs too."""
+    from ir_base_ray.pipelines.linadapt import train_async_colinadapt
+
+    rng = np.random.default_rng(53)
+    F = 8
+    g_w = rng.standard_normal(F + 1) * 2.0
+    rich = _docs_for_weights(g_w, 40, 70, flip=True)
+    poor = _docs_for_weights(g_w, 2, 71, flip=True)
+    user_docs = {"rich": rich, "poor": poor}
+    out = train_async_colinadapt(user_docs, g_w, topk=-1, eta1=0.05,
+                                 eta2=0.05, eta3=1.0, eta4=1.0,
+                                 init_step=2.0)
+    out2 = train_async_colinadapt(user_docs, g_w, topk=-1, eta1=0.05,
+                                  eta2=0.05, eta3=1.0, eta4=1.0,
+                                  init_step=2.0)
+    for u in out["users"]:
+        assert np.array_equal(out["personalized"][u],
+                              out2["personalized"][u])
+
+    def acc(pw, docs):
+        return sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                       == (y == 1)) for t, v, y in docs) / len(docs)
+
+    test_docs = _docs_for_weights(g_w, 30, 72, flip=True)
+    assert acc(out["personalized"]["rich"], test_docs) > acc(g_w, test_docs)
+    # poor user pulled toward the rich neighbor's correction
+    assert acc(out["personalized"]["poor"], test_docs) >= acc(g_w, test_docs)
+    reg = train_async_colinadapt(user_docs, g_w, topk=-1, eta1=0.05,
+                                 eta3=1.0, init_step=2.0, reglr=True)
+    assert acc(reg["personalized"]["rich"], test_docs) > acc(g_w, test_docs)
+
+
+def test_clinadapt_kmeans(ray_session):
+    """CLinAdaptWithKmeans: numeric gradient of the three-level transform
+    objective; fits users; heavy user-R1 pushes the fit into the shared
+    cluster/global transform blocks (all same-cluster users collapse onto
+    one model)."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_clin_kmeans_block_fg,
+                                                train_clinadapt_kmeans)
+
+    rng = np.random.default_rng(59)
+    F = 6
+    g_w = rng.standard_normal(F + 1) * 2.0
+    user_docs = {
+        f"u{k}": [(t, v, y) for t, v, y in
+                  _docs_for_weights(g_w, 12, 80 + k, flip=(k >= 2))]
+        for k in range(4)
+    }
+    clusters = {f"u{k}": 0 if k < 2 else 1 for k in range(4)}
+    rows = []
+    for i, (u, docs) in enumerate(user_docs.items()):
+        for t, v, y in docs[:3]:
+            rows.append((t, v, y, i, 3))
+    dim = 2 * (F + 1) * 7
+    x = np.tile(np.concatenate([np.ones(F + 1), np.zeros(F + 1)]), 7) \
+        + 0.05 * rng.standard_normal(dim)
+    f0, g = _ray.get(_clin_kmeans_block_fg.remote(
+        rows, x, g_w, F + 1, 4, 2, 1.0, 1.0, 1.0, 0.5, 0.5, [0, 0, 1, 1],
+        True))
+    eps = 1e-6
+    for i in range(0, dim, 9):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_clin_kmeans_block_fg.remote(
+            rows, xp, g_w, F + 1, 4, 2, 1.0, 1.0, 1.0, 0.5, 0.5,
+            [0, 0, 1, 1], True))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_clinadapt_kmeans(user_docs, clusters, g_w, n_clusters=2,
+                                 eta1=0.05, eta2=0.05)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.8, u
+    pinned = train_clinadapt_kmeans(user_docs, clusters, g_w, n_clusters=2,
+                                    eta1=1e6, eta2=1e6, eta3=0.01,
+                                    eta4=0.01)
+    pa = pinned["personalized"]
+    assert np.allclose(pa["u0"], pa["u1"], atol=1e-2)   # same cluster
+    assert np.allclose(pa["u2"], pa["u3"], atol=1e-2)
