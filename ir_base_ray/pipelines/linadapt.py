@@ -1075,3 +1075,100 @@ def train_clinadapt_kmeans(user_docs: dict, cluster_of: dict,
              + mi * x[u_off + F1: u_off + 2 * F1])
         personalized[u] = a * g_w + b
     return {"users": users, "personalized": personalized}
+
+
+@ray.remote
+def _wavgtrans_block_fg(user_idx_block, docs_block, x, g_w, F1, eta1, eta2,
+                        theta_block, all_nbrs):
+    """WeightedAvgTransAdapt (``CoLinAdapt/WeightedAvgTransAdapt.java``):
+    per-user LinAdapt TRANSFORMS whose decision averages the θ-weighted
+    linear functions of self + neighbors (``logit`` :69-81); per-user R1 =
+    η1(a−1)²+η2b² (:83-96); the review gradient scatters δ·θ_p into every
+    participant's transform block (:105-140). NOTE the reference's
+    self-gradient indexes at ``m_dim*id`` where blocks are ``2*m_dim`` wide
+    (:112 vs the neighbor part's ``2*m_dim*index``) — a genuine indexing
+    bug that writes half the users' gradients into other users' parameter
+    blocks; implemented here with the evident-intent offset (2·dim·id),
+    documented as the same fix class as the repo's other dead/broken-path
+    substitutions."""
+    pdim = 2 * F1
+    f = 0.0
+    g = np.zeros_like(x)
+    for ui, docs, (self_th, edges) in zip(user_idx_block, docs_block,
+                                          theta_block):
+        off_i = pdim * ui
+        n_adapt = max(1, len(docs))
+        parts = [(ui, self_th)] + list(edges)
+        for tids, vals, y in docs:
+            n = tids + 1
+            s = 0.0
+            for j, th in parts:
+                off_j = pdim * j
+                s += th * (x[off_j] * g_w[0] + x[off_j + F1] + float(
+                    ((x[off_j + n] * g_w[n] + x[off_j + F1 + n])
+                     * vals).sum()))
+            p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            if y == 1:
+                f -= (np.log(p) if p > 0.0 else -MAX_VALUE) / n_adapt
+            else:
+                f -= (np.log(1.0 - p) if p < 1.0 else -MAX_VALUE) / n_adapt
+            delta = (y - p) / n_adapt
+            for j, th in parts:
+                off_j = pdim * j
+                g[off_j] -= delta * th * g_w[0]
+                g[off_j + F1] -= delta * th
+                np.subtract.at(g, off_j + n, delta * th * g_w[n] * vals)
+                np.subtract.at(g, off_j + F1 + n, delta * th * vals)
+        da = x[off_i: off_i + F1] - 1.0
+        db = x[off_i + F1: off_i + 2 * F1]
+        f += eta1 * float(da @ da) + eta2 * float(db @ db)
+        g[off_i: off_i + F1] += 2.0 * eta1 * da
+        g[off_i + F1: off_i + 2 * F1] += 2.0 * eta2 * db
+    return f, g
+
+
+def train_weighted_avg_trans_adapt(user_docs: dict, g_w: np.ndarray, *,
+                                   topk: int = 2, eta1: float = 0.5,
+                                   eta2: float = 0.5, n_blocks: int = 4,
+                                   max_iter: int = 100, gtol: float = 1e-4):
+    """Joint L-BFGS over all users' transforms under the θ-averaged
+    decision (normalized similarities, selfSim = 1). Personalized decision
+    weights = the θ-average of the personalized models."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    theta = _avg_theta(nbrs)
+    n = len(users)
+    idx = list(range(n))
+    blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
+    docs_refs = [ray.put([user_docs[users[i]] for i in blk])
+                 for blk in blocks]
+    theta_blocks = [[theta[i] for i in blk] for blk in blocks]
+    x0 = np.tile(np.concatenate([np.ones(F1), np.zeros(F1)]), n)
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _wavgtrans_block_fg.remote(blk, dref, x_ref, g_w, F1, eta1,
+                                       eta2, tb, None)
+            for blk, dref, tb in zip(blocks, docs_refs, theta_blocks)
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=5, gtol=gtol,
+                                max_iter=max_iter)
+    pdim = 2 * F1
+    personalized = {}
+    for i, u in enumerate(users):
+        self_th, edges = theta[i]
+        pw = np.zeros(F1)
+        for j, th in [(i, self_th)] + list(edges):
+            A = x[pdim * j: pdim * (j + 1)]
+            pw = pw + th * (A[:F1] * g_w + A[F1:])
+        personalized[u] = pw
+    return {"users": users, "personalized": personalized}

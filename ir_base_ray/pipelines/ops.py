@@ -2409,6 +2409,21 @@ def async_colinadapt_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def weighted_avg_trans_classify(sf_dir: str):
+    """modelAdaptation: WeightedAvgTransAdapt
+    (``CoLinAdapt/WeightedAvgTransAdapt.java``) — per-user LinAdapt
+    transforms under the θ-averaged decision over self + top-K neighbors
+    (the reference's self-gradient offset bug fixed to evident intent,
+    documented in ``pipelines/linadapt._wavgtrans_block_fg``). Rows-only;
+    pinned by tests/test_linadapt.py."""
+    from ir_base_ray.pipelines.linadapt import train_weighted_avg_trans_adapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_weighted_avg_trans_adapt(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def clr_mmb_classify(sf_dir: str):
     """modelAdaptation MMB tier: CLRWithMMB
     (``modelAdaptation/MMB/CLRWithMMB.java``) — the review-level HDP
@@ -3195,6 +3210,9 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("async_colinadapt",
                            globals().get("async_colinadapt_classify"),
+                           "pred_lang"),
+                          ("weighted_avg_trans",
+                           globals().get("weighted_avg_trans_classify"),
                            "pred_lang")):
         if fn is None:
             continue

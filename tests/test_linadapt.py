@@ -531,3 +531,44 @@ def test_clinadapt_kmeans(ray_session):
     pa = pinned["personalized"]
     assert np.allclose(pa["u0"], pa["u1"], atol=1e-2)   # same cluster
     assert np.allclose(pa["u2"], pa["u3"], atol=1e-2)
+
+
+def test_weighted_avg_trans_adapt(ray_session):
+    """WeightedAvgTransAdapt: numeric gradient of the θ-averaged transform
+    objective (with the documented self-offset bug fix); with topk=0 it
+    reduces to per-user LinAdapt."""
+    import ray as _ray
+
+    from ir_base_ray.pipelines.linadapt import (_avg_theta,
+                                                _wavgtrans_block_fg,
+                                                build_neighbors,
+                                                train_weighted_avg_trans_adapt)
+
+    rng = np.random.default_rng(61)
+    F = 5
+    g_w = rng.standard_normal(F + 1)
+    user_docs = {f"u{k}": _docs_for_weights(g_w, 8, 90 + k, flip=(k == 1))
+                 for k in range(3)}
+    users, nbrs = build_neighbors(user_docs, F + 1, topk=-1)
+    theta = _avg_theta(nbrs)
+    pdim = 2 * (F + 1)
+    x = np.tile(np.concatenate([np.ones(F + 1), np.zeros(F + 1)]), 3) \
+        + 0.05 * rng.standard_normal(3 * pdim)
+    idx = [0, 1, 2]
+    f0, g = _ray.get(_wavgtrans_block_fg.remote(
+        idx, [user_docs[u] for u in users], x, g_w, F + 1, 0.5, 0.5,
+        [theta[i] for i in idx], None))
+    eps = 1e-6
+    for i in range(0, x.size, 5):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = _ray.get(_wavgtrans_block_fg.remote(
+            idx, [user_docs[u] for u in users], xp, g_w, F + 1, 0.5, 0.5,
+            [theta[i2] for i2 in idx], None))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_weighted_avg_trans_adapt(user_docs, g_w, topk=0, n_blocks=2)
+    for u in out["users"]:
+        a, b, _ = adapt_user(user_docs[u], g_w)
+        assert np.allclose(out["personalized"][u],
+                           personalized_weights(a, b, g_w), atol=5e-3), u
