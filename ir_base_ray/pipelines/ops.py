@@ -3148,11 +3148,15 @@ def corr_topic_models(sf_dir: str):
 
 
 def classify_suite(sf_dir: str):
-    """R6 suite: every classifier/clusterer as (model, doc_id, pred) —
-    LR, NB-EM, PR-LR, SVM (pred = predicted lang), KMeans (pred =
-    cluster id as string), GaussianFields random-walk SEMI (odd doc_ids
-    only), plus LinAdapt when present. Rows-only; per-model semantics
-    pinned by their own pytest modules."""
+    """R6 + modelAdaptation suite: every classifier/clusterer/adaptation
+    model as (model, doc_id, pred) — LR, NB-EM, PR-LR, SVM (pred =
+    predicted lang), KMeans (pred = cluster id as string), GaussianFields
+    SEMI (random-walk + exact + learned-metric variants; odd doc_ids
+    only), and the full modelAdaptation tier (LinAdapt/CoLinAdapt/
+    MTLinAdapt/WeightedAvg(+Trans)/async, RegLR/CoRegLR/MTRegLR/async,
+    MT-SVM(+clusters), DP/HDP/MMB clustered adaptation,
+    CLinAdaptWithKmeans). Rows-only; per-model semantics pinned by their
+    own pytest modules."""
     parts = []
     for name, fn, col in (("lr", lr_classify, "pred_lang"),
                           ("nbem", nbem_classify, "pred_lang"),
