@@ -1507,6 +1507,30 @@ def plsa_group_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def attr_lda_topics(sf_dir: str):
+    """R7 tail: AttributeAwareLDA
+    (``topicmodels/multithreads/LDA/AttributeAwareLDA_VarMultiThread.java``
+    + ``PairwiseAttributeConstraints``) — variational LDA with per-word
+    pairwise-PR projections driving even/odd topic pairs onto distinct
+    attributes. Top-10 terms per topic; rows-only; pinned by
+    tests/test_capability.py::test_attribute_aware_lda (dual KKT, planted
+    pair separation, determinism)."""
+    from ir_base_ray.pipelines.attrlda import train_attr_lda
+
+    ds, vocab = _doc_vectors(sf_dir)
+    out = train_attr_lda(ds, n_aspects=3, vocab_size=len(vocab),
+                         n_iters=5, var_max_iter=3, pr_start=2, seed=59)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def lda_topics(sf_dir: str):
     """R7: LDA collapsed Gibbs (``topicmodels/LDA/LDA_Gibbs.java``; AD-LDA
     block parallelism, seeded Philox streams) over the documents table —
@@ -3053,6 +3077,7 @@ def topic_term_models(sf_dir: str):
     parts = []
     for name, fn in (("plsa", plsa_topics),
                      ("plsa_group", plsa_group_topics),
+                     ("attr_lda", attr_lda_topics),
                      ("lda_gibbs", lda_topics),
                      ("lda_variational", lda_var_topics),
                      ("dcmlda", dcmlda_topics),

@@ -601,3 +601,53 @@ def test_plsa_group_prior(ray_session):
     out2 = train_plsa_group(ds, n_topics=4, vocab_size=30, n_iters=8, seed=7)
     assert all(np.array_equal(a, b) for a, b in zip(out["thetas"],
                                                     out2["thetas"]))
+
+
+def test_attribute_aware_lda(ray_session):
+    """AttributeAwareLDA (topicmodels/multithreads/LDA/AttributeAware…):
+    the per-word pairwise-PR projection must (a) satisfy the dual KKT
+    conditions, (b) drive a topic PAIR apart onto disjoint planted
+    vocabulary halves where unregularized variational LDA leaves them
+    mixed, (c) run deterministically."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ir_base_ray.pipelines.attrlda import (_pair_index, solve_pair_dual,
+                                               train_attr_lda)
+
+    rng = np.random.default_rng(1)
+    p = rng.dirichlet(np.ones(6))
+    s = rng.uniform(0, 5, 6)
+    lam, q = solve_pair_dual(p, s)
+    w = p * np.exp(-s * lam)
+    qn = w / w.sum()
+    grad = 2 * 0.1 * lam - s * qn
+    for l_, g_ in zip(lam, grad):
+        assert (l_ > 1e-9 and abs(g_) < 1e-3) or (l_ <= 1e-9 and g_ >= -1e-3)
+    assert np.allclose(q, qn)
+    assert list(_pair_index(6)) == [1, 0, 3, 2, 5, 4]
+
+    rows = []
+    r = np.random.default_rng(3)
+    for d in range(60):
+        base = 0 if d % 2 == 0 else 15
+        tids = np.unique(r.integers(base, base + 15, size=8))
+        rows.append({"doc_id": d, "tids": tids.tolist(),
+                     "vals": [2.0] * len(tids)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = train_attr_lda(ds, n_aspects=1, vocab_size=30, n_iters=6,
+                         pr_start=2, seed=59)
+    tt = out["topic_term"]
+    h0 = float(tt[0][:15].sum() / tt[0].sum())
+    h1 = float(tt[1][:15].sum() / tt[1].sum())
+    assert abs(h0 - h1) >= 0.9, (h0, h1)      # pair split onto the halves
+    no_pr = train_attr_lda(ds, n_aspects=1, vocab_size=30, n_iters=6,
+                           pr_start=99, seed=59)
+    tn = no_pr["topic_term"]
+    n0 = float(tn[0][:15].sum() / tn[0].sum())
+    n1 = float(tn[1][:15].sum() / tn[1].sum())
+    assert abs(h0 - h1) > abs(n0 - n1) + 0.5  # PR does the separating
+    out2 = train_attr_lda(ds, n_aspects=1, vocab_size=30, n_iters=6,
+                          pr_start=2, seed=59)
+    assert np.array_equal(tt, out2["topic_term"])
