@@ -155,3 +155,44 @@ def kmeans_serial(tids_list, vals_list, *, k: int, vocab_size: int,
             break
         prev = assign
     return {"centroids": centroids, "assignments": assign}
+
+
+def kmeans_dense_cosine(X: np.ndarray, *, k: int, n_iters: int = 20,
+                        seed: int = 3):
+    """KMeansAlg4Vct (``clustering/KMeansAlg4Vct.java``): cosine-distance
+    k-means over DENSE vectors — the reference clusters each user's learned
+    SVM weight vector (columns of ``m_weights``) to feed
+    MultiTaskSVMWithClusters / L2RWithQueryClustering. Same seeded
+    k-means++ init policy as the sparse path; rows of ``X`` are the
+    instances. Returns (assignments, centroids)."""
+    X = np.asarray(X, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    n = X.shape[0]
+    k = min(k, n)
+    # k-means++ on cosine distance (1 − sim)
+    centers = [Xn[int(rng.integers(0, n))]]
+    for _ in range(1, k):
+        d = np.min(np.stack([1.0 - Xn @ c for c in centers]), axis=0)
+        d = np.maximum(d, 0.0)
+        tot = d.sum()
+        probs = d / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers.append(Xn[int(rng.choice(n, p=probs))])
+    C = np.stack(centers)
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iters):
+        sims = Xn @ C.T
+        new_assign = sims.argmax(axis=1)
+        if (new_assign == assign).all() and _ > 0:
+            break
+        assign = new_assign
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                C[c] = v / nv if nv else v
+    return assign, C

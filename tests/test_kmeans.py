@@ -61,3 +61,26 @@ def test_deterministic(ray_session):
     a = train_kmeans(ds, k=3, vocab_size=V, seed=19)
     b = train_kmeans(ds, k=3, vocab_size=V, seed=19)
     assert np.array_equal(a["centroids"], b["centroids"])
+
+
+def test_kmeans_dense_cosine(ray_session):
+    """KMeansAlg4Vct: cosine k-means over dense vectors separates two
+    direction-planted groups regardless of magnitude; deterministic."""
+    import numpy as np
+
+    from ir_base_ray.pipelines.kmeans import kmeans_dense_cosine
+
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal(12)
+    b = rng.standard_normal(12)
+    rows = []
+    for i in range(30):
+        base = a if i % 2 == 0 else b
+        rows.append(base * rng.uniform(0.1, 10.0)
+                    + 0.05 * rng.standard_normal(12))
+    X = np.stack(rows)
+    assign, C = kmeans_dense_cosine(X, k=2, seed=3)
+    g1, g2 = set(assign[0::2].tolist()), set(assign[1::2].tolist())
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+    assign2, _ = kmeans_dense_cosine(X, k=2, seed=3)
+    assert (assign == assign2).all()
