@@ -398,3 +398,514 @@ def dcm_kernel():
             lib.dcm_sweep.restype = None
         _dcm_lib = lib
     return _dcm_lib
+
+
+# ---------------------------------------------------------------------------
+# ACCTM-family Gibbs sweeps — C twins of pipelines/acctm._sample_unit
+# (ACCTM / corrLDA_Gibbs) and ._sample_unit_c (ACCTM_C / _CZ / _CHard /
+# _CZLR). Same pre-drawn-uniform contract as lda_sweep (one uniform per
+# token, batched rng.random(n) == the per-token Philox stream), and the
+# identical IEEE float64 op sequence as the numpy fallback so
+# 1-block == serial and kernel == python stay bit-exact. The draw walk is
+# an exact np.searchsorted binary-search emulation (NOT a linear scan):
+# the cz/corr influence ratio overflows to inf by design (Java-double
+# parity) and searchsorted's bisection is what the Python path does.
+# ---------------------------------------------------------------------------
+
+_ACCTM_SRC = r"""
+#include <stdint.h>
+#include <math.h>
+#include <stddef.h>
+
+/* np.searchsorted(a, v, side='left'/'right') bisection. */
+static int64_t walk_left(const double *cum, int64_t n, double v) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cum[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+static int64_t walk_right(const double *cum, int64_t n, double v) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cum[mid] <= v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+/* pipelines/acctm._gamma_func_ratio: prod over n=1..nc of
+   1 + mu_dp/((A + n) - 1); np.prod is a sequential multiply. */
+static double gamma_func_ratio(int64_t nc, double mu_dp, double A) {
+    if (nc == 0) return 1.0;
+    double r = 1.0;
+    for (int64_t n = 1; n <= nc; n++)
+        r *= 1.0 + mu_dp / ((A + (double)n) - 1.0);
+    return r;
+}
+
+/* pipelines/acctm._influence_ratio_cz (s = 1e-20; overflow -> inf is the
+   reference's Java-double behaviour, kept). np.float64 ** int == pow(). */
+static double cz_ratio(int64_t njc, double njp, int64_t n1c, double n1p) {
+    const double s = 1e-20;
+    double r = pow((n1p + s) / ((n1p + 1.0) + s), (double)n1c);
+    r *= pow(((njp + 1.0) + s) / (njp + s), (double)njc);
+    return r;
+}
+
+/* Parent sweep. imode: 0 = gamma-func influence (ACCTM / ACCTM_C),
+   1 = cz ratio (corrLDA / ACCTM_CZ / _CZLR). npt > 0 fixes the mu
+   denominator (ACCTM_C's getDocInferLength); npt <= 0 recomputes
+   sum(p_sstat) per token (ACCTM). side: 0 left (ACCTM*), 1 right (corr).
+   ccounts = nc x K child topic counts (c_sstat or xt0). */
+void acctm_parent(const int64_t *p_words, int64_t n, int64_t *p_z,
+                  double *p_sstat, double *wts, double *m_sstat,
+                  int64_t K, int64_t V, int64_t nc,
+                  const double *ccounts, const double *mu,
+                  double alpha, double npt, int64_t imode, int64_t side,
+                  const double *us, double *cache, double *infl)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = p_words[i], t = p_z[i];
+        p_sstat[t] -= 1.0;
+        wts[t * V + wid] -= 1.0;
+        m_sstat[t] -= 1.0;
+        double topic_sum = 0.0;
+        if (imode == 0 && npt <= 0.0)    /* counts: any sum order is exact */
+            for (int64_t k = 0; k < K; k++) topic_sum += p_sstat[k];
+        for (int64_t k = 0; k < K; k++) infl[k] = 1.0;
+        for (int64_t c = 0; c < nc; c++) {
+            const double *cc = ccounts + c * K;
+            if (imode == 1) {
+                for (int64_t k = 1; k < K; k++)
+                    infl[k] *= cz_ratio((int64_t)cc[k], p_sstat[k],
+                                        (int64_t)cc[0], p_sstat[0]);
+            } else {
+                double mu_dp = mu[c] / (npt > 0.0 ? npt : topic_sum);
+                double denom = gamma_func_ratio((int64_t)cc[0], mu_dp,
+                                                alpha + p_sstat[0] * mu_dp);
+                for (int64_t k = 1; k < K; k++)
+                    infl[k] *= gamma_func_ratio((int64_t)cc[k], mu_dp,
+                                                alpha + p_sstat[k] * mu_dp)
+                               / denom;
+            }
+        }
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            /* ((wts/m) * (alpha + p_sstat)) * infl, then sequential cumsum */
+            cum += ((wts[k * V + wid] / m_sstat[k]) * (alpha + p_sstat[k]))
+                   * infl[k];
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = side ? walk_right(cache, K, u) : walk_left(cache, K, u);
+        if (tn >= K) tn = K - 1;
+        p_z[i] = tn;
+        p_sstat[tn] += 1.0;
+        wts[tn * V + wid] += 1.0;
+        m_sstat[tn] += 1.0;
+    }
+}
+
+/* Child sweep. mode: 0 ACCTM, 1 corrLDA (both no x-switch; csstat =
+   c_sstat), 2 ACCTM_C / _CHard (in_par non-NULL = CHard forced-global
+   tokens), 3 ACCTM_CZ, 4 ACCTM_CZLR (logistic x factors). For x modes
+   csstat = xt0, local/xs/local_total are live. cache has K+1 slots. */
+void acctm_child(const int64_t *c_words, int64_t n, int64_t *c_z,
+                 int64_t *c_x,
+                 double *wts, double *m_sstat, int64_t K, int64_t V,
+                 double alpha, double k_alpha,
+                 const double *p_sstat, double p_sum, double mu,
+                 double *csstat, double *local, double *xs,
+                 double *local_total, double gamma0, double gamma1,
+                 const double *feats, const double *xw,
+                 const uint8_t *in_par,
+                 const double *us, double *cache, int64_t mode)
+{
+    const double s20 = 1e-20;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = c_words[i], t = c_z[i];
+        if (mode <= 1) {
+            csstat[t] -= 1.0;
+            wts[t * V + wid] -= 1.0;
+            m_sstat[t] -= 1.0;
+            double c_sum = 0.0;
+            for (int64_t k = 0; k < K; k++) c_sum += csstat[k];
+            double cum = 0.0;
+            for (int64_t k = 0; k < K; k++) {
+                double v;
+                if (mode == 1)
+                    v = ((wts[k * V + wid] / m_sstat[k]) * (p_sstat[k] + s20))
+                        / (p_sum + s20 * (double)K);
+                else
+                    v = ((wts[k * V + wid] / m_sstat[k])
+                         * ((alpha + (mu * p_sstat[k]) / p_sum) + csstat[k]))
+                        / ((k_alpha + mu) + c_sum);
+                cum += v;
+                cache[k] = cum;
+            }
+            double u = cum * us[i];
+            int64_t tn = (mode == 1) ? walk_right(cache, K, u)
+                                     : walk_left(cache, K, u);
+            if (tn >= K) tn = K - 1;
+            c_z[i] = tn;
+            csstat[tn] += 1.0;
+            wts[tn * V + wid] += 1.0;
+            m_sstat[tn] += 1.0;
+            continue;
+        }
+        int64_t x = c_x[i];
+        if (x == 0) {
+            csstat[t] -= 1.0;
+            xs[0] -= 1.0;
+            wts[t * V + wid] -= 1.0;
+            m_sstat[t] -= 1.0;
+        } else {
+            local[wid] -= 1.0;
+            xs[1] -= 1.0;
+            local_total[0] -= 1.0;
+        }
+        if (in_par != NULL && in_par[i]) {
+            /* CHard: parent-shared word stays global, no x factors */
+            double cum = 0.0;
+            for (int64_t k = 0; k < K; k++) {
+                cum += ((wts[k * V + wid] / m_sstat[k])
+                        * ((alpha + (mu * p_sstat[k]) / p_sum) + csstat[k]))
+                       / ((k_alpha + mu) + xs[0]);
+                cache[k] = cum;
+            }
+            double u = cum * us[i];
+            int64_t tn = walk_left(cache, K, u);
+            if (tn >= K) tn = K - 1;
+            c_x[i] = 0;
+            c_z[i] = tn;
+            csstat[tn] += 1.0;
+            xs[0] += 1.0;
+            wts[tn * V + wid] += 1.0;
+            m_sstat[tn] += 1.0;
+            continue;
+        }
+        double pl0, pl1;
+        if (mode == 4) {
+            double dot = (feats[2 * i] * xw[0]) + (feats[2 * i + 1] * xw[1]);
+            pl0 = 1.0 / (1.0 + exp(dot));      /* xProb4Word(0, .) */
+            pl1 = 1.0 / (1.0 + exp(-dot));     /* xProb4Word(1, .) */
+        } else {
+            pl0 = gamma0 + xs[0];
+            pl1 = gamma1 + xs[1];
+        }
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            double v;
+            if (mode >= 3)
+                v = (((wts[k * V + wid] / m_sstat[k]) * (p_sstat[k] + s20))
+                     / (p_sum + s20 * (double)K)) * pl0;
+            else
+                v = (((wts[k * V + wid] / m_sstat[k])
+                      * ((alpha + (mu * p_sstat[k]) / p_sum) + csstat[k]))
+                     / ((k_alpha + mu) + xs[0])) * pl0;
+            cum += v;
+            cache[k] = cum;
+        }
+        cum += (local[wid] / local_total[0]) * pl1;
+        cache[K] = cum;
+        double u = cum * us[i];
+        int64_t tn = walk_left(cache, K + 1, u);
+        if (tn >= K + 1) tn = K;
+        if (tn < K) {
+            c_x[i] = 0;
+            c_z[i] = tn;
+            csstat[tn] += 1.0;
+            xs[0] += 1.0;
+            wts[tn * V + wid] += 1.0;
+            m_sstat[tn] += 1.0;
+        } else {
+            c_x[i] = 1;
+            c_z[i] = K;
+            local[wid] += 1.0;
+            xs[1] += 1.0;
+            local_total[0] += 1.0;
+        }
+    }
+}
+"""
+
+_acctm_lib = None
+_acctm_tried = False
+
+
+def acctm_kernel():
+    global _acctm_lib, _acctm_tried
+    if not _acctm_tried:
+        _acctm_tried = True
+        lib = load("acctmsweep", _ACCTM_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            lib.acctm_parent.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), i64, i64, i64,
+                P(f64), P(f64), f64, f64, i64, i64, P(f64), P(f64), P(f64)]
+            lib.acctm_parent.restype = None
+            lib.acctm_child.argtypes = [
+                P(i64), i64, P(i64), P(i64), P(f64), P(f64), i64, i64,
+                f64, f64, P(f64), f64, f64, P(f64), P(f64), P(f64), P(f64),
+                f64, f64, P(f64), P(f64), P(ctypes.c_uint8), P(f64), P(f64),
+                i64]
+            lib.acctm_child.restype = None
+        _acctm_lib = lib
+    return _acctm_lib
+
+
+# ---------------------------------------------------------------------------
+# DCM-CorrLDA Gibbs sweep — C twin of pipelines/dcmcorrlda._sample_unit
+# (per-parent DCM tables: word_topic K×V, topic_stat K, vector α/α_c and
+# K×V β). Same pre-drawn-uniform + bit-exact IEEE contract as acctm_*.
+# ---------------------------------------------------------------------------
+
+_DCMCORR_SRC = r"""
+#include <stdint.h>
+
+static int64_t walk_left(const double *cum, int64_t n, double v) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cum[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+static double gamma_func_ratio(int64_t nc, double mu_dp, double A) {
+    if (nc == 0) return 1.0;
+    double r = 1.0;
+    for (int64_t n = 1; n <= nc; n++)
+        r *= 1.0 + mu_dp / ((A + (double)n) - 1.0);
+    return r;
+}
+
+void dcmcorr_parent(const int64_t *p_words, int64_t n, int64_t *p_z,
+                    double *npar, double *wt, double *ts,
+                    const double *beta, const double *total_beta,
+                    const double *alpha, double denom_doc,
+                    int64_t K, int64_t V, int64_t nc,
+                    const double *ccounts, const double *mu, double p_len,
+                    const double *us, double *cache, double *infl)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = p_words[i], t = p_z[i];
+        npar[t] -= 1.0;
+        ts[t] -= 1.0;
+        wt[t * V + wid] -= 1.0;
+        for (int64_t k = 0; k < K; k++) infl[k] = 1.0;
+        for (int64_t c = 0; c < nc; c++) {
+            const double *cc = ccounts + c * K;
+            double mu_dp = mu[c] / p_len;
+            double denom = gamma_func_ratio((int64_t)cc[0], mu_dp,
+                                            alpha[0] + npar[0] * mu_dp);
+            for (int64_t k = 1; k < K; k++)
+                infl[k] *= gamma_func_ratio((int64_t)cc[k], mu_dp,
+                                            alpha[k] + npar[k] * mu_dp)
+                           / denom;
+        }
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            /* (((wt+β)/(ts+tβ)) * (npar+α)) / (n_uniq+tα) * infl */
+            cum += ((((wt[k * V + wid] + beta[k * V + wid])
+                      / (ts[k] + total_beta[k]))
+                     * (npar[k] + alpha[k])) / denom_doc) * infl[k];
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = walk_left(cache, K, u);
+        if (tn >= K) tn = K - 1;
+        p_z[i] = tn;
+        npar[tn] += 1.0;
+        ts[tn] += 1.0;
+        wt[tn * V + wid] += 1.0;
+    }
+}
+
+void dcmcorr_child(const int64_t *c_words, int64_t n, int64_t *c_z,
+                   double *nch, double *wt, double *ts,
+                   const double *beta, const double *total_beta,
+                   const double *alpha_c, double total_alpha_c,
+                   const double *npar, double mu,
+                   int64_t K, int64_t V,
+                   const double *us, double *cache)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = c_words[i], t = c_z[i];
+        wt[t * V + wid] -= 1.0;
+        ts[t] -= 1.0;
+        nch[t] -= 1.0;
+        double p_sum = 0.0, c_sum = 0.0;     /* counts: order-exact */
+        for (int64_t k = 0; k < K; k++) { p_sum += npar[k]; c_sum += nch[k]; }
+        double mu_dp = mu / p_sum;
+        double denom = (total_alpha_c + mu_dp * p_sum) + c_sum;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            cum += (((wt[k * V + wid] + beta[k * V + wid])
+                     / (ts[k] + total_beta[k]))
+                    * ((alpha_c[k] + mu_dp * npar[k]) + nch[k])) / denom;
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = walk_left(cache, K, u);
+        if (tn >= K) tn = K - 1;
+        c_z[i] = tn;
+        nch[tn] += 1.0;
+        ts[tn] += 1.0;
+        wt[tn * V + wid] += 1.0;
+    }
+}
+"""
+
+_dcmcorr_lib = None
+_dcmcorr_tried = False
+
+
+def dcmcorr_kernel():
+    global _dcmcorr_lib, _dcmcorr_tried
+    if not _dcmcorr_tried:
+        _dcmcorr_tried = True
+        lib = load("dcmcorrsweep", _DCMCORR_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            lib.dcmcorr_parent.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), P(f64), P(f64),
+                P(f64), f64, i64, i64, i64, P(f64), P(f64), f64, P(f64),
+                P(f64), P(f64)]
+            lib.dcmcorr_parent.restype = None
+            lib.dcmcorr_child.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), P(f64), P(f64),
+                P(f64), f64, P(f64), f64, i64, i64, P(f64), P(f64)]
+            lib.dcmcorr_child.restype = None
+        _dcmcorr_lib = lib
+    return _dcmcorr_lib
+
+
+# ---------------------------------------------------------------------------
+# sparseDCMLDA sweeps — C twins of pipelines/sparsedcmlda._sample_topics
+# (sparse off-by-one walk / cluster corrected walk) and ._sample_indicators
+# (per-topic on/off Gibbs with the L-term sequential ratio product). Same
+# bit-exact contract as the other sweep kernels. _sample_indicators draws
+# ONE uniform only for topics with n_dk[k]==0 — the wrapper pre-draws
+# exactly that many (n_dk is read-only during the indicator sweep, so the
+# draw count is known up front; identical Philox stream).
+# ---------------------------------------------------------------------------
+
+_SPARSEDCM_SRC = r"""
+#include <stdint.h>
+
+static int64_t walk_left(const double *cum, int64_t n, double v) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cum[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+/* cluster==0: doc-local word factor, sparse off-by-one walk (min(j+1,K-1)).
+   cluster==1: cluster tables (cl_wt K*V, cl_ts K) carry the word factor and
+   are co-updated; corrected walk (min(j,K-1)). */
+void sparse_topics(const int64_t *words, int64_t n, int64_t *z,
+                   double *n_dk, double *n_dkw,
+                   double *cl_wt, double *cl_ts,
+                   const double *beta, const double *total_beta,
+                   const double *alpha, const double *xf, double alpha_doc,
+                   double mu, int64_t K, int64_t V, int64_t cluster,
+                   const double *us, double *cache)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = words[i], t = z[i];
+        n_dk[t] -= 1.0;
+        n_dkw[t * V + wid] -= 1.0;
+        if (cluster) {
+            cl_wt[t * V + wid] -= 1.0;
+            cl_ts[t] -= 1.0;
+        }
+        double nsum = 0.0;                       /* counts: order-exact */
+        for (int64_t k = 0; k < K; k++) nsum += n_dk[k];
+        double den = alpha_doc + nsum;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            double wf = cluster
+                ? (cl_wt[k * V + wid] + mu * beta[k * V + wid])
+                  / (cl_ts[k] + mu * total_beta[k])
+                : (n_dkw[k * V + wid] + mu * beta[k * V + wid])
+                  / (n_dk[k] + mu * total_beta[k]);
+            cum += xf[k] * (((n_dk[k] + alpha[k]) / den) * wf);
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t j = walk_left(cache, K, u);
+        int64_t tn = cluster ? (j < K - 1 ? j : K - 1)
+                             : (j + 1 < K - 1 ? j + 1 : K - 1);
+        z[i] = tn;
+        n_dk[tn] += 1.0;
+        n_dkw[tn * V + wid] += 1.0;
+        if (cluster) {
+            cl_wt[tn * V + wid] += 1.0;
+            cl_ts[tn] += 1.0;
+        }
+    }
+}
+
+/* x: uint8 in/out; alpha_doc/n_on: 1-elem in/out; us consumed only at
+   topics with n_dk[k] <= 0 (same conditional-draw order as the Python). */
+void sparse_indicators(uint8_t *x, const double *n_dk, const double *alpha,
+                       int64_t K, int64_t L, double s_param, double t_param,
+                       double *alpha_doc, int64_t *n_on, const double *us)
+{
+    int64_t pos = 0;
+    for (int64_t k = 0; k < K; k++) {
+        if (x[k]) {
+            n_on[0] -= 1;
+            alpha_doc[0] -= alpha[k];
+        }
+        int xk;
+        if (n_dk[k] > 0.0) {
+            xk = 1;
+        } else {
+            double term1 = alpha_doc[0], term2 = alpha[k];
+            double q = (s_param + (double)n_on[0])
+                       / (((t_param + (double)K) - 1.0) - (double)n_on[0]);
+            double t12 = term1 + term2;
+            for (int64_t i = 0; i < L; i++)
+                q *= (term1 + (double)i) / (t12 + (double)i);
+            xk = !((q + 1.0) * us[pos++] < 1.0);
+        }
+        x[k] = (uint8_t)xk;
+        if (xk) {
+            n_on[0] += 1;
+            alpha_doc[0] += alpha[k];
+        }
+    }
+}
+"""
+
+_sparse_lib = None
+_sparse_tried = False
+
+
+def sparsedcm_kernel():
+    global _sparse_lib, _sparse_tried
+    if not _sparse_tried:
+        _sparse_tried = True
+        lib = load("sparsedcm", _SPARSEDCM_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64, u8 = ctypes.c_int64, ctypes.c_double, ctypes.c_uint8
+            lib.sparse_topics.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), P(f64), P(f64),
+                P(f64), P(f64), P(f64), f64, f64, i64, i64, i64, P(f64),
+                P(f64)]
+            lib.sparse_topics.restype = None
+            lib.sparse_indicators.argtypes = [
+                P(u8), P(f64), P(f64), i64, i64, f64, f64, P(f64), P(i64),
+                P(f64)]
+            lib.sparse_indicators.restype = None
+        _sparse_lib = lib
+    return _sparse_lib

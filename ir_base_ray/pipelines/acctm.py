@@ -79,8 +79,27 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
     :234-241), and the draw uses the strict < 0 walk (searchsorted right)
     vs ACCTM's ≤ 0. The shipped corrLDA's influence list is the never-
     populated ``m_childDocs4Dynamic``; like the ACCTM fix, the children
-    list is used here."""
+    list is used here.
+
+    Uniforms are pre-drawn in ONE ``rng.random(total)`` call (identical
+    Philox stream to per-token draws) and the sweep runs in the
+    compile-once C kernel (functions/ckernels.acctm_kernel) with the
+    identical IEEE op sequence — kernel == python bit-exact
+    (tests/test_ckernels_acctm.py); the loop below is the compiler-less
+    fallback and parity oracle."""
+    from ir_base_ray.functions.ckernels import acctm_kernel
+
     (p_words, p_z, p_sstat, children) = unit_state
+    total = p_words.size + sum(c[0].size for c in children)
+    if total == 0:
+        return
+    us = rng.random(total)
+    lib = acctm_kernel()
+    if lib is not None:
+        _sample_unit_kernel(lib, unit_state, wts, m_sstat, K, alpha, us,
+                            variant)
+        return
+    pos = 0
     k_alpha = alpha * K
     s20 = 1e-20
     side = "right" if variant == "corr" else "left"
@@ -112,7 +131,8 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
                         alpha + p_sstat[k] * mu_dp) / denom
         cache = p_word * p_doc * infl
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * us[pos]
+        pos += 1
         t = int(np.searchsorted(cum, u, side=side))
         if t >= K:
             t = K - 1
@@ -138,7 +158,8 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
                     * (alpha + mu * p_sstat / p_sum + c_sstat) \
                     / (k_alpha + mu + c_sum)
             cum = np.cumsum(cache)
-            u = cum[-1] * rng.random()
+            u = cum[-1] * us[pos]
+            pos += 1
             t = int(np.searchsorted(cum, u, side=side))
             if t >= K:
                 t = K - 1
@@ -146,6 +167,53 @@ def _sample_unit(unit_state, wts, m_sstat, K, alpha, rng,
             c_sstat[t] += 1.0
             wts[t, wid] += 1.0
             m_sstat[t] += 1.0
+
+
+def _sample_unit_kernel(lib, unit_state, wts, m_sstat, K, alpha, us,
+                        variant):
+    """C-kernel twin of _sample_unit's loop (same mutation contract)."""
+    import ctypes
+
+    P = ctypes.POINTER
+    f64, i64 = ctypes.c_double, ctypes.c_int64
+
+    def dp(a):
+        return a.ctypes.data_as(P(f64))
+
+    def ip(a):
+        return a.ctypes.data_as(P(i64))
+
+    (p_words, p_z, p_sstat, children) = unit_state
+    V = wts.shape[1]
+    nc = len(children)
+    imode = 1 if variant == "corr" else 0
+    side = 1 if variant == "corr" else 0
+    cache = np.empty(K + 1, dtype=np.float64)
+    infl = np.empty(K, dtype=np.float64)
+    if p_words.size:
+        # parent sweep only READS child counts — stack a snapshot
+        ccounts = (np.ascontiguousarray(
+            np.stack([c[2] for c in children]), dtype=np.float64)
+            if nc else np.zeros((1, K)))
+        mus = np.array([c[3] for c in children], dtype=np.float64) \
+            if nc else np.zeros(1)
+        lib.acctm_parent(ip(p_words), p_words.size, ip(p_z), dp(p_sstat),
+                         dp(wts), dp(m_sstat), K, V, nc, dp(ccounts),
+                         dp(mus), alpha, -1.0, imode, side,
+                         dp(us[:p_words.size]), dp(cache), dp(infl))
+    pos = p_words.size
+    p_sum = float(p_sstat.sum())
+    k_alpha = alpha * K
+    cmode = 1 if variant == "corr" else 0
+    for (c_words, c_z, c_sstat, mu) in children:
+        if c_words.size:
+            lib.acctm_child(ip(c_words), c_words.size, ip(c_z), None,
+                            dp(wts), dp(m_sstat), K, V, alpha, k_alpha,
+                            dp(p_sstat), p_sum, float(mu), dp(c_sstat),
+                            None, None, None, 0.0, 0.0, None, None, None,
+                            dp(us[pos:pos + c_words.size]), dp(cache),
+                            cmode)
+        pos += c_words.size
 
 
 def _init_unit(parent_vec, child_vecs, K, rng):
@@ -483,9 +551,24 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
     ``variant='czlr'`` (``ACCTM_CZLR.sampleInChildDoc`` :217-296): the CZ
     sampler with the count-based x factors (γ₀+n₀)/(γ₁+n₁) replaced by the
     per-word logistic pλ₀ = σ(−w·f), pλ₁ = σ(w·f) (``xProb4Word``
-    :298-309) against the parent's fitted weight vector."""
+    :298-309) against the parent's fitted weight vector.
+
+    Same pre-drawn-uniform + C-kernel dispatch as _sample_unit (bit-exact
+    twin pinned by tests/test_ckernels_acctm.py)."""
+    from ir_base_ray.functions.ckernels import acctm_kernel
+
     (p_words, p_z, p_sstat, children) = unit_state[:4]
     x_w = unit_state[4] if variant == "czlr" else None
+    total = p_words.size + sum(ch[0].size for ch in children)
+    if total == 0:
+        return
+    us = rng.random(total)
+    lib = acctm_kernel()
+    if lib is not None:
+        _sample_unit_c_kernel(lib, unit_state, wts, m_sstat, K, alpha,
+                              gamma, us, variant)
+        return
+    pos = 0
     k_alpha = alpha * K
     n_parent_tokens = float(p_words.size)
     s20 = 1e-20
@@ -516,7 +599,8 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                         alpha + p_sstat[k] * mu_dp) / denom
         cache = p_word * p_doc * infl
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * us[pos]
+        pos += 1
         t = int(np.searchsorted(cum, u, side="left"))
         if t >= K:
             t = K - 1
@@ -550,7 +634,8 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                     * (alpha + mu * p_sstat / p_sum + xt0) \
                     / (k_alpha + mu + xs[0])
                 cum = np.cumsum(cache)
-                u = cum[-1] * rng.random()
+                u = cum[-1] * us[pos]
+                pos += 1
                 t = int(np.searchsorted(cum, u, side="left"))
                 if t >= K:
                     t = K - 1
@@ -578,7 +663,8 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                     / (k_alpha + mu + xs[0]) * pl0
             cache[K] = local[wid] / local_total * pl1
             cum = np.cumsum(cache)
-            u = cum[-1] * rng.random()
+            u = cum[-1] * us[pos]
+            pos += 1
             t = int(np.searchsorted(cum, u, side="left"))
             if t >= K + 1:
                 t = K
@@ -596,6 +682,65 @@ def _sample_unit_c(unit_state, wts, m_sstat, K, alpha, gamma, rng,
                 xs[1] += 1.0
                 local_total += 1.0
         ch[6] = local_total
+
+
+def _sample_unit_c_kernel(lib, unit_state, wts, m_sstat, K, alpha, gamma,
+                          us, variant):
+    """C-kernel twin of _sample_unit_c's loop (same mutation contract)."""
+    import ctypes
+
+    P = ctypes.POINTER
+    f64, i64 = ctypes.c_double, ctypes.c_int64
+
+    def dp(a):
+        return a.ctypes.data_as(P(f64))
+
+    def ip(a):
+        return a.ctypes.data_as(P(i64))
+
+    (p_words, p_z, p_sstat, children) = unit_state[:4]
+    x_w = unit_state[4] if variant == "czlr" else None
+    V = wts.shape[1]
+    nc = len(children)
+    imode = 1 if variant in ("cz", "czlr") else 0
+    cache = np.empty(K + 1, dtype=np.float64)
+    infl = np.empty(K, dtype=np.float64)
+    if p_words.size:
+        ccounts = (np.ascontiguousarray(
+            np.stack([ch[3] for ch in children]), dtype=np.float64)
+            if nc else np.zeros((1, K)))
+        mus = np.array([ch[7] for ch in children], dtype=np.float64) \
+            if nc else np.zeros(1)
+        lib.acctm_parent(ip(p_words), p_words.size, ip(p_z), dp(p_sstat),
+                         dp(wts), dp(m_sstat), K, V, nc, dp(ccounts),
+                         dp(mus), alpha, float(p_words.size), imode, 0,
+                         dp(us[:p_words.size]), dp(cache), dp(infl))
+    pos = p_words.size
+    p_sum = float(p_sstat.sum())
+    k_alpha = alpha * K
+    cmode = {"c": 2, "chard": 2, "cz": 3, "czlr": 4}[variant]
+    u8 = ctypes.c_uint8
+    for ch in children:
+        c_words, c_z, c_x, xt0, local, xs, local_total, mu = ch[:8]
+        n = c_words.size
+        if n:
+            in_par = (np.isin(c_words, p_words).astype(np.uint8)
+                      if variant == "chard" else None)
+            feats = (np.ascontiguousarray(ch[8], dtype=np.float64)
+                     if variant == "czlr" else None)
+            lt = np.array([local_total], dtype=np.float64)
+            lib.acctm_child(
+                ip(c_words), n, ip(c_z), ip(c_x), dp(wts), dp(m_sstat),
+                K, V, alpha, k_alpha, dp(p_sstat), p_sum, float(mu),
+                dp(xt0), dp(local), dp(xs), dp(lt), float(gamma[0]),
+                float(gamma[1]),
+                None if feats is None else dp(feats),
+                None if x_w is None else dp(x_w),
+                None if in_par is None
+                else in_par.ctypes.data_as(P(u8)),
+                dp(us[pos:pos + n]), dp(cache), cmode)
+            ch[6] = float(lt[0])
+        pos += n
 
 
 @ray.remote

@@ -77,10 +77,28 @@ def _init_unit(parent_vec, child_vecs, K, V, rng):
 
 
 def _sample_unit(us, alpha, alpha_c, beta, total_beta, K, rng):
+    """One sweep (parent then children). Uniforms are pre-drawn in ONE
+    ``rng.random(total)`` call (identical Philox stream to per-token draws)
+    and the sweep runs in the compile-once C kernel
+    (functions/ckernels.dcmcorr_kernel) with the identical IEEE op
+    sequence — kernel == python bit-exact (tests/test_ckernels_acctm.py);
+    the loop below is the compiler-less fallback and parity oracle."""
+    from ir_base_ray.functions.ckernels import dcmcorr_kernel
+
     p_words, p_z, npar, wt, ts, n_uniq, children = us
     total_alpha = float(alpha.sum())
     total_alpha_c = float(alpha_c.sum())
     p_len = float(p_words.size)
+    total = p_words.size + sum(c[0].size for c in children)
+    if total == 0:
+        return
+    uarr = rng.random(total)
+    lib = dcmcorr_kernel()
+    if lib is not None:
+        _sample_unit_kernel(lib, us, alpha, alpha_c, beta, total_beta, K,
+                            total_alpha, total_alpha_c, p_len, uarr)
+        return
+    pos = 0
     # ---- parent (:107-146)
     for i in range(p_words.size):
         wid = p_words[i]
@@ -100,7 +118,8 @@ def _sample_unit(us, alpha, alpha_c, beta, total_beta, K, rng):
         cache = (wt[:, wid] + beta[:, wid]) / (ts + total_beta) \
             * (npar + alpha) / (n_uniq + total_alpha) * infl
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * uarr[pos]
+        pos += 1
         t = int(np.searchsorted(cum, u, side="left"))
         if t >= K:
             t = K - 1
@@ -124,7 +143,8 @@ def _sample_unit(us, alpha, alpha_c, beta, total_beta, K, rng):
                 * (alpha_c + mu_dp * npar + nch) \
                 / (total_alpha_c + mu_dp * p_sum + c_sum)
             cum = np.cumsum(cache)
-            u = cum[-1] * rng.random()
+            u = cum[-1] * uarr[pos]
+            pos += 1
             t = int(np.searchsorted(cum, u, side="left"))
             if t >= K:
                 t = K - 1
@@ -132,6 +152,51 @@ def _sample_unit(us, alpha, alpha_c, beta, total_beta, K, rng):
             nch[t] += 1.0
             ts[t] += 1.0
             wt[t, wid] += 1.0
+
+
+def _sample_unit_kernel(lib, us, alpha, alpha_c, beta, total_beta, K,
+                        total_alpha, total_alpha_c, p_len, uarr):
+    """C-kernel twin of _sample_unit's loop (same mutation contract)."""
+    import ctypes
+
+    P = ctypes.POINTER
+    f64, i64 = ctypes.c_double, ctypes.c_int64
+
+    def dp(a):
+        return a.ctypes.data_as(P(f64))
+
+    def ip(a):
+        return a.ctypes.data_as(P(i64))
+
+    p_words, p_z, npar, wt, ts, n_uniq, children = us
+    V = wt.shape[1]
+    nc = len(children)
+    beta = np.ascontiguousarray(beta)
+    total_beta = np.ascontiguousarray(total_beta)
+    alpha = np.ascontiguousarray(alpha)
+    alpha_c = np.ascontiguousarray(alpha_c)
+    cache = np.empty(K, dtype=np.float64)
+    infl = np.empty(K, dtype=np.float64)
+    if p_words.size:
+        ccounts = (np.ascontiguousarray(
+            np.stack([c[2] for c in children]), dtype=np.float64)
+            if nc else np.zeros((1, K)))
+        mus = np.array([c[3] for c in children], dtype=np.float64) \
+            if nc else np.zeros(1)
+        lib.dcmcorr_parent(ip(p_words), p_words.size, ip(p_z), dp(npar),
+                           dp(wt), dp(ts), dp(beta), dp(total_beta),
+                           dp(alpha), n_uniq + total_alpha, K, V, nc,
+                           dp(ccounts), dp(mus), p_len,
+                           dp(uarr[:p_words.size]), dp(cache), dp(infl))
+    pos = p_words.size
+    for (c_words, c_z, nch, mu) in children:
+        if c_words.size:
+            lib.dcmcorr_child(ip(c_words), c_words.size, ip(c_z), dp(nch),
+                              dp(wt), dp(ts), dp(beta), dp(total_beta),
+                              dp(alpha_c), total_alpha_c, dp(npar),
+                              float(mu), K, V,
+                              dp(uarr[pos:pos + c_words.size]), dp(cache))
+        pos += c_words.size
 
 
 @ray.remote

@@ -88,11 +88,45 @@ def _init_doc(words, K, V, alpha, rng):
 def _sample_topics(doc, alpha, beta, total_beta, rng, *, mu=1.0,
                    cluster_wt=None, cluster_ts=None):
     """sampleTopicAssignment — sparse walk (off-by-one) when cluster_wt is
-    None, cluster walk (increment-first) otherwise."""
+    None, cluster walk (increment-first) otherwise.
+
+    Pre-drawn uniforms + compile-once C kernel
+    (functions/ckernels.sparsedcm_kernel), bit-exact with the Python
+    fallback below (tests/test_ckernels_acctm.py)."""
+    from ir_base_ray.functions.ckernels import sparsedcm_kernel
+
     K = alpha.size
     words, z, n_dk, n_dkw, x = (doc["words"], doc["z"], doc["n_dk"],
                                 doc["n_dkw"], doc["x"])
     xf = x.astype(np.float64)
+    if words.size == 0:
+        return
+    us = rng.random(words.size)
+    lib = sparsedcm_kernel()
+    if lib is not None:
+        import ctypes
+
+        P = ctypes.POINTER
+        f64, i64 = ctypes.c_double, ctypes.c_int64
+
+        def dp(a):
+            return None if a is None else a.ctypes.data_as(P(f64))
+
+        def ip(a):
+            return a.ctypes.data_as(P(i64))
+
+        cache = np.empty(K, dtype=np.float64)
+        beta_c = np.ascontiguousarray(beta)
+        tb_c = np.ascontiguousarray(total_beta)
+        al_c = np.ascontiguousarray(alpha)
+        lib.sparse_topics(ip(words), words.size, ip(z), dp(n_dk), dp(n_dkw),
+                          dp(cluster_wt), dp(cluster_ts), dp(beta_c),
+                          dp(tb_c), dp(al_c), dp(xf),
+                          float(doc["alpha_doc"]), float(mu), K,
+                          n_dkw.shape[1], 0 if cluster_wt is None else 1,
+                          dp(us), dp(cache))
+        return
+    pos = 0
     for i in range(words.size):
         wid = words[i]
         t = z[i]
@@ -110,7 +144,8 @@ def _sample_topics(doc, alpha, beta, total_beta, rng, *, mu=1.0,
                 / (cluster_ts + mu * total_beta)
         cache = xf * ((n_dk + alpha) / denominator * word_f)
         cum = np.cumsum(cache)
-        u = cum[-1] * rng.random()
+        u = cum[-1] * us[pos]
+        pos += 1
         j = int(np.searchsorted(cum, u, side="left"))
         if cluster_wt is None:
             t = min(j + 1, K - 1)        # the sparse off-by-one walk
@@ -125,9 +160,36 @@ def _sample_topics(doc, alpha, beta, total_beta, rng, *, mu=1.0,
 
 
 def _sample_indicators(doc, alpha, K, s_param, t_param, rng):
-    """sampleOnOffIndicator (:180-214)."""
+    """sampleOnOffIndicator (:180-214). A uniform is drawn only at topics
+    with n_dk[k]==0; n_dk is read-only here, so the draw count is known up
+    front — pre-draw exactly that many (identical Philox stream) and run
+    the C kernel when available (bit-exact, tests/test_ckernels_acctm.py)."""
+    from ir_base_ray.functions.ckernels import sparsedcm_kernel
+
     x, n_dk = doc["x"], doc["n_dk"]
     L = doc["words"].size
+    us = rng.random(int(np.count_nonzero(n_dk <= 0.0)))
+    lib = sparsedcm_kernel()
+    if lib is not None:
+        import ctypes
+
+        P = ctypes.POINTER
+        f64, i64 = ctypes.c_double, ctypes.c_int64
+        xu = np.ascontiguousarray(x.view(np.uint8))
+        ad = np.array([doc["alpha_doc"]], dtype=np.float64)
+        no = np.array([doc["n_on"]], dtype=np.int64)
+        lib.sparse_indicators(
+            xu.ctypes.data_as(P(ctypes.c_uint8)),
+            n_dk.ctypes.data_as(P(f64)),
+            np.ascontiguousarray(alpha).ctypes.data_as(P(f64)),
+            K, L, float(s_param), float(t_param),
+            ad.ctypes.data_as(P(f64)), no.ctypes.data_as(P(i64)),
+            us.ctypes.data_as(P(f64)))
+        x[:] = xu.view(bool)
+        doc["alpha_doc"] = float(ad[0])
+        doc["n_on"] = int(no[0])
+        return
+    pos = 0
     for k in range(K):
         if x[k]:
             doc["n_on"] -= 1
@@ -142,7 +204,8 @@ def _sample_indicators(doc, alpha, K, s_param, t_param, rng):
                 i_arr = np.arange(L, dtype=np.float64)
                 for r in ((term1 + i_arr) / (term1 + term2 + i_arr)).tolist():
                     q *= r               # sequential, Java order
-            xk = not ((q + 1.0) * rng.random() < 1.0)
+            xk = not ((q + 1.0) * us[pos] < 1.0)
+            pos += 1
         x[k] = xk
         if xk:
             doc["n_on"] += 1
