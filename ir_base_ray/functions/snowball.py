@@ -1,7 +1,7 @@
 """Multilingual Snowball stemmers — pure-Python transcriptions of the
-published Snowball algorithms (snowballstem.org; public) for German, Spanish
-and French, plus a language registry fronting them and English Porter2
-(functions/porter2.py).
+published Snowball algorithms (snowballstem.org; public) for German,
+Spanish, French, Italian and Portuguese, plus a language registry fronting
+them and English Porter2 (functions/porter2.py).
 
 The reference vendors 16 compiled Snowball stemmers
 (``org/tartarus/snowball/ext/*Stemmer.java``) selected by the analyzer
@@ -10,7 +10,7 @@ key off the corpus ``lang`` column). Behaviour is pinned by golden-token
 tests (tests/test_snowball.py); the intent is the published algorithm, not
 byte-parity with any specific Snowball snapshot.
 
-All three stemmers follow the standard Snowball machinery: R1 (region after
+All stemmers follow the standard Snowball machinery: R1 (region after
 the first non-vowel following a vowel), R2 (R1 applied within R1), RV
 (language-specific), longest-suffix-match steps.
 """
@@ -519,6 +519,315 @@ def stem_french(word: str) -> str:
     return word.lower()
 
 
+# -------------------------------------------------------------------- Italian
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRONOUNS = ("gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+                "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+                "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+                "cene", "vela", "vele", "veli", "velo", "vene", "gli", "ci",
+                "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi")
+
+# (suffixes, handler key) — flat longest-match table for step 1
+_IT_STEP1 = sorted(
+    [(s, "r2") for s in
+     ("anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi", "ismo",
+      "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste", "isti",
+      "istà", "istè", "istì", "oso", "osi", "osa", "ose", "mente",
+      "atrice", "atrici", "ante", "anti")]
+    + [(s, "azione") for s in ("azione", "azioni", "atore", "atori")]
+    + [(s, "logia") for s in ("logia", "logie")]
+    + [(s, "uzione") for s in ("uzione", "uzioni", "usione", "usioni")]
+    + [(s, "enza") for s in ("enza", "enze")]
+    + [(s, "rv") for s in ("amento", "amenti", "imento", "imenti")]
+    + [("amente", "amente"), ("ità", "ita")]
+    + [(s, "ivo") for s in ("ivo", "ivi", "iva", "ive")],
+    key=lambda t: -len(t[0]))
+
+_IT_STEP2 = sorted(
+    ("ammo ando ano are arono asse assero assi assimo ata ate ati ato ava "
+     "avamo avano avate avi avo emmo enda ende endi endo erà erai eranno "
+     "ere erebbe erebbero erei eremmo eremo ereste eresti erete erò erono "
+     "essero ete eva evamo evano evate evi evo Yamo iamo immo irà irai "
+     "iranno ire irebbe irebbero irei iremmo iremo ireste iresti irete irò "
+     "irono isca iscano isce isci isco iscono issero ita ite iti ito iva "
+     "ivamo ivano ivate ivi ivo ono uta ute uti uto ar ir").split(),
+    key=len, reverse=True)
+
+
+def stem_italian(word: str) -> str:
+    """Snowball Italian (published algorithm, snowballstem.org)."""
+    word = word.lower().translate(_IT_ACUTE)
+    if len(word) <= 2:
+        return word
+    # mark u after q, and u/i between vowels, as consonants (upper case)
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif chars[i] in "ui" and i + 1 < len(chars) \
+                and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+    rv = _rv_romance(word, _IT_VOWELS)
+    r1, r2 = _r1_r2(word, _IT_VOWELS)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    # step 0: attached pronoun, preceded (in RV) by ando/endo or ar/er/ir
+    for pron in _IT_PRONOUNS:
+        if word.endswith(pron):
+            base = word[: -len(pron)]
+            for pre in ("ando", "endo"):
+                if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                    word = base
+                    break
+            else:
+                for pre in ("ar", "er", "ir"):
+                    if base.endswith(pre) and in_rv(len(base) - len(pre)):
+                        word = base + "e"
+                        break
+            break
+    changed = False
+    # step 1: standard suffixes, longest match
+    for suf, how in _IT_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if how == "rv":
+            if in_rv(pos):
+                word = word[:pos]
+                changed = True
+        elif how == "amente":
+            if in_r1(pos):
+                word = word[:pos]
+                changed = True
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if word.endswith(pre) \
+                                and in_r2(len(word) - len(pre)):
+                            word = word[: -len(pre)]
+                            break
+        elif in_r2(pos):
+            word = word[:pos]
+            changed = True
+            if how == "azione":
+                if word.endswith("ic") and in_r2(len(word) - 2):
+                    word = word[:-2]
+            elif how == "logia":
+                word = word[:pos] + "log"
+            elif how == "uzione":
+                word = word[:pos] + "u"
+            elif how == "enza":
+                word = word[:pos] + "ente"
+            elif how == "ita":
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[: -len(pre)]
+                        break
+            elif how == "ivo":
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("ic") and in_r2(len(word) - 2):
+                        word = word[:-2]
+        break
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not changed:
+        for suf in _IT_STEP2:
+            if word.endswith(suf):
+                pos = len(word) - len(suf)
+                if in_rv(pos):
+                    word = word[:pos]
+                break
+    # step 3a: final vowel (and a preceding i) in RV
+    if word and word[-1] in "aeioàèìò" and in_rv(len(word) - 1):
+        word = word[:-1]
+        if word and word[-1] == "i" and in_rv(len(word) - 1):
+            word = word[:-1]
+    # step 3b: final ch/gh → c/g in RV
+    if (word.endswith("ch") or word.endswith("gh")) \
+            and in_rv(len(word) - 2):
+        word = word[:-1]
+    return word.lower()
+
+
+# ----------------------------------------------------------------- Portuguese
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP1 = sorted(
+    [(s, "r2") for s in
+     ("amentos", "imentos", "amento", "imento", "adoras", "adores",
+      "aço~es", "ismos", "istas", "adora", "aça~o", "antes", "ância",
+      "ador", "ante", "eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+      "ável", "ível", "ista", "oso", "osa", "osos", "osas")]
+    + [(s, "logia") for s in ("logias", "logia")]
+    + [(s, "ucao") for s in ("uço~es", "uça~o")]
+    + [(s, "encia") for s in ("ências", "ência")]
+    + [("amente", "amente"), ("mente", "mente")]
+    + [(s, "idade") for s in ("idades", "idade")]
+    + [(s, "iva") for s in ("ivas", "ivos", "iva", "ivo")]
+    + [(s, "ira") for s in ("iras", "ira")],
+    key=lambda t: -len(t[0]))
+
+_PT_STEP2 = sorted(
+    ("aríamos eríamos iríamos ássemos êssemos íssemos aríeis eríeis iríeis "
+     "ásseis ésseis ísseis áramos éramos íramos ávamos aremos eremos "
+     "iremos ariam eriam iriam assem essem issem ara~o era~o ira~o arias "
+     "erias irias ardes erdes irdes asses esses isses astes estes istes "
+     "áreis aréis éreis eréis íreis iréis áveis íamos armos ermos irmos "
+     "aria eria iria asse esse isse aste este iste arei erei irei aram "
+     "eram iram avam arem erem irem ando endo indo adas idas arás aras "
+     "erás eras irás avas ares eres ires íeis ados idos ámos amos emos "
+     "imos iras ada ida ará ara erá era irá ava iam ado ido ias ais eis "
+     "ira ia ei am em ar er ir as es is eu iu ou").split(),
+    key=len, reverse=True)
+
+
+def stem_portuguese(word: str) -> str:
+    """Snowball Portuguese (published algorithm, snowballstem.org). The
+    nasalized vowels ã/õ are carried as the 2-char forms a~/o~ (consonant
+    ~) through the region machinery, exactly as the published algorithm
+    specifies, and restored at the end."""
+    word = word.lower().replace("ã", "a~").replace("õ", "o~")
+    if len(word) <= 2:
+        return word.replace("a~", "ã").replace("o~", "õ")
+    rv = _rv_romance(word, _PT_VOWELS)
+    r1, r2 = _r1_r2(word, _PT_VOWELS)
+
+    def in_rv(pos):
+        return pos >= rv
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    altered = False
+    # step 1: standard suffixes, longest match
+    for suf, how in _PT_STEP1:
+        if not word.endswith(suf):
+            continue
+        pos = len(word) - len(suf)
+        if how == "r2":
+            if in_r2(pos):
+                word = word[:pos]
+                altered = True
+        elif how == "logia":
+            if in_r2(pos):
+                word = word[:pos] + "log"
+                altered = True
+        elif how == "ucao":
+            if in_r2(pos):
+                word = word[:pos] + "u"
+                altered = True
+        elif how == "encia":
+            if in_r2(pos):
+                word = word[:pos] + "ente"
+                altered = True
+        elif how == "amente":
+            if in_r1(pos):
+                word = word[:pos]
+                altered = True
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and in_r2(len(word) - 2):
+                            word = word[:-2]
+                            break
+        elif how == "mente":
+            if in_r2(pos):
+                word = word[:pos]
+                altered = True
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[: -len(pre)]
+                        break
+        elif how == "idade":
+            if in_r2(pos):
+                word = word[:pos]
+                altered = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[: -len(pre)]
+                        break
+        elif how == "iva":
+            if in_r2(pos):
+                word = word[:pos]
+                altered = True
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif how == "ira":
+            if in_rv(pos) and pos >= 1 and word[pos - 1] == "e":
+                word = word[:pos] + "ir"
+                altered = True
+        break
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not altered:
+        for suf in _PT_STEP2:
+            if word.endswith(suf):
+                pos = len(word) - len(suf)
+                if in_rv(pos):
+                    word = word[:pos]
+                    altered = True
+                break
+    if altered:
+        # step 3: i preceded by c, in RV
+        if word.endswith("ci") and in_rv(len(word) - 1):
+            word = word[:-1]
+    else:
+        # step 4: residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if word.endswith(suf):
+                if in_rv(len(word) - len(suf)):
+                    word = word[: -len(suf)]
+                break
+    # step 5: residual form
+    if word and word[-1] in "eéê" and in_rv(len(word) - 1):
+        word = word[:-1]
+        if word.endswith("gu") and in_rv(len(word) - 1):
+            word = word[:-1]
+        elif word.endswith("ci") and in_rv(len(word) - 1):
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+def _rv_romance(word: str, vowels: str) -> int:
+    """The shared Spanish/Italian/Portuguese RV rule."""
+    if len(word) < 3:
+        return len(word)
+    if word[1] not in vowels:
+        for i in range(2, len(word)):
+            if word[i] in vowels:
+                return i + 1
+        return len(word)
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, len(word)):
+            if word[i] not in vowels:
+                return i + 1
+        return len(word)
+    return 3
+
+
 # ------------------------------------------------------------------- registry
 
 def get_stemmer(lang: str):
@@ -532,9 +841,11 @@ def get_stemmer(lang: str):
         "de": stem_german, "german": stem_german,
         "es": stem_spanish, "spanish": stem_spanish,
         "fr": stem_french, "french": stem_french,
+        "it": stem_italian, "italian": stem_italian,
+        "pt": stem_portuguese, "portuguese": stem_portuguese,
     }
     return table.get(lang.lower(), lambda w: w)
 
 
 def supported_languages() -> tuple[str, ...]:
-    return ("en", "de", "es", "fr")
+    return ("en", "de", "es", "fr", "it", "pt")

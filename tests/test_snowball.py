@@ -6,7 +6,8 @@ import numpy as np
 import pyarrow as pa
 
 from ir_base_ray.functions.snowball import (get_stemmer, stem_french,
-                                            stem_german, stem_spanish,
+                                            stem_german, stem_italian,
+                                            stem_portuguese, stem_spanish,
                                             supported_languages)
 
 # golden tokens per language (hand-traced through the published algorithms;
@@ -49,6 +50,33 @@ GOLDEN_FR = [
     ("maisons", "maison"),
     ("librairies", "librair"),           # step 2a: -ies after non-vowel in RV
 ]
+GOLDEN_IT = [
+    ("abbandonata", "abbandon"),
+    ("pronto", "pront"),
+    ("cantare", "cant"),
+    ("geologia", "geolog"),              # -a, then preceding -i, in RV
+    ("felicità", "felic"),               # ità in R2
+    ("mangiandolo", "mang"),             # pronoun -lo after -ando
+    ("lavoratrici", "lavor"),            # atrici in R2
+    ("organizzazione", "organizz"),
+    ("qualità", "qualit"),               # ità NOT in R2 → step-3a à only
+    ("avrebbero", "avrebber"),           # no verb suffix fits in RV
+    ("città", "citt"),
+]
+GOLDEN_PT = [
+    ("bonecas", "bonec"),
+    ("falando", "fal"),
+    ("pensamento", "pensament"),         # amento NOT in R2 → residual -o
+    ("corações", "coraçõ"),              # a~/o~ nasal carriage round-trips
+    ("coração", "coraçã"),
+    ("felicidade", "felic"),             # idade in R2
+    ("trabalhadores", "trabalh"),
+    ("qualidade", "qualidad"),           # idade NOT in R2 → step-5 -e
+    ("amigável", "amig"),
+    ("rapidamente", "rapid"),
+    ("quilométricas", "quilométr"),
+    ("cantaríamos", "cant"),
+]
 
 
 def test_german_goldens():
@@ -66,12 +94,24 @@ def test_french_goldens():
         assert stem_french(w) == want, (w, stem_french(w), want)
 
 
+def test_italian_goldens():
+    for w, want in GOLDEN_IT:
+        assert stem_italian(w) == want, (w, stem_italian(w), want)
+
+
+def test_portuguese_goldens():
+    for w, want in GOLDEN_PT:
+        assert stem_portuguese(w) == want, (w, stem_portuguese(w), want)
+
+
 def test_registry_and_fallback():
     assert get_stemmer("de")("bücher") == "buch"
     assert get_stemmer("german")("bücher") == "buch"
     assert get_stemmer("en")("running") == "run"
+    assert get_stemmer("it")("cantare") == "cant"
+    assert get_stemmer("pt")("falando") == "fal"
     assert get_stemmer("zz")("running") == "running"   # identity fallback
-    assert set(supported_languages()) == {"en", "de", "es", "fr"}
+    assert set(supported_languages()) == {"en", "de", "es", "fr", "it", "pt"}
 
 
 def test_analyzer_lang_plumbing(ray_session, tmp_path):
