@@ -24,7 +24,11 @@ Gibbs; public), exactly as the reference runs it:
 - models: "clr" = cluster weight vector w (dim F+1, G0 = N(g_w, σ_A));
   "clin" = cluster transform (a, b) (dim 2(F+1), identity feature groups,
   G0 = N(1, 0.1) scaling ⊗ N(0, 1) shifting, decision
-  a∘w_g + b like LinAdapt); "mtclin" = ``MTCLinAdaptWithDP.java`` —
+  a∘w_g + b like LinAdapt); "mtclr" = ``MTCLRWithDP.java`` — cluster
+  weight w_u (scalar prior N(nuA), "w_u close to 0", :35-39) plus a
+  jointly-learned super weight vector w_s ~ N(w_g, σ_A), decision
+  q·w_s·x + w_u·x (:41-45), R1 += η2·‖w_s−w_g‖²/σ²/2 (:48-56),
+  personalized w_u + q·w_s (:92-99); "mtclin" = ``MTCLinAdaptWithDP.java`` —
   cluster transforms applied over a JOINTLY-LEARNED super model
   w_s = a_s∘w_g + b_s (the super block sits at the END of the joint
   parameter vector exactly like ``accumulateClusterModels`` :41-46;
@@ -74,6 +78,22 @@ def _loglik_mtclin(A, sup, g_w, docs, l_norm=True):
     return _loglik_clin(A, w_s, docs, l_norm)
 
 
+def _loglik_mtclr(w, sup, q, docs, l_norm=True):
+    """MTCLRWithDP/HDP/MMB likelihood: decision = q·(w_s·x) + w_c·x
+    (``MTCLRWithDP.logit`` :41-45 / ``MTCLRWithHDP.logit`` :63-67)."""
+    L = 0.0
+    for tids, vals, y in docs:
+        n = tids + 1
+        f = (q * (sup[0] + float((sup[n] * vals).sum()))
+             + w[0] + float((w[n] * vals).sum()))
+        p = 1.0 / (1.0 + np.exp(-f)) if f > -500 else 0.0
+        if y == 1:
+            L += np.log(p) if p > 0.0 else -MAX_VALUE
+        else:
+            L += np.log(1.0 - p) if p < 1.0 else -MAX_VALUE
+    return L / max(1, len(docs)) if l_norm else L
+
+
 def _loglik_clin(A, g_w, docs, l_norm=True):
     """LinAdapt-style likelihood under cluster transform A = (a, b)."""
     F1 = g_w.size
@@ -91,7 +111,7 @@ def _loglik_clin(A, g_w, docs, l_norm=True):
 
 
 def dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
-                l_norm=True):
+                l_norm=True, q=0.1):
     """Data-term partial for one user block: −L̄ under the user's assigned
     cluster model, gradient into that cluster's parameter block. Plain
     function — ``_dp_block_fg`` is its ray.remote wrapper; callers use the
@@ -103,7 +123,28 @@ def dp_block_fg(user_entries, x, g_w, pdim, model, n_clusters,
     for docs, cid in user_entries:
         off = pdim * cid
         n_adapt = max(1, len(docs)) if l_norm else 1
-        if model == "clr":
+        if model == "mtclr":
+            # MTCLR: decision q·w_s·x + w_c·x; gradient into the cluster
+            # block and q-scaled into the super block at the end
+            # (``MTCLRWithDP.gradientByFunc`` :62-84)
+            sup_off = pdim * n_clusters
+            w = x[off: off + pdim]
+            ws = x[sup_off: sup_off + pdim]
+            for tids, vals, y in docs:
+                n = tids + 1
+                s = (q * (ws[0] + float((ws[n] * vals).sum()))
+                     + w[0] + float((w[n] * vals).sum()))
+                p = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+                if y == 1:
+                    f -= (np.log(p) if p > 0.0 else -MAX_VALUE) / n_adapt
+                else:
+                    f -= (np.log(1.0 - p) if p < 1.0 else -MAX_VALUE) / n_adapt
+                delta = (y - p) / n_adapt
+                g[off] -= delta
+                g[sup_off] -= q * delta
+                np.subtract.at(g, off + n, delta * vals)
+                np.subtract.at(g, sup_off + n, q * delta * vals)
+        elif model == "clr":
             w = x[off: off + pdim]
             for tids, vals, y in docs:
                 n = tids + 1
@@ -173,7 +214,8 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                         eta3: float = 1.0, eta4: float = 1.0,
                         nuA: tuple = (0.0, 1.0), nuB: tuple = (1.0, 0.1),
                         seed: int = 29, n_blocks: int = 4,
-                        lbfgs_iter: int = 60, l_norm: bool = False):
+                        lbfgs_iter: int = 60, l_norm: bool = False,
+                        q: float = 0.1):
     """Full DP-adaptation EM. ``user_docs``: {user: [(tids, vals, y01)]},
     users with no adaptation data are skipped (like the reference).
     ``l_norm`` defaults to False — the shipped main disables the per-user
@@ -184,8 +226,8 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
     personalized weights and the kBar trace."""
     g_w = np.asarray(g_w, dtype=np.float64)
     F1 = g_w.size
-    pdim = F1 if model == "clr" else 2 * F1
-    has_sup = model == "mtclin"
+    pdim = F1 if model in ("clr", "mtclr") else 2 * F1
+    has_sup = model in ("mtclin", "mtclr")
     users = [u for u in user_docs if user_docs[u]]
     docs_by_user = [
         [(np.asarray(t, dtype=np.int64), np.asarray(v, dtype=np.float64),
@@ -198,18 +240,29 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
     def sample_g0(k):
         if model == "clr":
             return rng.normal(g_w, nuA[1], size=(k, F1))   # vctMean prior
+        if model == "mtclr":
+            # MTCLRWithDP.initPriorG0 :35-39 replaces G0 with the scalar
+            # prior N(nuA) for the per-cluster w_u ("only for w_u")
+            return rng.normal(nuA[0], nuA[1], size=(k, F1))
         out = np.empty((k, pdim))
         out[:, :F1] = rng.normal(nuB[0], nuB[1], size=(k, F1))
         out[:, F1:] = rng.normal(nuA[0], nuA[1], size=(k, F1))
         return out
 
-    sup = sample_g0(1)[0].copy() if has_sup else None  # initPriorG0 :50-54
+    # initPriorG0 :50-54 (mtclin); MTCLRWithDP :35-39 samples the super
+    # weights around the GLOBAL model (m_G0.sampling(m_gWeights, ...))
+    if model == "mtclr":
+        sup = rng.normal(g_w, nuA[1], size=F1)
+    else:
+        sup = sample_g0(1)[0].copy() if has_sup else None
 
     def loglik(theta, docs):
         if model == "clr":
             return _loglik_clr(theta, docs, l_norm)
         if model == "clin":
             return _loglik_clin(theta, g_w, docs, l_norm)
+        if model == "mtclr":
+            return _loglik_mtclr(theta, sup, q, docs, l_norm)
         return _loglik_mtclin(theta, sup, g_w, docs, l_norm)
 
     clusters: list[np.ndarray] = []      # kBar cluster models (in order)
@@ -284,6 +337,12 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                     d = x[off: off + pdim] - g_w
                     f += eta1 * float(d @ d) / (nuA[1] ** 2) / 2.0
                     g[off: off + pdim] += eta1 * d / (nuA[1] ** 2)
+                elif model == "mtclr":
+                    # per-cluster w_u close to 0 (scalar prior,
+                    # MTCLRWithDP.calculateR1 :48-56 via super)
+                    d = x[off: off + pdim] - nuA[0]
+                    f += eta1 * float(d @ d) / (nuA[1] ** 2) / 2.0
+                    g[off: off + pdim] += eta1 * d / (nuA[1] ** 2)
                 else:
                     da = x[off: off + F1] - nuB[0]
                     db = x[off + F1: off + 2 * F1] - nuA[0]
@@ -291,7 +350,13 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
                           + eta2 * float(db @ db) / (nuA[1] ** 2)) / 2.0
                     g[off: off + F1] += eta1 * da / (nuB[1] ** 2)
                     g[off + F1: off + 2 * F1] += eta2 * db / (nuA[1] ** 2)
-            if has_sup:
+            if model == "mtclr":
+                # w_s close to w_0 with η2 (MTCLRWithDP.calculateR1 :48-56)
+                off = pdim * k_bar
+                d = x[off: off + F1] - g_w
+                f += eta2 * float(d @ d) / (nuA[1] ** 2) / 2.0
+                g[off: off + F1] += eta2 * d / (nuA[1] ** 2)
+            elif has_sup:
                 off = pdim * k_bar
                 da = x[off: off + F1] - nuB[0]
                 db = x[off + F1: off + 2 * F1] - nuA[0]
@@ -302,7 +367,7 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
             x_ref = ray.put(x)
             outs = ray.get([
                 _dp_block_fg.remote(r, x_ref, g_w, pdim, model, k_bar,
-                                    l_norm)
+                                    l_norm, q)
                 for r in entries_refs
             ])
             for fp, gp in outs:
@@ -315,7 +380,7 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
         for i in range(k_bar):
             clusters[i] = x[pdim * i: pdim * (i + 1)].copy()
         if has_sup:
-            sup = x[pdim * k_bar: pdim * k_bar + 2 * F1].copy()
+            sup = x[pdim * k_bar:].copy()
         return fv
 
     e_step(first=True)
@@ -332,6 +397,10 @@ def train_dp_adaptation(user_docs: dict, g_w: np.ndarray, *,
 
     if model == "clr":
         personalized = {u: clusters[assign[i]]
+                        for i, u in enumerate(users)}
+    elif model == "mtclr":
+        # setPersonalizedModel :92-99: w_u + q·w_s
+        personalized = {u: clusters[assign[i]] + q * sup
                         for i, u in enumerate(users)}
     else:
         base = g_w if model == "clin" else sup[:F1] * g_w + sup[F1:]

@@ -45,7 +45,8 @@ import numpy as np
 import ray
 
 from ir_base_ray.pipelines.dpadapt import (_dp_block_fg, _loglik_clin,
-                                           _loglik_clr, dp_block_fg)
+                                           _loglik_clr, _loglik_mtclin,
+                                           _loglik_mtclr, dp_block_fg)
 from ir_base_ray.pipelines.hdpadapt import _log_gamma_division, _Stirling
 from ir_base_ray.pipelines.linear import lbfgs_minimize
 
@@ -56,16 +57,25 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
                          rho: float = 0.001, ab: tuple = (0.1, 0.01),
                          M: int = 6, burn_in: int = 2, n_iters: int = 5,
                          eta1: float = 0.05, eta2: float = 0.05,
+                         eta3: float = 1.0, eta4: float = 1.0,
+                         q: float = 0.1,
                          nuA: tuple = (0.0, 1.0), nuB: tuple = (1.0, 0.1),
                          seed: int = 47, n_blocks: int = 4,
                          lbfgs_iter: int = 60):
     """``edges``: {(user_a, user_b): 0/1} over unordered user pairs (the
     observed network). Returns cluster models, the B block matrix, per-user
     mixtures over clusters (doc + edge memberships), per-user personalized
-    weights (majority cluster), background-edge count, k trace."""
+    weights (majority cluster), background-edge count, k trace.
+
+    ``model`` adds the multi-task variants "mtclr" (``MMB/MTCLRWithMMB.java``
+    :49-103 — decision q·w_s·x + w_c·x with a jointly-learned super weight
+    vector, R1 += η2·‖w_s−w_g‖²/σ²/2, identical to the HDP MT tier) and
+    "mtclin" (``MMB/MTCLinAdaptWithMMB.java`` :42-115 — cluster transforms
+    over w_s[n] = a_s[n]·w_g[n] + b_s[n], η3/η4 super energy)."""
     g_w = np.asarray(g_w, dtype=np.float64)
     F1 = g_w.size
-    pdim = F1 if model == "clr" else 2 * F1
+    pdim = F1 if model in ("clr", "mtclr") else 2 * F1
+    has_sup = model in ("mtclr", "mtclin")
     lm_dim = F1 - 1
     betas = c * np.ones(lm_dim) + beta
     beta_sum = float(betas.sum())
@@ -110,17 +120,33 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
     gamma_e = 1.0
 
     def sample_g0(k):
-        if model == "clr":
+        if model in ("clr", "mtclr"):
             return rng.normal(g_w, nuA[1], size=(k, F1))
         out = np.empty((k, pdim))
         out[:, :F1] = rng.normal(nuB[0], nuB[1], size=(k, F1))
         out[:, F1:] = rng.normal(nuA[0], nuA[1], size=(k, F1))
         return out
 
+    # super block init (MTCLRWithMMB.initPriorG0 :49-53 /
+    # MTCLinAdaptWithMMB :54-58)
+    if model == "mtclr":
+        sup = rng.normal(g_w, nuA[1], size=F1)
+    elif model == "mtclin":
+        sup = np.empty(2 * F1)
+        sup[:F1] = rng.normal(nuB[0], nuB[1], size=F1)
+        sup[F1:] = rng.normal(nuA[0], nuA[1], size=F1)
+    else:
+        sup = None
+
     def loglik_y(theta, t, v, y):
         doc = [(t, v, y)]
-        return (_loglik_clr(theta, doc, False) if model == "clr"
-                else _loglik_clin(theta, g_w, doc, False))
+        if model == "clr":
+            return _loglik_clr(theta, doc, False)
+        if model == "mtclr":
+            return _loglik_mtclr(theta, sup, q, doc, False)
+        if model == "mtclin":
+            return _loglik_mtclin(theta, sup, g_w, doc, False)
+        return _loglik_clin(theta, g_w, doc, False)
 
     def conn_counts(g, h):
         key = (g, h) if g <= h else (h, g)
@@ -348,9 +374,11 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
               for i in range(min(n_blocks, max(1, len(reviews))))]
 
     def m_step():
+        nonlocal sup
         sample_gamma()
         k_bar = len(clusters)
-        x0 = np.concatenate(clusters)
+        parts = list(clusters) + ([sup] if has_sup else [])
+        x0 = np.concatenate(parts)
         entries = [
             [([(reviews[ri][1], reviews[ri][2], reviews[ri][3])],
               doc_assign[ri]) for ri in blk]
@@ -366,7 +394,7 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
             g = np.zeros_like(x)
             for i in range(k_bar):
                 off = pdim * i
-                if model == "clr":
+                if model in ("clr", "mtclr"):
                     d = x[off: off + pdim] - g_w
                     f += eta1 * float(d @ d) / (nuA[1] ** 2) / 2.0
                     g[off: off + pdim] += eta1 * d / (nuA[1] ** 2)
@@ -377,14 +405,28 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
                           + eta2 * float(db @ db) / (nuA[1] ** 2)) / 2.0
                     g[off: off + F1] += eta1 * da / (nuB[1] ** 2)
                     g[off + F1: off + 2 * F1] += eta2 * db / (nuA[1] ** 2)
+            if model == "mtclr":
+                # w_s close to w_g, η2 (MTCLRWithMMB.calculateR1 :61-78)
+                off = pdim * k_bar
+                d = x[off: off + F1] - g_w
+                f += eta2 * float(d @ d) / (nuA[1] ** 2) / 2.0
+                g[off: off + F1] += eta2 * d / (nuA[1] ** 2)
+            elif model == "mtclin":
+                off = pdim * k_bar
+                da = x[off: off + F1] - nuB[0]
+                db = x[off + F1: off + 2 * F1] - nuA[0]
+                f += (eta3 * float(da @ da) / (nuB[1] ** 2)
+                      + eta4 * float(db @ db) / (nuA[1] ** 2)) / 2.0
+                g[off: off + F1] += eta3 * da / (nuB[1] ** 2)
+                g[off + F1: off + 2 * F1] += eta4 * db / (nuA[1] ** 2)
             if local:
-                outs = [dp_block_fg(e, x, g_w, pdim, model, k_bar, False)
+                outs = [dp_block_fg(e, x, g_w, pdim, model, k_bar, False, q)
                         for e in entries]
             else:
                 x_ref = ray.put(x)
                 outs = ray.get([
                     _dp_block_fg.remote(r, x_ref, g_w, pdim, model, k_bar,
-                                        False)
+                                        False, q)
                     for r in entry_refs
                 ])
             for fp, gp in outs:
@@ -396,6 +438,8 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
                                     max_iter=lbfgs_iter)
         for i in range(k_bar):
             clusters[i] = x[pdim * i: pdim * (i + 1)].copy()
+        if has_sup:
+            sup = x[pdim * k_bar:].copy()
         return fv
 
     # ---- EM --------------------------------------------------------------
@@ -423,6 +467,9 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
                                        if denom != 0 else 0.0)
     mixtures = {}
     personalized = {}
+    if model == "mtclin":
+        w_s = sup[:F1] * g_w + sup[F1:]
+        cluster_p = [A[:F1] * w_s + A[F1:] for A in clusters]
     for ui, u in enumerate(users):
         merged: dict[int, int] = dict(user_doc_mem[ui])
         for k, n in user_edge_mem[ui].items():
@@ -434,9 +481,30 @@ def train_mmb_adaptation(user_docs: dict, edges: dict, g_w: np.ndarray, *,
         mixtures[u] = pi / tot if tot else pi
         k = int(pi.argmax()) if tot else 0
         A = clusters[k]
-        personalized[u] = A if model == "clr" else A[:F1] * g_w + A[F1:]
+        if model == "clr":
+            personalized[u] = A
+        elif model == "mtclr":
+            personalized[u] = A + q * sup
+        elif model == "mtclin":
+            # REVIEW-membership-weighted mixture of per-cluster
+            # personalized models (MTCLinAdaptWithHDP :274-301 —
+            # getClusterAssignment counts the user's review thetas only,
+            # not edge memberships)
+            dm = user_doc_mem[ui]
+            dtot = float(sum(dm.values()))
+            if dtot:
+                p = np.zeros(F1)
+                for kk, n in dm.items():
+                    p += (n / dtot) * cluster_p[kk]
+                personalized[u] = p
+            else:
+                personalized[u] = cluster_p[k]
+        else:
+            personalized[u] = A[:F1] * g_w + A[F1:]
     n_background = sum(1 for v in in_mmb.values() if not v)
     return {"users": users, "clusters": [cl.copy() for cl in clusters],
             "B": B, "mixtures": mixtures, "personalized": personalized,
             "k_trace": k_trace, "n_background_edges": n_background,
-            "gammas": list(gammas), "gamma_e": gamma_e, "final_f": fv}
+            "gammas": list(gammas), "gamma_e": gamma_e,
+            "super_model": (None if sup is None else sup.copy()),
+            "final_f": fv}

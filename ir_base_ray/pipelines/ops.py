@@ -2282,7 +2282,7 @@ def clr_dp_classify(sf_dir: str):
     from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
 
     _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_dp_adaptation(user_docs, g_w, model="clr", burn_in=2,
+    out = train_dp_adaptation(_adapt_split(user_docs), g_w, model="clr", burn_in=2,
                               n_iters=4, seed=29)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
@@ -2296,7 +2296,7 @@ def clinadapt_dp_classify(sf_dir: str):
     from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
 
     _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_dp_adaptation(user_docs, g_w, model="clin", burn_in=2,
+    out = train_dp_adaptation(_adapt_split(user_docs), g_w, model="clin", burn_in=2,
                               n_iters=4, seed=31)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
@@ -2312,7 +2312,7 @@ def mtclinadapt_dp_classify(sf_dir: str):
     from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
 
     _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_dp_adaptation(user_docs, g_w, model="mtclin", burn_in=2,
+    out = train_dp_adaptation(_adapt_split(user_docs), g_w, model="mtclin", burn_in=2,
                               n_iters=4, seed=37)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
@@ -2355,7 +2355,7 @@ def clr_hdp_classify(sf_dir: str):
     from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
 
     _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_hdp_adaptation(user_docs, g_w, model="clr", burn_in=2,
+    out = train_hdp_adaptation(_adapt_split(user_docs), g_w, model="clr", burn_in=2,
                                n_iters=3, seed=41)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
@@ -2368,7 +2368,7 @@ def clinadapt_hdp_classify(sf_dir: str):
     from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
 
     _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_hdp_adaptation(user_docs, g_w, model="clin", burn_in=2,
+    out = train_hdp_adaptation(_adapt_split(user_docs), g_w, model="clin", burn_in=2,
                                n_iters=3, eta1=0.01, eta2=0.01, seed=43)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
@@ -2458,8 +2458,32 @@ def clr_mmb_classify(sf_dir: str):
     profile cosine exceeds the pair median, e=0 otherwise. Rows-only;
     pinned by tests/test_mmbadapt.py (coupled text+network recovery,
     background-gate release, block-matrix ordering, determinism)."""
-    from ir_base_ray.pipelines.linadapt import _bow_profile
     from ir_base_ray.pipelines.mmbadapt import train_mmb_adaptation
+
+    g_w, user_docs, doc_of_user, edges = _mmb_inputs(sf_dir)
+    out = train_mmb_adaptation(_adapt_split(user_docs), edges, g_w, model="clr",
+                               burn_in=2, n_iters=3, seed=47)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def _adapt_split(user_docs: dict, cap: int = 30) -> dict:
+    """Bounded per-user ADAPTATION split for the sequential CRP-sampler
+    tiers (DP/HDP/MMB): the reference never adapts on a user's full
+    history either — reviews are typed ADAPTATION/TEST by adaptRatio
+    (``LinAdaptMain.java:19`` adaptRatio=0.70,
+    ``ModelAdaptation.java:222``) and a real user's review count is
+    bounded regardless of corpus scale. Here: the first ``cap`` docs per
+    user (deterministic), so the driver-sequential Gibbs sweeps stay
+    O(users·cap) while predictions still cover every doc."""
+    return {u: docs[:cap] for u, docs in user_docs.items()}
+
+
+def _mmb_inputs(sf_dir: str):
+    """Shared MMB-tier inputs: the binary user setup plus the
+    deterministically-derived friendship network (edge e=1 between users
+    whose BoW-profile cosine exceeds the pair median)."""
+    from ir_base_ray.pipelines.linadapt import _bow_profile
 
     _bds, g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
     users = sorted(user_docs)
@@ -2471,8 +2495,114 @@ def clr_mmb_classify(sf_dir: str):
     med = float(np.median(vals)) if vals else 0.0
     edges = {(users[i], users[j]): int(sims[i, j] > med)
              for i in range(len(users)) for j in range(i + 1, len(users))}
-    out = train_mmb_adaptation(user_docs, edges, g_w, model="clr",
+    return g_w, user_docs, doc_of_user, edges
+
+
+def mtclr_dp_classify(sf_dir: str):
+    """modelAdaptation DP tier: MTCLRWithDP
+    (``DirichletProcess/MTCLRWithDP.java``) — DP-clustered per-cluster
+    w_u (scalar prior, "close to 0") plus a jointly-learned super weight
+    vector w_s ~ N(w_g, σ), decision q·w_s·x + w_u·x, personalized
+    w_u + q·w_s. Rows-only; pinned by
+    tests/test_dpadapt.py::test_mtclr_dp_variant."""
+    from ir_base_ray.pipelines.dpadapt import train_dp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_dp_adaptation(_adapt_split(user_docs), g_w, model="mtclr", burn_in=2,
+                              n_iters=4, seed=39)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtclr_hdp_classify(sf_dir: str):
+    """modelAdaptation HDP tier: MTCLRWithHDP (``HDP/MTCLRWithHDP.java``)
+    — review-level HDP clusters with the q-scaled jointly-learned global
+    model (decision q·w_s·x + w_c·x, R1 += η2·‖w_s−w_g‖²/σ²/2).
+    Rows-only; pinned by tests/test_hdpadapt.py::test_hdp_mt_variants."""
+    from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_hdp_adaptation(_adapt_split(user_docs), g_w, model="mtclr", burn_in=2,
+                               n_iters=3, seed=41)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtclinadapt_hdp_classify(sf_dir: str):
+    """modelAdaptation HDP tier: MTCLinAdaptWithHDP
+    (``HDP/MTCLinAdaptWithHDP.java``) — review-level HDP cluster transforms
+    over a jointly-learned super transform of the global model
+    (w_s[n] = a_s[n]·w_g[n] + b_s[n]); per-user personalization is the
+    review-count-weighted mixture of per-cluster personalized models.
+    Rows-only; pinned by tests/test_hdpadapt.py::test_hdp_mt_variants."""
+    from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_hdp_adaptation(_adapt_split(user_docs), g_w, model="mtclin",
+                               burn_in=2, n_iters=3, eta1=0.01, eta2=0.01,
+                               seed=43)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtclinadapt_hdp_me_classify(sf_dir: str):
+    """modelAdaptation HDP tier: MTCLinAdaptWithHDPMultipleE
+    (``HDP/MTCLinAdaptWithHDPMultipleE.java``) — MTCLinAdaptWithHDP under
+    the MultipleE schedule: thinning E-steps accumulate per-review
+    cluster-assignment counts between MLEs, the φ-objective weights each
+    review by its counts (expectation over samples). Rows-only; pinned by
+    tests/test_hdpadapt.py::test_hdp_multiple_e."""
+    from ir_base_ray.pipelines.hdpadapt import train_hdp_adaptation
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_hdp_adaptation(_adapt_split(user_docs), g_w, model="mtclin",
+                               burn_in=2, n_iters=2, thinning=2, eta1=0.01,
+                               eta2=0.01, seed=47)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def clinadapt_mmb_classify(sf_dir: str):
+    """modelAdaptation MMB tier: CLinAdaptWithMMB
+    (``MMB/CLinAdaptWithMMB.java``) — the text+network MMB sampler with
+    cluster-shared LinAdapt transforms. Rows-only; pinned by
+    tests/test_mmbadapt.py::test_mmb_clin_variant."""
+    from ir_base_ray.pipelines.mmbadapt import train_mmb_adaptation
+
+    g_w, user_docs, doc_of_user, edges = _mmb_inputs(sf_dir)
+    out = train_mmb_adaptation(_adapt_split(user_docs), edges, g_w, model="clin",
+                               burn_in=2, n_iters=3, eta1=0.01, eta2=0.01,
+                               seed=53)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtclr_mmb_classify(sf_dir: str):
+    """modelAdaptation MMB tier: MTCLRWithMMB (``MMB/MTCLRWithMMB.java``)
+    — the MMB doc+edge sampler with the q-scaled jointly-learned global
+    model. Rows-only; pinned by
+    tests/test_mmbadapt.py::test_mmb_mt_variants."""
+    from ir_base_ray.pipelines.mmbadapt import train_mmb_adaptation
+
+    g_w, user_docs, doc_of_user, edges = _mmb_inputs(sf_dir)
+    out = train_mmb_adaptation(_adapt_split(user_docs), edges, g_w, model="mtclr",
                                burn_in=2, n_iters=3, seed=47)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtclinadapt_mmb_classify(sf_dir: str):
+    """modelAdaptation MMB tier: MTCLinAdaptWithMMB
+    (``MMB/MTCLinAdaptWithMMB.java``) — MMB cluster transforms over the
+    jointly-learned super transform; personalization = review-membership-
+    weighted mixture of per-cluster personalized models. Rows-only; pinned
+    by tests/test_mmbadapt.py::test_mmb_mt_variants."""
+    from ir_base_ray.pipelines.mmbadapt import train_mmb_adaptation
+
+    g_w, user_docs, doc_of_user, edges = _mmb_inputs(sf_dir)
+    out = train_mmb_adaptation(_adapt_split(user_docs), edges, g_w, model="mtclin",
+                               burn_in=2, n_iters=3, eta1=0.01, eta2=0.01,
+                               seed=53)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
 
@@ -3179,7 +3309,9 @@ def classify_suite(sf_dir: str):
     SEMI (random-walk + exact + learned-metric variants; odd doc_ids
     only), and the full modelAdaptation tier (LinAdapt/CoLinAdapt/
     MTLinAdapt/WeightedAvg(+Trans)/async, RegLR/CoRegLR/MTRegLR/async,
-    MT-SVM(+clusters), DP/HDP/MMB clustered adaptation,
+    MT-SVM(+clusters), DP/HDP/MMB clustered adaptation incl. the
+    multi-task super-block variants (MTCLRWithDP/HDP/MMB,
+    MTCLinAdaptWithHDP(+MultipleE)/MMB, CLinAdaptWithMMB),
     CLinAdaptWithKmeans). Rows-only; per-model semantics pinned by their
     own pytest modules."""
     parts = []
@@ -3242,6 +3374,24 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("weighted_avg_trans",
                            globals().get("weighted_avg_trans_classify"),
+                           "pred_lang"),
+                          ("mtclr_dp", globals().get("mtclr_dp_classify"),
+                           "pred_lang"),
+                          ("mtclr_hdp", globals().get("mtclr_hdp_classify"),
+                           "pred_lang"),
+                          ("mtclinadapt_hdp",
+                           globals().get("mtclinadapt_hdp_classify"),
+                           "pred_lang"),
+                          ("mtclinadapt_hdp_me",
+                           globals().get("mtclinadapt_hdp_me_classify"),
+                           "pred_lang"),
+                          ("clinadapt_mmb",
+                           globals().get("clinadapt_mmb_classify"),
+                           "pred_lang"),
+                          ("mtclr_mmb", globals().get("mtclr_mmb_classify"),
+                           "pred_lang"),
+                          ("mtclinadapt_mmb",
+                           globals().get("mtclinadapt_mmb_classify"),
                            "pred_lang")):
         if fn is None:
             continue

@@ -151,3 +151,42 @@ def test_mtclin_dp_variant(ray_session):
             for t, v, y in docs) / 30)
     assert np.mean(accs) >= 0.85, accs
     assert out["super_model"] is not None
+
+
+def test_mtclr_dp_variant(ray_session):
+    """MTCLRWithDP: gradient check of the cluster+q-scaled-super joint
+    objective (gradientByFunc :62-84), recovery on the two-population
+    fixture, and the super block coming back non-trivial."""
+    rng = np.random.default_rng(13)
+    user_docs, wA, wB, docs_for = _two_pop_users(scale=2.0)
+    F1 = wA.size
+    entries = [([(np.asarray(t), np.asarray(v), y)
+                 for t, v, y in docs], i % 2)
+               for i, docs in enumerate(list(user_docs.values())[:4])]
+    # 2 clusters + super at the end
+    x = 0.3 * rng.standard_normal(3 * F1)
+    from ir_base_ray.pipelines.dpadapt import dp_block_fg
+    f0, g = dp_block_fg(entries, x, wA, F1, "mtclr", 2, False, 0.1)
+    eps = 1e-6
+    for i in range(0, x.size, 3):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = dp_block_fg(entries, xp, wA, F1, "mtclr", 2, False, 0.1)
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    out = train_dp_adaptation(user_docs, wA, model="mtclr", burn_in=4,
+                              n_iters=8, eta1=0.05, eta2=0.05, seed=39)
+    accs = []
+    for i in range(12):
+        w_true = wA if i % 2 == 0 else wB
+        pw = out["personalized"][f"u{i}"]
+        docs = docs_for(w_true, 30, 500 + i)
+        accs.append(sum(
+            int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+            for t, v, y in docs) / 30)
+    assert np.mean(accs) >= 0.85, accs
+    assert out["super_model"] is not None
+    assert out["super_model"].size == wA.size
+    out2 = train_dp_adaptation(user_docs, wA, model="mtclr", burn_in=4,
+                               n_iters=8, eta1=0.05, eta2=0.05, seed=39)
+    assert out["assign"] == out2["assign"]

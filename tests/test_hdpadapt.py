@@ -84,3 +84,59 @@ def test_hdp_clinadapt_variant(ray_session):
             int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
             for t, v, y in docs) / 30)
     assert np.mean(accs) >= 0.8, accs
+
+
+def test_hdp_mt_variants(ray_session):
+    """MTCLRWithHDP + MTCLinAdaptWithHDP: both multi-task variants recover
+    the two-population split with good held-out accuracy, return a super
+    block, and run deterministically."""
+    user_docs, wA, wB, docs_for = _two_pop()
+
+    def heldout_acc(out):
+        accs = []
+        for i in range(10):
+            w_true = wA if i % 2 == 0 else wB
+            pw = out["personalized"][f"u{i}"]
+            docs = docs_for(w_true, 30, 700 + i)
+            accs.append(sum(
+                int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+                for t, v, y in docs) / 30)
+        return float(np.mean(accs))
+
+    out = train_hdp_adaptation(user_docs, wA, model="mtclr", burn_in=3,
+                               n_iters=5, seed=41)
+    assert out["super_model"] is not None and out["super_model"].size == wA.size
+    assert heldout_acc(out) >= 0.8
+    out2 = train_hdp_adaptation(user_docs, wA, model="mtclr", burn_in=3,
+                                n_iters=5, seed=41)
+    assert out["review_assign"] == out2["review_assign"]
+
+    outl = train_hdp_adaptation(user_docs, wA, model="mtclin", burn_in=3,
+                                n_iters=8, eta1=0.01, eta2=0.01, seed=43)
+    assert outl["super_model"] is not None
+    assert outl["super_model"].size == 2 * wA.size
+    assert heldout_acc(outl) >= 0.8
+
+
+def test_hdp_multiple_e(ray_session):
+    """MTCLinAdaptWithHDPMultipleE: thinning>1 accumulates per-review
+    assignment counts across E-steps and weights the MLE by them; still
+    recovers the split and is deterministic."""
+    user_docs, wA, wB, docs_for = _two_pop()
+    out = train_hdp_adaptation(user_docs, wA, model="mtclin", burn_in=3,
+                               n_iters=4, thinning=3, eta1=0.01, eta2=0.01,
+                               seed=47)
+    accs = []
+    for i in range(10):
+        w_true = wA if i % 2 == 0 else wB
+        pw = out["personalized"][f"u{i}"]
+        docs = docs_for(w_true, 30, 800 + i)
+        accs.append(sum(
+            int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+            for t, v, y in docs) / 30)
+    assert np.mean(accs) >= 0.8, accs
+    out2 = train_hdp_adaptation(user_docs, wA, model="mtclin", burn_in=3,
+                                n_iters=4, thinning=3, eta1=0.01, eta2=0.01,
+                                seed=47)
+    assert out["review_assign"] == out2["review_assign"]
+    assert np.allclose(out["super_model"], out2["super_model"])

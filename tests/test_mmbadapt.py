@@ -88,3 +88,45 @@ def test_mmb_clin_variant(ray_session):
             int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
             for t, v, y in docs) / 30)
     assert np.mean(accs) >= 0.75, accs
+
+
+def test_mmb_mt_variants(ray_session):
+    """MTCLRWithMMB + MTCLinAdaptWithMMB: the multi-task super block joins
+    the MMB doc+edge sampler; both recover the two-population split with
+    good held-out accuracy and run deterministically."""
+    user_docs, edges, wA, wB, docs_for = _world()
+
+    def heldout_acc(out):
+        accs = []
+        for i in range(10):
+            w_true = wA if i % 2 == 0 else wB
+            pw = out["personalized"][f"u{i}"]
+            docs = docs_for(w_true, 30, 900 + i)
+            accs.append(sum(
+                int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+                for t, v, y in docs) / 30)
+        return float(np.mean(accs))
+
+    out = train_mmb_adaptation(user_docs, edges, wA, model="mtclr",
+                               burn_in=2, n_iters=4, seed=47)
+    assert out["super_model"] is not None and out["super_model"].size == wA.size
+    assert heldout_acc(out) >= 0.8
+    out2 = train_mmb_adaptation(user_docs, edges, wA, model="mtclr",
+                                burn_in=2, n_iters=4, seed=47)
+    assert np.allclose(out["super_model"], out2["super_model"])
+
+    user_docs7, edges7, wA7, wB7, docs_for7 = _world(seed=7)
+    outl = train_mmb_adaptation(user_docs7, edges7, wA7, model="mtclin",
+                                burn_in=3, n_iters=6, eta1=0.01, eta2=0.01,
+                                seed=53)
+    assert outl["super_model"] is not None
+    assert outl["super_model"].size == 2 * wA7.size
+    accs = []
+    for i in range(10):
+        w_true = wA7 if i % 2 == 0 else wB7
+        pw = outl["personalized"][f"u{i}"]
+        docs = docs_for7(w_true, 30, 950 + i)
+        accs.append(sum(
+            int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+            for t, v, y in docs) / 30)
+    assert np.mean(accs) >= 0.75, accs
