@@ -892,7 +892,9 @@ def train_async_colinadapt(user_docs: dict, g_w: np.ndarray, *,
                            topk: int = 2, eta1: float = 0.5,
                            eta2: float = 0.5, eta3: float = 0.5,
                            eta4: float = 0.5, init_step: float = 0.5,
-                           seed: int = 71, reglr: bool = False):
+                           seed: int = 71, reglr: bool = False,
+                           first_order: bool = False,
+                           nbr_history_weight: float = 0.0):
     """asyncCoLinAdapt / asyncCoRegLR
     (``CoLinAdapt/asyncCoLinAdapt.java``, ``RegLR/asyncCoRegLR.java``):
     ONLINE co-adaptation — reviews arrive round-robin across users; each
@@ -904,7 +906,19 @@ def train_async_colinadapt(user_docs: dict, g_w: np.ndarray, *,
     that distinguishes the async variant from batch CoLinAdapt's symmetric
     gradient). ``reglr=True`` runs the asyncCoRegLR flavor (full weight
     vectors, R1 toward the global model). Step follows asyncRegLR's seeded
-    (0.5+0.5·U)·η0/(2+count). Returns per-user personalized weights."""
+    (0.5+0.5·U)·η0/(2+count). Returns per-user personalized weights.
+
+    ``first_order=True`` runs the FirstOrder subclasses
+    (``asyncCoLinAdaptFirstOrder.java`` / ``asyncCoRegLRFirstOrder.java``):
+    the R2 coupling becomes SYMMETRIC (gradient into both endpoints,
+    :57-73), every forward+reverse neighbor also receives its own R1
+    gradient (``gradientByRelatedR1`` :76-89) plus — when
+    ``nbr_history_weight``>0 — a replay of its cached (most recently
+    arrived) review's data gradient at that weight
+    (``cachedGradientByNeighorsFunc`` :40-54), and the arrival updates the
+    current user at inc=1 and each neighbor at its OWN decaying step with
+    inc=1/3 (``gradientDescent`` :91-107) — fractional per-user update
+    counts."""
     g_w = np.asarray(g_w, dtype=np.float64)
     F1 = g_w.size
     users, nbrs = build_neighbors(user_docs, F1, topk)
@@ -920,7 +934,41 @@ def train_async_colinadapt(user_docs: dict, g_w: np.ndarray, *,
         A = [np.concatenate([np.ones(F1), np.zeros(F1)]) for _ in range(n)]
     rng = np.random.Generator(np.random.Philox(key=seed,
                                                counter=[0, 0, 0, 0]))
-    counts = [0] * n
+    counts = [0.0] * n
+
+    def _data_grad(j, cache, weight):
+        """gradientByFunc for user j's block only (no R1)."""
+        g = np.zeros(pdim)
+        for tids, vals, y in cache:
+            nn = np.asarray(tids, dtype=np.int64) + 1
+            vv = np.asarray(vals, dtype=np.float64)
+            if reglr:
+                w = A[j]
+                s = w[0] + float((w[nn] * vv).sum())
+            else:
+                a, b = A[j][:F1], A[j][F1:]
+                s = a[0] * g_w[0] + b[0] + float(
+                    ((a[nn] * g_w[nn] + b[nn]) * vv).sum())
+            pr = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            delta = weight * (int(y) - pr)
+            if reglr:
+                g[0] -= delta
+                np.subtract.at(g, nn, delta * vv)
+            else:
+                g[0] -= delta * g_w[0]
+                g[F1] -= delta
+                np.subtract.at(g, nn, delta * g_w[nn] * vv)
+                np.subtract.at(g, F1 + nn, delta * vv)
+        return g
+
+    def _r1_grad(j):
+        if reglr:
+            return 2.0 * eta1 * (A[j] - g_w)
+        g = np.empty(pdim)
+        g[:F1] = 2.0 * eta1 * (A[j][:F1] - 1.0)
+        g[F1:] = 2.0 * eta2 * A[j][F1:]
+        return g
+
     max_docs = max(len(user_docs[u]) for u in users)
     for r_idx in range(max_docs):           # round-robin arrivals
         for i, u in enumerate(users):
@@ -928,24 +976,49 @@ def train_async_colinadapt(user_docs: dict, g_w: np.ndarray, *,
             if r_idx >= len(docs):
                 continue
             cache = [docs[r_idx]]
+            nbr_grads: dict[int, np.ndarray] = {}
             if reglr:
                 _f, grad = _reglr_value_grad(A[i], g_w, cache, eta1)
             else:
                 _f, grad = _user_value_grad(A[i], g_w, cache, eta1, eta2)
                 ai, bi = A[i][:F1], A[i][F1:]
                 for j, sim in nbrs[i] + reverse[i]:
-                    if reglr:
-                        continue
                     aj = A[j][:F1]
                     bj = A[j][F1:]
-                    grad[:F1] += 2.0 * sim * eta3 * (ai - aj)
-                    grad[F1:] += 2.0 * sim * eta4 * (bi - bj)
+                    da = 2.0 * sim * eta3 * (ai - aj)
+                    db = 2.0 * sim * eta4 * (bi - bj)
+                    grad[:F1] += da
+                    grad[F1:] += db
+                    if first_order:       # symmetric R2 (:57-73)
+                        gj = nbr_grads.setdefault(j, np.zeros(pdim))
+                        gj[:F1] -= da
+                        gj[F1:] -= db
             if reglr:
                 for j, sim in nbrs[i] + reverse[i]:
-                    grad += 2.0 * sim * eta3 * (A[i] - A[j])
+                    d = 2.0 * sim * eta3 * (A[i] - A[j])
+                    grad += d
+                    if first_order:
+                        nbr_grads.setdefault(j, np.zeros(pdim))
+                        nbr_grads[j] -= d
+            if first_order:
+                for j, _sim in nbrs[i] + reverse[i]:
+                    gj = nbr_grads.setdefault(j, np.zeros(pdim))
+                    gj += _r1_grad(j)      # gradientByRelatedR1 (:76-89)
+                    if nbr_history_weight > 0:
+                        dj = user_docs[users[j]]
+                        seen = min(r_idx, len(dj) - 1)
+                        if seen >= 0:      # replay the neighbor's cache
+                            gj += _data_grad(j, [dj[seen]],
+                                             nbr_history_weight)
             step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + counts[i])
             A[i] = A[i] - step * grad
-            counts[i] += 1
+            counts[i] += 1.0
+            if first_order:                # neighbor updates at inc=1/3
+                for j, _sim in nbrs[i] + reverse[i]:
+                    stp = ((0.5 + 0.5 * rng.random()) * init_step
+                           / (2.0 + counts[j]))
+                    A[j] = A[j] - stp * nbr_grads[j]
+                    counts[j] += 1.0 / 3.0
     personalized = {}
     for i, u in enumerate(users):
         if reglr:
@@ -1172,3 +1245,284 @@ def train_weighted_avg_trans_adapt(user_docs: dict, g_w: np.ndarray, *,
             pw = pw + th * (A[:F1] * g_w + A[F1:])
         personalized[u] = pw
     return {"users": users, "personalized": personalized}
+
+
+# -------------------------------------------- MT-CoLinAdapt & SupUserNoAdapt
+
+def train_mtcolinadapt(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
+                       eta1: float = 0.5, eta2: float = 0.5,
+                       eta3: float = 0.5, eta4: float = 0.1,
+                       n_blocks: int = 4, max_iter: int = 150,
+                       gtol: float = 1e-4, l_norm: bool = False):
+    """MTCoLinAdapt (``CoLinAdapt/MTCoLinAdapt.java``): MTLinAdapt (user
+    transforms over the jointly-learned super transform) PLUS CoLinAdapt's
+    R2 neighbor coupling Σ_edges sim·(η3‖a_i−a_j‖² + η4‖b_i−b_j‖²)
+    (``calculateFuncValue``/``gradientByR2`` :40-57 — the reference shares
+    η3/η4 between the super R1 and R2). Data partials ride the shared
+    mtclin remote; R2 and the R1s are vocab-sized driver terms."""
+    from ir_base_ray.pipelines.dpadapt import _dp_block_fg
+
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    pdim = 2 * F1
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    entries_all = [([(np.asarray(t, dtype=np.int64),
+                      np.asarray(v, dtype=np.float64), int(y))
+                     for t, v, y in user_docs[u]], i)
+                   for i, u in enumerate(users)]
+    blocks = [entries_all[i::n_blocks] for i in range(min(n_blocks, n))]
+    refs = [ray.put(b) for b in blocks]
+    unit = np.concatenate([np.ones(F1), np.zeros(F1)])
+    x0 = np.tile(unit, n + 1)
+
+    def value_grad(x):
+        f = 0.0
+        g = np.zeros_like(x)
+        for i in range(n):                # per-user R1
+            off = pdim * i
+            da = x[off: off + F1] - 1.0
+            db = x[off + F1: off + 2 * F1]
+            f += eta1 * float(da @ da) + eta2 * float(db @ db)
+            g[off: off + F1] += 2.0 * eta1 * da
+            g[off + F1: off + 2 * F1] += 2.0 * eta2 * db
+        off = pdim * n                    # super R1 (calculateRs)
+        da = x[off: off + F1] - 1.0
+        db = x[off + F1: off + 2 * F1]
+        f += eta3 * float(da @ da) + eta4 * float(db @ db)
+        g[off: off + F1] += 2.0 * eta3 * da
+        g[off + F1: off + 2 * F1] += 2.0 * eta4 * db
+        for i in range(n):                # R2 over directed edges
+            off_i = pdim * i
+            ai = x[off_i: off_i + F1]
+            bi = x[off_i + F1: off_i + 2 * F1]
+            for j, sim in nbrs[i]:
+                off_j = pdim * j
+                da = ai - x[off_j: off_j + F1]
+                db = bi - x[off_j + F1: off_j + 2 * F1]
+                f += sim * (eta3 * float(da @ da) + eta4 * float(db @ db))
+                g[off_i: off_i + F1] += 2.0 * sim * eta3 * da
+                g[off_i + F1: off_i + 2 * F1] += 2.0 * sim * eta4 * db
+                g[off_j: off_j + F1] -= 2.0 * sim * eta3 * da
+                g[off_j + F1: off_j + 2 * F1] -= 2.0 * sim * eta4 * db
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _dp_block_fg.remote(r, x_ref, g_w, pdim, "mtclin", n, l_norm)
+            for r in refs
+        ])
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=6, gtol=gtol,
+                                max_iter=max_iter)
+    sup = x[pdim * n:]
+    w_s = sup[:F1] * g_w + sup[F1:]
+    personalized = {}
+    for i, u in enumerate(users):
+        A = x[pdim * i: pdim * (i + 1)]
+        personalized[u] = A[:F1] * w_s + A[F1:]
+    return {"users": users, "personalized": personalized,
+            "super_weights": w_s, "super_transform": sup.copy(),
+            "neighbors": nbrs}
+
+
+@ray.remote
+def _supnoadapt_block_fg(user_entries, x, g_w, n_users, p, q, l_norm):
+    """MTLinAdaptWithSupUserNoAdapt data partial: user transforms over the
+    UNADAPTED super combination p·w_s + q·w_g (``getSupWeights`` :60-63);
+    the super block is a raw weight vector whose gradient takes only the
+    a_i·p-scaled path (``gradientByFunc`` :79-106 — no transform on the
+    super user)."""
+    F1 = g_w.size
+    sup_off = 2 * F1 * n_users
+    ws = x[sup_off:]
+    base = p * ws + q * g_w
+    f = 0.0
+    g = np.zeros_like(x)
+    for docs, i in user_entries:
+        off = 2 * F1 * i
+        a = x[off: off + F1]
+        b = x[off + F1: off + 2 * F1]
+        n_adapt = max(1, len(docs)) if l_norm else 1
+        for tids, vals, y in docs:
+            nn = tids + 1
+            s = a[0] * base[0] + b[0] + float(
+                ((a[nn] * base[nn] + b[nn]) * vals).sum())
+            pr = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            if y == 1:
+                f -= (np.log(pr) if pr > 0.0 else -MAX_VALUE) / n_adapt
+            else:
+                f -= (np.log(1.0 - pr) if pr < 1.0 else -MAX_VALUE) / n_adapt
+            delta = (y - pr) / n_adapt
+            g[off] -= delta * base[0]
+            g[off + F1] -= delta
+            np.subtract.at(g, off + nn, delta * base[nn] * vals)
+            np.subtract.at(g, off + F1 + nn, delta * vals)
+            g[sup_off] -= delta * a[0] * p
+            np.subtract.at(g, sup_off + nn, delta * a[nn] * p * vals)
+    return f, g
+
+
+def train_mtlinadapt_supnoadapt(user_docs: dict, g_w: np.ndarray, *,
+                                p: float = 1.0, q: float = 1.0,
+                                beta: float = 1.0, eta1: float = 0.5,
+                                eta2: float = 0.5, n_blocks: int = 4,
+                                max_iter: int = 150, gtol: float = 1e-4,
+                                l_norm: bool = False):
+    """MTLinAdaptWithSupUserNoAdapt
+    (``CoLinAdapt/MTLinAdaptWithSupUserNoAdapt.java``): the super user is a
+    raw weight VECTOR w_s (not a transform) — personalized decision
+    A_i(p·w_s + q·w_g)ᵀx (:13-16), super R1 = β‖w_s‖² (``calculateRs``
+    :65-71), w_s initialized from the loaded super model (= the global
+    model here, ``loadUsers`` :48-52). One joint distributed L-BFGS."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    pdim = 2 * F1
+    users = [u for u in user_docs if user_docs[u]]
+    n = len(users)
+    entries_all = [([(np.asarray(t, dtype=np.int64),
+                      np.asarray(v, dtype=np.float64), int(y))
+                     for t, v, y in user_docs[u]], i)
+                   for i, u in enumerate(users)]
+    blocks = [entries_all[i::n_blocks] for i in range(min(n_blocks, n))]
+    refs = [ray.put(b) for b in blocks]
+    unit = np.concatenate([np.ones(F1), np.zeros(F1)])
+    x0 = np.concatenate([np.tile(unit, n), g_w])
+
+    def value_grad(x):
+        f = 0.0
+        g = np.zeros_like(x)
+        for i in range(n):                # per-user R1
+            off = pdim * i
+            da = x[off: off + F1] - 1.0
+            db = x[off + F1: off + 2 * F1]
+            f += eta1 * float(da @ da) + eta2 * float(db @ db)
+            g[off: off + F1] += 2.0 * eta1 * da
+            g[off + F1: off + 2 * F1] += 2.0 * eta2 * db
+        ws = x[pdim * n:]                 # super R1 = β‖w_s‖²
+        f += beta * float(ws @ ws)
+        g[pdim * n:] += 2.0 * beta * ws
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _supnoadapt_block_fg.remote(r, x_ref, g_w, n, p, q, l_norm)
+            for r in refs
+        ])
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=6, gtol=gtol,
+                                max_iter=max_iter)
+    ws = x[pdim * n:]
+    base = p * ws + q * g_w
+    personalized = {}
+    for i, u in enumerate(users):
+        A = x[pdim * i: pdim * (i + 1)]
+        personalized[u] = A[:F1] * base + A[F1:]
+    return {"users": users, "personalized": personalized,
+            "super_weights": ws.copy()}
+
+
+# ------------------------------------------------- online MT / first-order
+
+def train_async_mtreglr(user_docs: dict, g_w: np.ndarray, *,
+                        u_coef: float = 1.0, init_step: float = 0.05,
+                        seed: int = 73):
+    """asyncMTRegLR (``RegLR/asyncMTRegLR.java``): ONLINE MTRegLR —
+    users processed sequentially, each arriving review takes one decaying
+    step on (w_user, w_global) jointly: decision w_u·x + u·w_glb·x
+    (``logit`` :52-63), data gradient into both blocks (global part
+    ×u, :65-82), R1 = 2η1(w_u + u·w_glb − w_g) into both (:84-96) with
+    η1 = 1/n_users (``initLBFGS`` :42-50), w_glb starting from the old
+    global model (:28-29); both blocks stepped with the USER's decaying
+    step (``gradientDescent`` :148-168). Seeded Philox replaces the
+    unseeded step jitter."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    users = [u for u in user_docs if user_docs[u]]
+    eta1 = 1.0 / max(1, len(users))
+    w_glb = g_w.copy()
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    personalized = {}
+    for uname in users:
+        w_u = np.zeros(F1)
+        for count, (tids, vals, y) in enumerate(user_docs[uname]):
+            nn = np.asarray(tids, dtype=np.int64) + 1
+            vv = np.asarray(vals, dtype=np.float64)
+            s = (w_u[0] + u_coef * w_glb[0]
+                 + float(((w_u[nn] + u_coef * w_glb[nn]) * vv).sum()))
+            pr = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            g_user = np.zeros(F1)
+            g_glb = np.zeros(F1)
+            delta = (int(y) - pr)
+            g_user[0] -= delta
+            g_glb[0] -= u_coef * delta
+            np.subtract.at(g_user, nn, delta * vv)
+            np.subtract.at(g_glb, nn, delta * u_coef * vv)
+            r1 = 2.0 * eta1 * (w_u + u_coef * w_glb - g_w)
+            g_user += r1
+            g_glb += r1 * u_coef
+            step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + count)
+            w_u = w_u - step * g_user
+            w_glb = w_glb - step * g_glb
+        personalized[uname] = w_u + u_coef * w_glb
+    return {"users": users, "personalized": personalized,
+            "global_weights": w_glb.copy()}
+
+
+def train_async_mtlinadapt(user_docs: dict, g_w: np.ndarray, *,
+                           eta1: float = 0.5, eta2: float = 0.5,
+                           eta3: float = 0.5, eta4: float = 0.1,
+                           init_step: float = 0.05, rpt: int = 3,
+                           seed: int = 79):
+    """asyncMTLinAdapt (``CoLinAdapt/asyncMTLinAdapt.java``): ONLINE
+    MTLinAdapt by user — each arriving review computes ONE gradient
+    (user's data term + user R1 + super Rs, ``calculateGradients``
+    :50-54) and applies it m_rptTime=3 times at the same decaying step
+    (``gradientDescent`` :183-210, the while(m_count--) repeat), updating
+    both the user transform and the super transform."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    users = [u for u in user_docs if user_docs[u]]
+    sup = np.concatenate([np.ones(F1), np.zeros(F1)])
+    A = {u: np.concatenate([np.ones(F1), np.zeros(F1)]) for u in users}
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    for uname in users:
+        for count, (tids, vals, y) in enumerate(user_docs[uname]):
+            nn = np.asarray(tids, dtype=np.int64) + 1
+            vv = np.asarray(vals, dtype=np.float64)
+            a = A[uname][:F1]
+            b = A[uname][F1:]
+            w_s = sup[:F1] * g_w + sup[F1:]
+            s = a[0] * w_s[0] + b[0] + float(
+                ((a[nn] * w_s[nn] + b[nn]) * vv).sum())
+            pr = 1.0 / (1.0 + np.exp(-s)) if s > -500 else 0.0
+            delta = int(y) - pr
+            g_u = np.zeros(2 * F1)
+            g_s = np.zeros(2 * F1)
+            g_u[0] -= delta * w_s[0]
+            g_u[F1] -= delta
+            np.subtract.at(g_u, nn, delta * w_s[nn] * vv)
+            np.subtract.at(g_u, F1 + nn, delta * vv)
+            g_s[0] -= delta * a[0] * g_w[0]
+            g_s[F1] -= delta * a[0]
+            np.subtract.at(g_s, nn, delta * a[nn] * g_w[nn] * vv)
+            np.subtract.at(g_s, F1 + nn, delta * a[nn] * vv)
+            # R1 (user) + Rs (super)
+            g_u[:F1] += 2.0 * eta1 * (a - 1.0)
+            g_u[F1:] += 2.0 * eta2 * b
+            g_s[:F1] += 2.0 * eta3 * (sup[:F1] - 1.0)
+            g_s[F1:] += 2.0 * eta4 * sup[F1:]
+            step = (0.5 + 0.5 * rng.random()) * init_step / (2.0 + count)
+            for _ in range(rpt):
+                A[uname] = A[uname] - step * g_u
+                sup = sup - step * g_s
+    w_s = sup[:F1] * g_w + sup[F1:]
+    personalized = {u: A[u][:F1] * w_s + A[u][F1:] for u in users}
+    return {"users": users, "personalized": personalized,
+            "super_transform": sup.copy(), "super_weights": w_s}

@@ -2607,6 +2607,89 @@ def mtclinadapt_mmb_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def mtcolinadapt_classify(sf_dir: str):
+    """modelAdaptation: MTCoLinAdapt (``CoLinAdapt/MTCoLinAdapt.java``) —
+    MTLinAdapt's user-transforms-over-learned-super-model joint objective
+    plus CoLinAdapt's R2 top-K neighbor coupling (η3/η4 shared between the
+    super R1 and R2, per the reference). Rows-only; pinned by
+    tests/test_linadapt.py::test_mtcolinadapt."""
+    from ir_base_ray.pipelines.linadapt import train_mtcolinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_mtcolinadapt(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def mtlinadapt_supnoadapt_classify(sf_dir: str):
+    """modelAdaptation: MTLinAdaptWithSupUserNoAdapt
+    (``CoLinAdapt/MTLinAdaptWithSupUserNoAdapt.java``) — user transforms
+    over the UNADAPTED combination p·w_s + q·w_g with a raw super weight
+    vector (β‖w_s‖² super R1). Rows-only; pinned by
+    tests/test_linadapt.py::test_mtlinadapt_supnoadapt."""
+    from ir_base_ray.pipelines.linadapt import train_mtlinadapt_supnoadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_mtlinadapt_supnoadapt(user_docs, g_w)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_mtreglr_classify(sf_dir: str):
+    """modelAdaptation: asyncMTRegLR (``RegLR/asyncMTRegLR.java``) — online
+    per-review joint updates of (w_user, w_global), decision w_u + u·w_glb,
+    η1 = 1/n_users. Rows-only; pinned by
+    tests/test_linadapt.py::test_async_mt_variants."""
+    from ir_base_ray.pipelines.linadapt import train_async_mtreglr
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_async_mtreglr(user_docs, g_w)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_mtlinadapt_classify(sf_dir: str):
+    """modelAdaptation: asyncMTLinAdapt (``CoLinAdapt/asyncMTLinAdapt.java``)
+    — online MTLinAdapt (one gradient per arriving review applied
+    m_rptTime=3 times, super transform updated alongside). Rows-only;
+    pinned by tests/test_linadapt.py::test_async_mt_variants."""
+    from ir_base_ray.pipelines.linadapt import train_async_mtlinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_async_mtlinadapt(user_docs, g_w)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_colinadapt_fo_classify(sf_dir: str):
+    """modelAdaptation: asyncCoLinAdaptFirstOrder
+    (``CoLinAdapt/asyncCoLinAdaptFirstOrder.java``) — the first-order
+    online co-adaptation: symmetric R2, neighbor R1s, cached-review replay
+    (weight 0.1), neighbor updates at inc=1/3. Rows-only; pinned by
+    tests/test_linadapt.py::test_async_first_order."""
+    from ir_base_ray.pipelines.linadapt import train_async_colinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_async_colinadapt(user_docs, g_w, topk=3, first_order=True,
+                                 nbr_history_weight=0.1)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def async_coreglr_fo_classify(sf_dir: str):
+    """modelAdaptation: asyncCoRegLRFirstOrder
+    (``RegLR/asyncCoRegLRFirstOrder.java``) — the RegLR flavor of the
+    first-order online co-adaptation. Rows-only; pinned by
+    tests/test_linadapt.py::test_async_first_order."""
+    from ir_base_ray.pipelines.linadapt import train_async_colinadapt
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_async_colinadapt(user_docs, g_w, topk=3, reglr=True,
+                                 first_order=True, nbr_history_weight=0.1)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
 def mtsvm_clusters_classify(sf_dir: str):
     """modelAdaptation: MultiTaskSVMWithClusters
     (``modelAdaptation/MultiTaskSVMWithClusters.java``) — three-level MT-SVM
@@ -3392,6 +3475,24 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("mtclinadapt_mmb",
                            globals().get("mtclinadapt_mmb_classify"),
+                           "pred_lang"),
+                          ("mtcolinadapt",
+                           globals().get("mtcolinadapt_classify"),
+                           "pred_lang"),
+                          ("mtlinadapt_supnoadapt",
+                           globals().get("mtlinadapt_supnoadapt_classify"),
+                           "pred_lang"),
+                          ("async_mtreglr",
+                           globals().get("async_mtreglr_classify"),
+                           "pred_lang"),
+                          ("async_mtlinadapt",
+                           globals().get("async_mtlinadapt_classify"),
+                           "pred_lang"),
+                          ("async_colinadapt_fo",
+                           globals().get("async_colinadapt_fo_classify"),
+                           "pred_lang"),
+                          ("async_coreglr_fo",
+                           globals().get("async_coreglr_fo_classify"),
                            "pred_lang")):
         if fn is None:
             continue

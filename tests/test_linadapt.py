@@ -572,3 +572,149 @@ def test_weighted_avg_trans_adapt(ray_session):
         a, b, _ = adapt_user(user_docs[u], g_w)
         assert np.allclose(out["personalized"][u],
                            personalized_weights(a, b, g_w), atol=5e-3), u
+
+
+def test_mtcolinadapt(ray_session):
+    """MTCoLinAdapt: MTLinAdapt + the R2 neighbor graph. Fit holds; the
+    coupling pulls a sparse user toward its data-rich neighbor (same
+    device as the CoLinAdapt coupling test, now through the super model)."""
+    from ir_base_ray.pipelines.linadapt import train_mtcolinadapt
+
+    rng = np.random.default_rng(43)
+    F = 8
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {
+        f"u{k}": [(t, v, y) for t, v, y in _docs_for_weights(w_true, 20,
+                                                             60 + k)]
+        for k in range(3)
+    }
+    user_docs["sparse"] = _docs_for_weights(w_true, 1, 99)
+    out = train_mtcolinadapt(user_docs, np.zeros(F + 1), topk=2, eta1=0.01,
+                             eta2=0.01, eta3=0.05, eta4=0.05)
+    for u in ("u0", "u1", "u2"):
+        pw = out["personalized"][u]
+        docs = user_docs[u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.9, u
+    # sparse user's held-out accuracy benefits from the coupling
+    heldout = _docs_for_weights(w_true, 30, 123)
+    pw = out["personalized"]["sparse"]
+    ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0) == (y == 1))
+             for t, v, y in heldout)
+    assert ok / 30 >= 0.7, ok / 30
+
+
+def test_mtlinadapt_supnoadapt(ray_session):
+    """MTLinAdaptWithSupUserNoAdapt: decision A_i(p·w_s + q·w_g)ᵀx with a
+    RAW super weight vector. Gradient check vs finite differences, then
+    fit with a zero global model (q-path dead ⇒ w_s must carry signal)."""
+    from ir_base_ray.pipelines.linadapt import (_supnoadapt_block_fg,
+                                                train_mtlinadapt_supnoadapt)
+
+    rng = np.random.default_rng(47)
+    F = 6
+    F1 = F + 1
+    g_w = rng.standard_normal(F1)
+    docs = _docs_for_weights(g_w, 5, 7)
+    entries = [([(np.asarray(t), np.asarray(v), y) for t, v, y in docs], 0),
+               ([(np.asarray(t), np.asarray(v), y)
+                 for t, v, y in docs[:3]], 1)]
+    x = np.concatenate([np.ones(F1), np.zeros(F1)] * 2 + [g_w * 0.5]) \
+        + 0.05 * rng.standard_normal(5 * F1)
+    f0, g = ray.get(_supnoadapt_block_fg.remote(entries, x, g_w, 2, 0.7,
+                                                0.3, False))
+    eps = 1e-6
+    for i in range(0, x.size, 3):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = ray.get(_supnoadapt_block_fg.remote(entries, xp, g_w, 2,
+                                                    0.7, 0.3, False))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    w_true = rng.standard_normal(F1) * 2.0
+    user_docs = {f"u{k}": _docs_for_weights(w_true, 20, 70 + k)
+                 for k in range(3)}
+    out = train_mtlinadapt_supnoadapt(user_docs, np.zeros(F1), eta1=0.01,
+                                      eta2=0.01, beta=0.01)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.9, u
+
+
+def test_async_mt_variants(ray_session):
+    """asyncMTRegLR + asyncMTLinAdapt: online MT updates improve on the
+    zero/global start, are deterministic, and move the shared block."""
+    from ir_base_ray.pipelines.linadapt import (train_async_mtlinadapt,
+                                                train_async_mtreglr)
+
+    rng = np.random.default_rng(53)
+    F = 8
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {f"u{k}": _docs_for_weights(w_true, 30, 80 + k)
+                 for k in range(4)}
+
+    g_half = 0.5 * w_true      # a weak pre-trained global model (the R1
+    out = train_async_mtreglr(user_docs, g_half, init_step=0.5)
+    accs = []                  # anchors w_u + u·w_glb to it)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        accs.append(sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                            == (y == 1)) for t, v, y in docs) / len(docs))
+    assert np.mean(accs) >= 0.9, accs
+    assert not np.allclose(out["global_weights"], g_half)
+    out2 = train_async_mtreglr(user_docs, g_half, init_step=0.5)
+    assert np.allclose(out["global_weights"], out2["global_weights"])
+
+    outl = train_async_mtlinadapt(user_docs, w_true, init_step=0.05)
+    accs = []
+    for u, docs in user_docs.items():
+        pw = outl["personalized"][u]
+        accs.append(sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                            == (y == 1)) for t, v, y in docs) / len(docs))
+    assert np.mean(accs) >= 0.8, accs
+    outl2 = train_async_mtlinadapt(user_docs, w_true, init_step=0.05)
+    assert np.allclose(outl["super_transform"], outl2["super_transform"])
+
+
+def test_async_first_order(ray_session):
+    """asyncCoLinAdaptFirstOrder / asyncCoRegLRFirstOrder: neighbor blocks
+    move on every arrival (symmetric R2 + related R1 + cache replay),
+    runs deterministic, and still learns the two-population split."""
+    from ir_base_ray.pipelines.linadapt import train_async_colinadapt
+
+    rng = np.random.default_rng(59)
+    F = 8
+    wA = rng.standard_normal(F + 1) * 2.0
+    # one population: BoW-profile neighbors are label-uninformative in this
+    # fixture, so the coupling must HELP, not fight, the shared signal
+    user_docs = {f"u{i}": _docs_for_weights(wA, 15, 90 + i)
+                 for i in range(8)}
+    out = train_async_colinadapt(user_docs, np.zeros(F + 1), topk=2,
+                                 first_order=True, nbr_history_weight=0.1)
+    accs = []
+    for i in range(8):
+        u = f"u{i}"
+        pw = out["personalized"][u]
+        accs.append(sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                            == (y == 1))
+                        for t, v, y in user_docs[u]) / len(user_docs[u]))
+    assert np.mean(accs) >= 0.75, accs
+    out2 = train_async_colinadapt(user_docs, np.zeros(F + 1), topk=2,
+                                  first_order=True, nbr_history_weight=0.1)
+    assert all(np.allclose(out["personalized"][u], out2["personalized"][u])
+               for u in user_docs)
+    # differs from the base async variant (the neighbor updates are real)
+    base = train_async_colinadapt(user_docs, np.zeros(F + 1), topk=2)
+    assert not np.allclose(out["personalized"]["u0"],
+                           base["personalized"]["u0"])
+    outr = train_async_colinadapt(user_docs, np.zeros(F + 1), topk=2,
+                                  reglr=True, first_order=True,
+                                  nbr_history_weight=0.1)
+    outr2 = train_async_colinadapt(user_docs, np.zeros(F + 1), topk=2,
+                                   reglr=True, first_order=True,
+                                   nbr_history_weight=0.1)
+    assert all(np.allclose(outr["personalized"][u], outr2["personalized"][u])
+               for u in user_docs)
