@@ -176,7 +176,8 @@ def _colin_block_fg(user_idx_block, docs_block, x, g_w, dim, eta1, eta2,
 def train_colinadapt(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
                      eta1: float = 0.5, eta2: float = 0.5, eta3: float = 0.5,
                      eta4: float = 0.5, n_blocks: int = 4,
-                     max_iter: int = 100, gtol: float = 1e-4):
+                     max_iter: int = 100, gtol: float = 1e-4,
+                     nbrs_override: dict | None = None):
     """CoLinAdapt (``modelAdaptation/CoLinAdapt/CoLinAdapt.java``): ONE joint
     L-BFGS (reference m=5 over the concatenated sharedA) over every user's
     (a, b), coupling top-K BoW-similar neighbors through the R2 graph
@@ -193,6 +194,8 @@ def train_colinadapt(user_docs: dict, g_w: np.ndarray, *, topk: int = 2,
     F1 = g_w.size
     dim = F1
     users, nbrs = build_neighbors(user_docs, F1, topk)
+    if nbrs_override is not None:      # NeighborhoodLearning's re-weighted
+        nbrs = nbrs_override           # edge list (same topology)
     n = len(users)
     idx = list(range(n))
     blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
@@ -1526,3 +1529,252 @@ def train_async_mtlinadapt(user_docs: dict, g_w: np.ndarray, *,
     personalized = {u: A[u][:F1] * w_s + A[u][F1:] for u in users}
     return {"users": users, "personalized": personalized,
             "super_transform": sup.copy(), "super_weights": w_s}
+
+
+# ------------------------------------- CoLinAdapt with diff feature groups
+
+@ray.remote
+def _diffgroups_block_fg(user_idx_block, docs_block, x, g_w, dim_a, dim_b,
+                         map_a, map_b, n_users, g0, g1, nbrs_block,
+                         eta1, eta2, eta3, eta4):
+    """CoLinAdaptWithDiffFeatureGroups partial: per-user TWO-class softmax
+    over separate transforms — class-0 score through (A, featureGroupMapA,
+    g0·w_g), class-1 through (B, featureGroupMapB, g1·w_g)
+    (``calcPosterior`` :166-192, ``gradientByFunc`` :194-233) — plus both
+    R1s (:122-130, :236-247) and the R2 coupling on BOTH parameter sets
+    over the user's out-edges (:131-143, :249-279)."""
+    a_size = 2 * dim_a * n_users
+    f = 0.0
+    g = np.zeros_like(x)
+    for ui, docs, edges in zip(user_idx_block, docs_block, nbrs_block):
+        off_a = 2 * dim_a * ui
+        off_b = a_size + 2 * dim_b * ui
+        aA = x[off_a: off_a + dim_a]
+        bA = x[off_a + dim_a: off_a + 2 * dim_a]
+        aB = x[off_b: off_b + dim_b]
+        bB = x[off_b + dim_b: off_b + 2 * dim_b]
+        for tids, vals, y in docs:
+            nn = np.asarray(tids, dtype=np.int64) + 1
+            vv = np.asarray(vals, dtype=np.float64)
+            kA = map_a[nn]
+            kB = map_b[nn]
+            e0 = (aA[map_a[0]] * g_w[0] * g0 + bA[map_a[0]]
+                  + float(((aA[kA] * g_w[nn] * g0 + bA[kA]) * vv).sum()))
+            e1 = (aB[map_b[0]] * g_w[0] * g1 + bB[map_b[0]]
+                  + float(((aB[kB] * g_w[nn] * g1 + bB[kB]) * vv).sum()))
+            m = max(e0, e1)
+            z = np.exp(e0 - m) + np.exp(e1 - m)
+            p0 = np.exp(e0 - m) / z
+            p1 = 1.0 - p0
+            f -= np.log(max(p0 if y == 0 else p1, 1e-300))
+            dA = (1.0 - p0) if y == 0 else -p0
+            dB = -p1 if y == 0 else (1.0 - p1)
+            g[off_a + map_a[0]] -= dA * g_w[0] * g0
+            g[off_a + dim_a + map_a[0]] -= dA
+            g[off_b + map_b[0]] -= dB * g_w[0] * g1
+            g[off_b + dim_b + map_b[0]] -= dB
+            np.subtract.at(g, off_a + kA, dA * g_w[nn] * g0 * vv)
+            np.subtract.at(g, off_a + dim_a + kA, dA * vv)
+            np.subtract.at(g, off_b + kB, dB * g_w[nn] * g1 * vv)
+            np.subtract.at(g, off_b + dim_b + kB, dB * vv)
+        # R1 on both sets
+        f += eta1 * float((aA - 1.0) @ (aA - 1.0)) + eta2 * float(bA @ bA)
+        f += eta1 * float((aB - 1.0) @ (aB - 1.0)) + eta2 * float(bB @ bB)
+        g[off_a: off_a + dim_a] += 2.0 * eta1 * (aA - 1.0)
+        g[off_a + dim_a: off_a + 2 * dim_a] += 2.0 * eta2 * bA
+        g[off_b: off_b + dim_b] += 2.0 * eta1 * (aB - 1.0)
+        g[off_b + dim_b: off_b + 2 * dim_b] += 2.0 * eta2 * bB
+        # R2 over out-edges, both sets, symmetric gradient
+        for j, w in edges:
+            off_ja = 2 * dim_a * j
+            off_jb = a_size + 2 * dim_b * j
+            daA = aA - x[off_ja: off_ja + dim_a]
+            dbA = bA - x[off_ja + dim_a: off_ja + 2 * dim_a]
+            daB = aB - x[off_jb: off_jb + dim_b]
+            dbB = bB - x[off_jb + dim_b: off_jb + 2 * dim_b]
+            f += w * (eta3 * (float(daA @ daA) + float(daB @ daB))
+                      + eta4 * (float(dbA @ dbA) + float(dbB @ dbB)))
+            g[off_a: off_a + dim_a] += 2.0 * w * eta3 * daA
+            g[off_a + dim_a: off_a + 2 * dim_a] += 2.0 * w * eta4 * dbA
+            g[off_ja: off_ja + dim_a] -= 2.0 * w * eta3 * daA
+            g[off_ja + dim_a: off_ja + 2 * dim_a] -= 2.0 * w * eta4 * dbA
+            g[off_b: off_b + dim_b] += 2.0 * w * eta3 * daB
+            g[off_b + dim_b: off_b + 2 * dim_b] += 2.0 * w * eta4 * dbB
+            g[off_jb: off_jb + dim_b] -= 2.0 * w * eta3 * daB
+            g[off_jb + dim_b: off_jb + 2 * dim_b] -= 2.0 * w * eta4 * dbB
+    return f, g
+
+
+def train_colinadapt_diffgroups(user_docs: dict, g_w: np.ndarray, *,
+                                topk: int = 2, group_a=None, group_b=None,
+                                g0: float = 1.0, g1: float = 1.0,
+                                eta1: float = 0.5, eta2: float = 0.5,
+                                eta3: float = 0.5, eta4: float = 0.5,
+                                n_blocks: int = 4, max_iter: int = 100,
+                                gtol: float = 1e-4):
+    """CoLinAdaptWithDiffFeatureGroups
+    (``CoLinAdapt/CoLinAdaptWithDiffFeatureGroups.java``): each user owns
+    TWO LinAdapt transforms — one per class — with their OWN feature-group
+    maps (``loadFeatureGroupMapB`` :90-118; identity when no file, like
+    the reference's null path), scores softmax-normalized
+    (``calcPosterior``), CoLinAdapt's joint L-BFGS over the concatenated
+    [all A-sets | all B-sets] vector with R1+R2 on both sets. ``group_a`` /
+    ``group_b``: int arrays of length F+1 mapping feature index (0=bias) →
+    group id. Returns per-user CLASS-1 personalized weights (decision
+    score1−score0) plus both transform sets."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    map_a = (np.arange(F1, dtype=np.int64) if group_a is None
+             else np.asarray(group_a, dtype=np.int64))
+    map_b = (np.arange(F1, dtype=np.int64) if group_b is None
+             else np.asarray(group_b, dtype=np.int64))
+    dim_a = int(map_a.max()) + 1
+    dim_b = int(map_b.max()) + 1
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    idx = list(range(n))
+    blocks = [idx[i::n_blocks] for i in range(min(n_blocks, n))]
+    docs_refs = [ray.put([user_docs[users[i]] for i in blk])
+                 for blk in blocks]
+    nbrs_blocks = [[nbrs[i] for i in blk] for blk in blocks]
+    x0 = np.concatenate([
+        np.tile(np.concatenate([np.ones(dim_a), np.zeros(dim_a)]), n),
+        np.tile(np.concatenate([np.ones(dim_b), np.zeros(dim_b)]), n),
+    ])
+
+    def value_grad(x):
+        x_ref = ray.put(x)
+        outs = ray.get([
+            _diffgroups_block_fg.remote(blk, dref, x_ref, g_w, dim_a, dim_b,
+                                        map_a, map_b, n, g0, g1, nb,
+                                        eta1, eta2, eta3, eta4)
+            for blk, dref, nb in zip(blocks, docs_refs, nbrs_blocks)
+        ])
+        f = 0.0
+        g = np.zeros_like(x)
+        for fp, gp in outs:
+            f += fp
+            g = g + gp
+        return f, g
+
+    x, _f, _it = lbfgs_minimize(value_grad, x0, m=5, gtol=gtol,
+                                max_iter=max_iter)
+    a_size = 2 * dim_a * n
+    personalized = {}
+    A_sets, B_sets = {}, {}
+    for i, u in enumerate(users):
+        off_a = 2 * dim_a * i
+        off_b = a_size + 2 * dim_b * i
+        aA = x[off_a: off_a + dim_a]
+        bA = x[off_a + dim_a: off_a + 2 * dim_a]
+        aB = x[off_b: off_b + dim_b]
+        bB = x[off_b + dim_b: off_b + 2 * dim_b]
+        A_sets[u] = np.concatenate([aA, bA])
+        B_sets[u] = np.concatenate([aB, bB])
+        # decision margin score1 − score0 expands to a linear model
+        w1 = aB[map_b] * g_w * g1 + bB[map_b]
+        w0 = aA[map_a] * g_w * g0 + bA[map_a]
+        personalized[u] = w1 - w0
+    return {"users": users, "personalized": personalized, "A": A_sets,
+            "B": B_sets, "neighbors": nbrs}
+
+
+# ------------------------------------------- CoLinAdapt neighborhood learning
+
+def train_colinadapt_neighborhood(user_docs: dict, g_w: np.ndarray, *,
+                                  topk: int = 2, lam: float = 0.1,
+                                  max_rounds: int = 4, tol: float = 1e-10,
+                                  svd_vectors: dict | None = None,
+                                  eta1: float = 0.5, eta2: float = 0.5,
+                                  eta3: float = 0.5, eta4: float = 0.5,
+                                  n_blocks: int = 4, max_iter: int = 100,
+                                  gtol: float = 1e-4):
+    """CoLinAdaptWithNeighborhoodLearning
+    (``CoLinAdapt/CoLinAdaptWithNeighborhoodLearning.java``): alternate
+    (1) batch CoLinAdapt under the current edge similarities, (2) target
+    similarities = per-user-NORMALIZED cosine between the learned user
+    transforms (``calcSimA`` :132-151), (3) per-user logistic similarity
+    models w_i over pair features x_ij = [1, BoW-cos, SVD-cos] fit by one
+    L-BFGS on Σ simA_ij·log(1+e^(−w_i·x_ij)) + λ‖w‖²
+    (``calculateFValueGradients`` :170-205, the NaN-SVD→0 guard
+    ``constructXij`` :100-109), (4) new edge weights σ(w_i·x_ij)
+    (``updateNeighborhood`` :208-228) — until both the transforms and the
+    similarities stop moving (:57-77). The similarity L-BFGS is
+    n_users·fDim-sized — driver-scale by design."""
+    g_w = np.asarray(g_w, dtype=np.float64)
+    F1 = g_w.size
+    users, nbrs = build_neighbors(user_docs, F1, topk)
+    n = len(users)
+    fdim = 3
+    # pair features, fixed across rounds (constructXijs :80-98)
+    profs = {u: _bow_profile(user_docs[u], F1) for u in users}
+    xijs: dict[int, list[np.ndarray]] = {}
+    for i in range(n):
+        rows = []
+        for j, _sim in nbrs[i]:
+            bow = float(profs[users[i]] @ profs[users[j]])
+            if svd_vectors is not None:
+                vi = np.asarray(svd_vectors.get(users[i], np.zeros(1)))
+                vj = np.asarray(svd_vectors.get(users[j], np.zeros(1)))
+                ni, nj = np.linalg.norm(vi), np.linalg.norm(vj)
+                svd = float(vi @ vj / (ni * nj)) if ni and nj else 0.0
+            else:
+                svd = 0.0                       # the NaN→0 special case
+            rows.append(np.array([1.0, bow, svd]))
+        xijs[i] = rows
+    cur = dict(nbrs)
+    out = None
+    prev_A = None
+    for _round in range(max_rounds):
+        out = train_colinadapt(user_docs, g_w, topk=topk, eta1=eta1,
+                               eta2=eta2, eta3=eta3, eta4=eta4,
+                               n_blocks=n_blocks, max_iter=max_iter,
+                               gtol=gtol, nbrs_override=cur)
+        A = out["A"]
+        diff_a = (float(((A - prev_A) ** 2).sum())
+                  if prev_A is not None else np.inf)
+        prev_A = A.copy()
+        # target sims: normalized cosine between transforms (calcSimA)
+        sim_a: dict[int, np.ndarray] = {}
+        for i in range(n):
+            if not nbrs[i]:
+                sim_a[i] = np.zeros(0)
+                continue
+            s = np.array([
+                float(A[i] @ A[j]) /
+                max(np.linalg.norm(A[i]) * np.linalg.norm(A[j]), 1e-300)
+                for j, _ in nbrs[i]])
+            tot = float(s.sum())
+            sim_a[i] = s / tot if tot else s
+        # per-user similarity LR (one joint L-BFGS, n·fdim params)
+        def value_grad(w):
+            f = lam * float(w @ w)
+            g = 2.0 * lam * w
+            for i in range(n):
+                wi = w[i * fdim: (i + 1) * fdim]
+                for jj, x in enumerate(xijs[i]):
+                    e = np.exp(-float(wi @ x))
+                    f += sim_a[i][jj] * np.log(1.0 + e)
+                    g[i * fdim: (i + 1) * fdim] += (
+                        e * (-x) * sim_a[i][jj] / (1.0 + e))
+            return f, g
+
+        w, _fv, _it = lbfgs_minimize(value_grad, np.zeros(n * fdim), m=6,
+                                     gtol=1e-4, max_iter=100)
+        # new edge weights σ(w_i·x_ij) (updateNeighborhood)
+        diff_sim = 0.0
+        new = {}
+        for i in range(n):
+            wi = w[i * fdim: (i + 1) * fdim]
+            edges = []
+            for (j, old), x in zip(cur[i], xijs[i]):
+                s = 1.0 / (1.0 + np.exp(-float(wi @ x)))
+                diff_sim += (s - old) ** 2
+                edges.append((j, float(s)))
+            new[i] = edges
+        cur = new
+        if diff_a <= tol and diff_sim <= tol:
+            break
+    out = dict(out)
+    out["learned_neighbors"] = cur
+    return out

@@ -2690,6 +2690,37 @@ def async_coreglr_fo_classify(sf_dir: str):
                                user_docs, doc_of_user)
 
 
+def colinadapt_diffgroups_classify(sf_dir: str):
+    """modelAdaptation: CoLinAdaptWithDiffFeatureGroups
+    (``CoLinAdapt/CoLinAdaptWithDiffFeatureGroups.java``) — per-user
+    TWO-class softmax over separate class-0/class-1 transforms with their
+    own feature-group maps (identity here, the reference's no-file path),
+    R1+R2 on both sets. Rows-only; pinned by
+    tests/test_linadapt.py::test_colinadapt_diffgroups."""
+    from ir_base_ray.pipelines.linadapt import train_colinadapt_diffgroups
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_colinadapt_diffgroups(user_docs, g_w, topk=3)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def colinadapt_nl_classify(sf_dir: str):
+    """modelAdaptation: CoLinAdaptWithNeighborhoodLearning
+    (``CoLinAdapt/CoLinAdaptWithNeighborhoodLearning.java``) — alternates
+    batch CoLinAdapt with a learned per-user logistic edge-similarity model
+    over [1, BoW-cos, SVD-cos] pair features; edges re-weighted by
+    σ(w_i·x_ij) each round. Rows-only; pinned by
+    tests/test_linadapt.py::test_colinadapt_neighborhood."""
+    from ir_base_ray.pipelines.linadapt import train_colinadapt_neighborhood
+
+    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
+    out = train_colinadapt_neighborhood(user_docs, g_w, topk=3,
+                                        max_rounds=2)
+    pers = dict(zip(out["users"], out["personalized"]))
+    return _personalized_preds(out["users"], pers, user_docs, doc_of_user)
+
+
 def mtsvm_clusters_classify(sf_dir: str):
     """modelAdaptation: MultiTaskSVMWithClusters
     (``modelAdaptation/MultiTaskSVMWithClusters.java``) — three-level MT-SVM
@@ -3493,6 +3524,12 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("async_coreglr_fo",
                            globals().get("async_coreglr_fo_classify"),
+                           "pred_lang"),
+                          ("colinadapt_diffgroups",
+                           globals().get("colinadapt_diffgroups_classify"),
+                           "pred_lang"),
+                          ("colinadapt_nl",
+                           globals().get("colinadapt_nl_classify"),
                            "pred_lang")):
         if fn is None:
             continue

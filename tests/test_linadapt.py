@@ -718,3 +718,81 @@ def test_async_first_order(ray_session):
                                    nbr_history_weight=0.1)
     assert all(np.allclose(outr["personalized"][u], outr2["personalized"][u])
                for u in user_docs)
+
+
+def test_colinadapt_diffgroups(ray_session):
+    """CoLinAdaptWithDiffFeatureGroups: finite-difference gradient check of
+    the two-transform softmax block (incl. non-identity group maps), and
+    the fit recovering a user's labels."""
+    from ir_base_ray.pipelines.linadapt import (_diffgroups_block_fg,
+                                                build_neighbors,
+                                                train_colinadapt_diffgroups)
+
+    rng = np.random.default_rng(61)
+    F = 6
+    F1 = F + 1
+    g_w = rng.standard_normal(F1)
+    user_docs = {f"u{k}": _docs_for_weights(g_w, 8, 200 + k)
+                 for k in range(3)}
+    users, nbrs = build_neighbors(user_docs, F1, 2)
+    # non-identity group maps: A halves the space, B identity
+    map_a = np.array([0] + [1 + i // 2 for i in range(F)], dtype=np.int64)
+    map_b = np.arange(F1, dtype=np.int64)
+    dim_a = int(map_a.max()) + 1
+    x = np.concatenate([
+        np.tile(np.concatenate([np.ones(dim_a), np.zeros(dim_a)]), 3),
+        np.tile(np.concatenate([np.ones(F1), np.zeros(F1)]), 3),
+    ]) + 0.05 * rng.standard_normal(3 * 2 * dim_a + 3 * 2 * F1)
+    blk = [0, 1, 2]
+    docs_blk = [user_docs[users[i]] for i in blk]
+    nbrs_blk = [nbrs[i] for i in blk]
+    f0, g = ray.get(_diffgroups_block_fg.remote(
+        blk, docs_blk, x, g_w, dim_a, F1, map_a, map_b, 3, 1.0, 1.0,
+        nbrs_blk, 0.1, 0.1, 0.1, 0.1))
+    eps = 1e-6
+    for i in range(0, x.size, 4):
+        xp = x.copy()
+        xp[i] += eps
+        fp, _ = ray.get(_diffgroups_block_fg.remote(
+            blk, docs_blk, xp, g_w, dim_a, F1, map_a, map_b, 3, 1.0, 1.0,
+            nbrs_blk, 0.1, 0.1, 0.1, 0.1))
+        assert abs((fp - f0) / eps - g[i]) < 1e-3 * max(1.0, abs(g[i])), i
+
+    w_true = rng.standard_normal(F1) * 2.0
+    user_docs = {f"u{k}": _docs_for_weights(w_true, 20, 210 + k)
+                 for k in range(3)}
+    out = train_colinadapt_diffgroups(user_docs, w_true, topk=2, eta1=0.05,
+                                      eta2=0.05, eta3=0.05, eta4=0.05)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][u]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.9, u
+
+
+def test_colinadapt_neighborhood(ray_session):
+    """CoLinAdaptWithNeighborhoodLearning: the alternation re-weights edges
+    through the learned per-user similarity LR (weights in (0,1)), keeps
+    the fit, and is deterministic."""
+    from ir_base_ray.pipelines.linadapt import train_colinadapt_neighborhood
+
+    rng = np.random.default_rng(67)
+    F = 8
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {f"u{k}": _docs_for_weights(w_true, 15, 220 + k)
+                 for k in range(5)}
+    out = train_colinadapt_neighborhood(user_docs, w_true, topk=2,
+                                        max_rounds=2, eta1=0.1, eta2=0.1,
+                                        eta3=0.1, eta4=0.1)
+    for u, docs in user_docs.items():
+        pw = out["personalized"][out["users"].index(u)]
+        ok = sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                     == (y == 1)) for t, v, y in docs)
+        assert ok / len(docs) >= 0.85, u
+    for i, edges in out["learned_neighbors"].items():
+        for j, s in edges:
+            assert 0.0 < s < 1.0, (i, j, s)
+    out2 = train_colinadapt_neighborhood(user_docs, w_true, topk=2,
+                                         max_rounds=2, eta1=0.1, eta2=0.1,
+                                         eta3=0.1, eta4=0.1)
+    assert np.allclose(out["A"], out2["A"])
