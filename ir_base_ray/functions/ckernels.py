@@ -909,3 +909,71 @@ def sparsedcm_kernel():
             lib.sparse_indicators.restype = None
         _sparse_lib = lib
     return _sparse_lib
+
+
+_SPARSELDA_SRC = r"""
+#include <stdint.h>
+
+static int64_t walk_left(const double *cum, int64_t n, double v) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cum[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+/* sparseLDA.sampleTopicAssignment (sparseLDA.java:65-107): GLOBAL
+   word-topic tables (wts K*V, m_sstat K) carry the word factor and are
+   co-updated; doc factor (n_dk[k]+alpha)/(alpha_doc + sum n_dk) masked by
+   the doc's on/off indicators xf; the reference's off-by-one subtract walk
+   (tid = searchsorted_left + 1, capped at K-1 -- topic 0 never
+   re-sampled). */
+void sparselda_topics(const int64_t *words, int64_t n, int64_t *z,
+                      double *n_dk, double *wts, double *m_sstat,
+                      double alpha, const double *xf, double alpha_doc,
+                      int64_t K, int64_t V, const double *us, double *cache)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = words[i], t = z[i];
+        n_dk[t] -= 1.0;
+        wts[t * V + wid] -= 1.0;
+        m_sstat[t] -= 1.0;
+        double nsum = 0.0;                   /* counts: order-exact */
+        for (int64_t k = 0; k < K; k++) nsum += n_dk[k];
+        double den = alpha_doc + nsum;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            cum += xf[k] * (((n_dk[k] + alpha) / den)
+                            * (wts[k * V + wid] / m_sstat[k]));
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t j = walk_left(cache, K, u);
+        int64_t tn = j + 1 < K - 1 ? j + 1 : K - 1;
+        z[i] = tn;
+        n_dk[tn] += 1.0;
+        wts[tn * V + wid] += 1.0;
+        m_sstat[tn] += 1.0;
+    }
+}
+"""
+
+_sparselda_lib = None
+_sparselda_tried = False
+
+
+def sparselda_kernel():
+    global _sparselda_lib, _sparselda_tried
+    if not _sparselda_tried:
+        _sparselda_tried = True
+        lib = load("sparselda", _SPARSELDA_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            lib.sparselda_topics.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), f64, P(f64),
+                f64, i64, i64, P(f64), P(f64)]
+            lib.sparselda_topics.restype = None
+        _sparselda_lib = lib
+    return _sparselda_lib

@@ -2847,6 +2847,28 @@ def sparse_dcmlda_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+def sparse_lda_topics(sf_dir: str):
+    """R7 tail: sparseLDA (``topicmodels/LDA/sparseLDA.java``) — LDA_Gibbs
+    with GLOBAL topic-word tables plus per-doc Beta(s,t)-prior topic on/off
+    indicators (the off-by-one draw walk transcribed; AD-LDA distribution,
+    C-kernel sweep). Top-10 terms per topic. Deterministic; rows-only;
+    pinned by tests/test_sparselda.py."""
+    from ir_base_ray.pipelines.sparselda import train_sparse_lda
+
+    ds, vocab = _doc_vectors(sf_dir)
+    out = train_sparse_lda(ds, n_topics=5, vocab_size=len(vocab),
+                           n_iters=12, seed=19)
+    phi = out["topic_term"]
+    recs = []
+    varr = np.array(vocab, dtype=object)
+    for k in range(phi.shape[0]):
+        top = np.lexsort((np.arange(phi.shape[1]), -phi[k]))[:10]
+        for r, jx in enumerate(top):
+            recs.append({"topic": k, "rank": r, "term": varr[jx],
+                         "p": round(float(phi[k, jx]), 6)})
+    return pd.DataFrame(recs)
+
+
 def sparse_cluster_dcmlda_topics(sf_dir: str):
     """R7 tail: sparseClusterDCMLDA
     (``topicmodels/DCM/sparseClusterDCMLDA.java``) — sparseDCMLDA with a
@@ -3325,6 +3347,7 @@ def topic_term_models(sf_dir: str):
                      ("lda_gibbs", lda_topics),
                      ("lda_variational", lda_var_topics),
                      ("dcmlda", dcmlda_topics),
+                     ("sparse_lda", globals().get("sparse_lda_topics")),
                      ("sparse_dcmlda", globals().get("sparse_dcmlda_topics")),
                      ("sparse_cluster_dcmlda",
                       globals().get("sparse_cluster_dcmlda_topics"))):
