@@ -70,10 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_stats": ops.nb_stats,                        # A6 NaiveBayes sstats
         # W. weighting (§2.7)
         "bm25_weights": ops.bm25_weights,                # W4
-        "tfidf_weights": ops.tfidf_weights,              # W2
-        "tfidf_sublinear": ops.tfidf_sublinear_weights,  # W3
-        "pln_weights": ops.pln_weights,                  # W5
-        "tfidf_l2": ops.tfidf_l2,                        # W6 (norm=2)
+        "weight_schemes": ops.weight_schemes,            # W2/W3/W5/W6 folded (scheme col)
         # flagship index + query engine (§7.1, Q1/J2/J3)
         "topk_bm25_indexed": ops.topk_bm25_indexed,
         "topk_bm25_merged": ops.topk_bm25_merged,        # segment merge + docID remap
@@ -112,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rank_children": ops.lm_rank_children,        # correspondence LM baseline
         "pos_adjadv_vector": ops.pos_adjadv_vector,      # M12 (rule tagger)
         "senti_scores": ops.senti_doc_scores,            # M13 (lexicon)
+        "lm_dual_vectors": ops.lm_dual_vectors,          # MultiThreadedLMAnalyzer dual spaces
+        "iso_user_split": ops.iso_user_split,            # IsoUserAnalyzer allocation
+        "bipartite_maps": ops.bipartite_maps,            # BipartiteAnalyzer adjacency
         # rows-only family suites (union of per-model outputs, `model` column)
         "topic_term_models": ops.topic_term_models,      # R7: pLSA/LDA×2/DCM-LDA(+sparse)
         "mixture_profiles": ops.mixture_profiles,        # R7: CTM/twoTopic/TUIR
@@ -132,10 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "class_counts": ops.SQL_CLASS_COUNTS,
         "nb_stats": ops.SQL_NB_STATS,
         "bm25_weights": ops.SQL_BM25_WEIGHTS,
-        "tfidf_weights": ops.SQL_TFIDF_WEIGHTS,
-        "tfidf_sublinear": ops.SQL_TFIDF_SUBLINEAR,
-        "pln_weights": ops.SQL_PLN_WEIGHTS,
-        "tfidf_l2": ops.SQL_TFIDF_L2,
+        "weight_schemes": ops.SQL_WEIGHT_SCHEMES,
         "topk_bm25_indexed": ops.sql_topk_bm25(),
         "topk_bm25_merged": ops.sql_topk_bm25(),
         "df_band": ops.SQL_DF_BAND,
@@ -170,4 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_adjadv_vector": ops.SQL_POS_ADJADV,
         "senti_scores": ops.SQL_SENTI,
         "media_features": ops.SQL_MEDIA_FEATURES,
+        "lm_dual_vectors": ops.SQL_LM_DUAL_VECTORS,
+        "iso_user_split": ops.SQL_ISO_USER_SPLIT,
+        "bipartite_maps": ops.SQL_BIPARTITE_MAPS,
     }

@@ -3561,3 +3561,223 @@ def classify_suite(sf_dir: str):
             "model": name, "doc_id": df["doc_id"].astype(np.int64),
             "pred": df[col].astype(str)}))
     return pd.concat(parts, ignore_index=True)
+
+
+# -------------------------------------------------- analyzer-tier additions
+
+def lm_dual_vectors(sf_dir: str):
+    """MultiThreadedLMAnalyzer (``Analyzer/MultiThreadedLMAnalyzer.java``):
+    every doc carries TWO sparse vectors over SEPARATE feature spaces — the
+    classification vocabulary (frozen, feature-selected; here the F1 DF
+    band 5<df<2000 like ``df_band``) and the language-model vocabulary
+    (``constructLMSpVct`` :113-136 — raw token counts, no stat recording;
+    the no-file default shares the full corpus vocabulary,
+    ``loadLMFeatures`` :46-54). Emits the per-doc sizes of both vectors:
+    (doc_id, cls_terms, cls_len, lm_terms, lm_len). Distributed: one
+    ``map_batches`` tokenize pass against the broadcast band set."""
+    from ir_base_ray.functions.analyzer import analyze_simple
+
+    stats = _term_stats_ds(sf_dir).to_pandas()
+    band = set(stats.loc[(stats["df"] > 5) & (stats["df"] < 2000), "term"])
+    band_ref = ray.put(band)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        bset = ray.get(band_ref)
+        ids, ct, cl, lt, ll = [], [], [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = analyze_simple(t or "")
+            in_band = [w for w in toks if w in bset]
+            ids.append(i)
+            ct.append(len(set(in_band)))
+            cl.append(len(in_band))
+            lt.append(len(set(toks)))
+            ll.append(len(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cls_terms": pa.array(ct, pa.int64()),
+                         "cls_len": pa.array(cl, pa.int64()),
+                         "lm_terms": pa.array(lt, pa.int64()),
+                         "lm_len": pa.array(ll, pa.int64())})
+
+    out = docs.map_batches(counts, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LM_DUAL_VECTORS = _TOKENS_CTE + """
+, df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+band AS (SELECT term FROM df WHERE df > 5 AND df < 2000),
+cls AS (SELECT t.doc_id, count(DISTINCT t.term) AS cls_terms,
+               count(*) AS cls_len
+        FROM toks t JOIN band b ON t.term = b.term GROUP BY t.doc_id),
+lm AS (SELECT doc_id, count(DISTINCT term) AS lm_terms, count(*) AS lm_len
+       FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.cls_terms, 0) AS cls_terms,
+       coalesce(c.cls_len, 0) AS cls_len,
+       coalesce(l.lm_terms, 0) AS lm_terms, coalesce(l.lm_len, 0) AS lm_len
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN cls c ON d.doc_id = c.doc_id
+LEFT JOIN lm l ON d.doc_id = l.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def iso_user_split(sf_dir: str):
+    """IsoUserAnalyzer (``Analyzer/IsoUserAnalyzer.java`` :26-58): per-user
+    review allocation with ISOLATED test users — reviews sorted by
+    timestamp (deterministic doc_id order here; documents carry no
+    timestamp), the first ``testThreshold``=2 users (user-id order) with
+    ≥4 reviews become ALL-TEST cold-start users; every other user splits
+    train/adaptation/test by the shipped ratios (trainRatio=0,
+    adaptRatio=0.7, enforceAdapt → adapt = max(1, ⌊n·0.7⌋),
+    ``LinAdaptMain.java:19-26``). Users = u{doc_id%8} as in the
+    modelAdaptation tier. Returns (doc_id, user, rtype)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def with_user(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "user", pa.array([f"u{int(i) % 8}" for i in ids], pa.string()))
+
+    ds = docs.map_batches(with_user, batch_format="pyarrow")
+    counts = ds.groupby("user").count().to_pandas()
+    counts = counts.sort_values("user").reset_index(drop=True)
+    qualifying = counts.loc[counts["count()"] >= 4, "user"].tolist()
+    iso_users = set(sorted(qualifying)[:2])
+    n_of = dict(zip(counts["user"], counts["count()"]))
+    iso_ref = ray.put((iso_users, n_of))
+
+    def assign(grp: pd.DataFrame) -> pd.DataFrame:
+        iso, nmap = ray.get(iso_ref)
+        u = grp["user"].iloc[0]
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        n = int(nmap[u])
+        if u in iso:
+            grp["rtype"] = "test"
+        else:
+            adapt = max(1, int(n * 0.7))
+            pos = np.arange(len(grp))
+            grp["rtype"] = np.where(pos < adapt, "adaptation", "test")
+        return grp[["doc_id", "user", "rtype"]]
+
+    out = ds.groupby("user").map_groups(assign).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_ISO_USER_SPLIT = """
+WITH d AS (SELECT doc_id, 'u' || CAST(doc_id % 8 AS VARCHAR) AS usr
+           FROM documents),
+ranked AS (SELECT doc_id, usr,
+                  row_number() OVER (PARTITION BY usr ORDER BY doc_id) - 1
+                      AS pos,
+                  count(*) OVER (PARTITION BY usr) AS n FROM d),
+uq AS (SELECT usr, n,
+              CASE WHEN n >= 4
+                   THEN row_number() OVER (ORDER BY CASE WHEN n >= 4
+                                           THEN usr END NULLS LAST)
+              END AS qrank
+       FROM (SELECT usr, count(*) AS n FROM d GROUP BY usr))
+SELECT r.doc_id, r.usr AS "user",
+       CASE WHEN u.qrank IS NOT NULL AND u.qrank <= 2 THEN 'test'
+            WHEN r.pos < greatest(1, CAST(floor(r.n * 0.7) AS BIGINT))
+                 THEN 'adaptation'
+            ELSE 'test' END AS rtype
+FROM ranked r JOIN uq u ON r.usr = u.usr
+ORDER BY r.doc_id
+"""
+
+
+def bipartite_maps(sf_dir: str):
+    """BipartiteAnalyzer (``Analyzer/BipartiteAnalyzer.java`` :60-140):
+    the user-item bipartite adjacency the TUIR tier consumes — user index,
+    item index and per-entity review lists for the train, test and global
+    splits (``m_mapByUser``/``m_mapByItem``/``_global``/``_test``). Users =
+    u{doc_id%8}, items = i{doc_id%5}; the external train/test file lists
+    are replaced by the deterministic doc_id%10<8 split (documented
+    stand-in). Emits adjacency SIZES: (kind, split, entity, n_reviews).
+    Distributed: one map_batches expansion + one groupby count — no
+    driver-side adjacency."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        kinds, splits, ents = [], [], []
+        for i in ids:
+            i = int(i)
+            split = "train" if i % 10 < 8 else "test"
+            for kind, ent in (("user", f"u{i % 8}"), ("item", f"i{i % 5}")):
+                kinds.extend([kind, kind])
+                splits.extend([split, "global"])
+                ents.extend([ent, ent])
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "split": pa.array(splits, pa.string()),
+                         "entity": pa.array(ents, pa.string())})
+
+    out = (docs.map_batches(expand, batch_format="pyarrow")
+           .groupby(["kind", "split", "entity"]).count().to_pandas())
+    out = out.rename(columns={"count()": "n_reviews"})
+    return (out.sort_values(["kind", "split", "entity"])
+            .reset_index(drop=True))
+
+
+SQL_BIPARTITE_MAPS = """
+WITH d AS (SELECT doc_id,
+                  'u' || CAST(doc_id % 8 AS VARCHAR) AS usr,
+                  'i' || CAST(doc_id % 5 AS VARCHAR) AS item,
+                  CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END
+                      AS split
+           FROM documents),
+e AS (
+  SELECT 'user' AS kind, split, usr AS entity FROM d
+  UNION ALL SELECT 'user', 'global', usr FROM d
+  UNION ALL SELECT 'item', split, item FROM d
+  UNION ALL SELECT 'item', 'global', item FROM d
+)
+SELECT kind, split, entity, count(*) AS n_reviews
+FROM e GROUP BY kind, split, entity
+ORDER BY kind, split, entity
+"""
+
+
+def weight_schemes(sf_dir: str):
+    """W2/W3/W5/W6 folded into ONE gate entry (driver 50-slot window):
+    per-(doc, term) weights under the four TF-IDF-family schemes —
+    tfidf (W2), tfidf_sub (W3), pln (W5), tfidf_l2 (W6) — as
+    (scheme, doc_id, term, weight). Each scheme runs the same scale path
+    (:func:`_weighted_rows`) as its original standalone query; the
+    standalone ops remain for direct use."""
+    parts = []
+    for scheme, fn, col in (("tfidf", tfidf_weights, "tfidf"),
+                            ("tfidf_sub", tfidf_sublinear_weights,
+                             "tfidf_sub"),
+                            ("pln", pln_weights, "pln"),
+                            ("tfidf_l2", tfidf_l2, "tfidf_l2")):
+        df = fn(sf_dir).rename(columns={col: "weight"})
+        df.insert(0, "scheme", scheme)
+        parts.append(df[["scheme", "doc_id", "term", "weight"]])
+    return pd.concat(parts, ignore_index=True)
+
+
+SQL_WEIGHT_SCHEMES = _BM25_SQL_CORE + """
+, w2 AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf::DOUBLE / dl.doc_len) * ln((scal.n + 1)::DOUBLE / dict.df) AS v
+  FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+)
+SELECT 'tfidf' AS scheme, tf.doc_id, tf.term,
+       round((tf.tf::DOUBLE / dl.doc_len) * ln((scal.n + 1)::DOUBLE / dict.df), 6) AS weight
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+UNION ALL
+SELECT 'tfidf_sub', tf.doc_id, tf.term,
+       round((1 + log10(tf.tf::DOUBLE)) * (1 + log10(scal.n::DOUBLE / dict.df)), 6)
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+UNION ALL
+SELECT 'pln', tf.doc_id, tf.term,
+       round((1 + ln(1 + ln(tf.tf)) / (0.5 + 0.5 * (dl.doc_len / scal.avgdl)))
+             * ln((scal.n + 1)::DOUBLE / dict.df), 6)
+FROM tf JOIN dl USING (doc_id) JOIN dict USING (term), scal
+UNION ALL
+SELECT 'tfidf_l2', doc_id, term,
+       round(v / sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 6)
+FROM w2
+"""
