@@ -828,6 +828,737 @@ def _rv_romance(word: str, vowels: str) -> int:
     return 3
 
 
+
+
+# ----------------------------------------------------------------- Norwegian
+
+_NO_VOWELS = "aeiouyæåø"
+
+
+def _r1_min3(word: str, vowels: str) -> int:
+    """R1 with the Scandinavian adjustment: R1 may not start before
+    position 3."""
+    r1 = len(word)
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, min(3, len(word)))
+
+
+_NO_STEP1 = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast"],
+    key=len, reverse=True)
+_NO_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"], key=len, reverse=True)
+
+
+def stem_norwegian(word: str) -> str:
+    """Norwegian Snowball (snowballstem.org/algorithms/norwegian/stemmer.html;
+    reference vendors ``norwegianStemmer.java``)."""
+    word = word.lower()
+    if len(word) <= 3:
+        return word
+    r1 = _r1_min3(word, _NO_VOWELS)
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    # step 1
+    done = False
+    for suf in ("erte", "ert"):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)] + "er"
+            done = True
+            break
+    if not done:
+        for suf in _NO_STEP1:
+            if word.endswith(suf) and in_r1(suf):
+                word = word[: len(word) - len(suf)]
+                done = True
+                break
+    if not done and word.endswith("s") and in_r1("s"):
+        prev = word[-2] if len(word) >= 2 else ""
+        ok = prev in "bcdfghjlmnoprtvyz" or (
+            prev == "k" and (len(word) < 3 or word[-3] not in _NO_VOWELS))
+        if ok:
+            word = word[:-1]
+    # step 2
+    if (word.endswith("dt") or word.endswith("vt")) and in_r1("t"):
+        word = word[:-1]
+    # step 3
+    for suf in _NO_STEP3:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)]
+            break
+    return word
+
+
+# -------------------------------------------------------------------- Danish
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+     "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+     "erens", "ers", "ets", "erets", "et", "eret"], key=len, reverse=True)
+_DA_CONS = "bcdfghjklmnpqrstvwxz"
+
+
+def stem_danish(word: str) -> str:
+    """Danish Snowball (snowballstem.org/algorithms/danish/stemmer.html;
+    reference vendors ``danishStemmer.java``)."""
+    word = word.lower()
+    if len(word) <= 3:
+        return word
+    r1 = _r1_min3(word, _DA_VOWELS)
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    # step 1
+    matched = False
+    for suf in _DA_STEP1:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)]
+            matched = True
+            break
+    if not matched and word.endswith("s") and in_r1("s"):
+        prev = word[-2] if len(word) >= 2 else ""
+        if prev in "abcdfghjklmnoprtvyzå":
+            word = word[:-1]
+    # step 2
+    if in_r1("t") and word[-2:] in ("gd", "dt", "gt", "kt"):
+        word = word[:-1]
+    # step 3
+    if word.endswith("igst"):
+        word = word[:-2]
+    for suf in ("elig", "lig", "els", "ig"):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)]
+            # repeat step 2
+            if in_r1("t") and word[-2:] in ("gd", "dt", "gt", "kt"):
+                word = word[:-1]
+            break
+    else:
+        if word.endswith("løst") and in_r1("t"):
+            word = word[:-1]
+    # step 4: undouble a final double consonant in R1
+    if (len(word) >= 2 and word[-1] == word[-2]
+            and word[-1] in _DA_CONS and in_r1(word[-1])):
+        word = word[:-1]
+    return word
+
+
+# ------------------------------------------------------------------- Swedish
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+     "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+     "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+     "ast"], key=len, reverse=True)
+
+
+def stem_swedish(word: str) -> str:
+    """Swedish Snowball (snowballstem.org/algorithms/swedish/stemmer.html;
+    reference vendors ``swedishStemmer.java``)."""
+    word = word.lower()
+    if len(word) <= 3:
+        return word
+    r1 = _r1_min3(word, _SV_VOWELS)
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    # step 1
+    matched = False
+    for suf in _SV_STEP1:
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)]
+            matched = True
+            break
+    if not matched and word.endswith("s") and in_r1("s"):
+        prev = word[-2] if len(word) >= 2 else ""
+        if prev in "bcdfghjklmnoprtvy":
+            word = word[:-1]
+    # step 2
+    if in_r1("t") and word[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt",
+                                    "tt"):
+        word = word[:-1]
+    # step 3
+    for suf in ("lig", "els", "ig"):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)]
+            return word
+    if word.endswith("löst") and in_r1("löst"):
+        word = word[:-1]
+    elif word.endswith("fullt") and in_r1("fullt"):
+        word = word[:-1]
+    return word
+
+
+
+
+# --------------------------------------------------------------------- Dutch
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_prelude(word: str) -> str:
+    """Accent removal + Y/I consonant marking (Dutch Snowball prelude)."""
+    tr = str.maketrans("äáëéïí"
+                       "öóüú", "aaeeiioouu")
+    word = word.translate(tr)
+    out = []
+    for i, ch in enumerate(word):
+        if ch == "y" and (i == 0 or word[i - 1] in _NL_VOWELS):
+            out.append("Y")
+        elif (ch == "i" and 0 < i < len(word) - 1
+              and word[i - 1] in _NL_VOWELS and word[i + 1] in _NL_VOWELS):
+            out.append("I")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _nl_undouble(word: str) -> str:
+    if word[-2:] in ("kk", "dd", "tt"):
+        return word[:-1]
+    return word
+
+
+def stem_dutch(word: str) -> str:
+    """Dutch Snowball (snowballstem.org/algorithms/dutch/stemmer.html;
+    reference vendors ``dutchStemmer.java``)."""
+    word = _nl_prelude(word.lower())
+    if len(word) <= 3:
+        return word.lower()
+    # R1 (>= 3), R2
+    r1 = len(word)
+    for i in range(1, len(word)):
+        if word[i] not in _NL_VOWELS and word[i - 1] in _NL_VOWELS:
+            r1 = i + 1
+            break
+    r1 = max(r1, min(3, len(word)))
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _NL_VOWELS and word[i - 1] in _NL_VOWELS:
+            r2 = i + 1
+            break
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    def in_r2(suf):
+        return len(word) - len(suf) >= r2
+
+    # step 1
+    if word.endswith("heden") and in_r1("heden"):
+        word = word[:-5] + "heid"
+    else:
+        done = False
+        for suf in ("ene", "en"):
+            if word.endswith(suf) and in_r1(suf):
+                prev = word[: len(word) - len(suf)]
+                if prev and prev[-1] not in _NL_VOWELS                         and not prev.endswith("gem"):
+                    word = _nl_undouble(prev)
+                    done = True
+                break
+        if not done:
+            for suf in ("se", "s"):
+                if word.endswith(suf) and in_r1(suf):
+                    prev = word[: len(word) - len(suf)]
+                    if prev and prev[-1] not in _NL_VOWELS + "j":
+                        word = prev
+                    break
+    # step 2
+    e_found = False
+    if word.endswith("e") and in_r1("e") and len(word) >= 2             and word[-2] not in _NL_VOWELS:
+        e_found = True
+        word = _nl_undouble(word[:-1])
+    # step 3a
+    if word.endswith("heid") and in_r2("heid") and word[-5:-4] != "c":
+        word = word[:-4]
+        if word.endswith("en") and in_r1("en"):
+            prev = word[:-2]
+            if prev and prev[-1] not in _NL_VOWELS                     and not prev.endswith("gem"):
+                word = _nl_undouble(prev)
+    # step 3b
+    if (word.endswith("end") or word.endswith("ing")) and in_r2("end"):
+        word = word[:-3]
+        if word.endswith("ig") and in_r2("ig") and word[-3:-2] != "e":
+            word = word[:-2]
+        else:
+            word = _nl_undouble(word)
+    elif word.endswith("ig") and in_r2("ig") and word[-3:-2] != "e":
+        word = word[:-2]
+    elif word.endswith("lijk") and in_r2("lijk"):
+        word = word[:-4]
+        if word.endswith("e") and in_r1("e") and len(word) >= 2                 and word[-2] not in _NL_VOWELS:
+            word = _nl_undouble(word[:-1])
+    elif word.endswith("baar") and in_r2("baar"):
+        word = word[:-4]
+    elif word.endswith("bar") and in_r2("bar") and e_found:
+        word = word[:-3]
+    # step 4: undouble vowel  C + (aa|ee|oo|uu) + D (D != I)
+    if len(word) >= 4:
+        c, v1, v2, d = word[-4], word[-3], word[-2], word[-1]
+        if (c not in _NL_VOWELS and d not in _NL_VOWELS and d != "I"
+                and v1 == v2 and v1 in "aeou"):
+            word = word[:-2] + word[-1]
+    return word.lower()
+
+
+
+
+# ------------------------------------------------------------------ Romanian
+
+_RO_VOWELS = "aăâeiîou"
+
+
+def _ro_prelude(word: str) -> str:
+    # comma-below forms normalized to the cedilla forms the reference's
+    # vendored stemmer uses
+    word = (word.replace("ș", "ş").replace("ț", "ţ"))
+    out = []
+    for i, ch in enumerate(word):
+        if (ch in "iu" and 0 < i < len(word) - 1
+                and word[i - 1] in _RO_VOWELS and word[i + 1] in _RO_VOWELS):
+            out.append(ch.upper())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_RO_STEP0 = [
+    ("ului", "", None), ("ul", "", None),
+    ("aua", "a", None),
+    ("elor", "e", None), ("ele", "e", None), ("ea", "e", None),
+    ("iilor", "i", None), ("iile", "i", None), ("iei", "i", None),
+    ("iua", "i", None), ("ii", "i", None), ("ilor", "i", None),
+    ("ile", "i", "not_ab"),
+    ("atei", "at", None),
+    ("aţia", "aţi", None), ("aţie", "aţi", None),
+]
+_RO_STEP1 = [
+    ("abilitate", "abil"), ("abilitati", "abil"),
+    ("abilităi", "abil"), ("abilităţi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+    ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+    ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"), ("iciv", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("icală", "ic"), ("ical", "ic"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("ativ", "at"),
+    ("atoare", "at"), ("atori", "at"), ("ator", "at"),
+    ("ătoare", "at"), ("ători", "at"), ("ător", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itiv", "it"),
+    ("itoare", "it"), ("itori", "it"), ("itor", "it"),
+]
+_RO_STEP2_DEL = [
+    "abila", "abile", "abili", "abilă", "abil",
+    "ibila", "ibile", "ibili", "ibilă", "ibil",
+    "atori", "ator", "itate", "itati", "ităi", "ităţi",
+    "oasa", "oasă", "oase", "osi", "oşi", "os",
+    "anta", "ante", "anti", "antă", "ant",
+    "ata", "ată", "ati", "ate", "at",
+    "uta", "ută", "uti", "ute", "ut",
+    "ita", "ită", "iti", "ite", "it",
+    "ica", "ice", "ici", "ică", "ic",
+    "iva", "ive", "ivi", "ivă", "iv",
+]
+_RO_STEP2_IST = ["isme", "ism", "ista", "iste", "isti", "istă",
+                 "işti", "ist"]
+_RO_STEP3_COND = [
+    "aserăm", "aserăţi", "aseră", "aseşi",
+    "asem", "ase",
+    "iserăm", "iserăţi", "iseră", "iseşi",
+    "isem", "ise",
+    "âserăm", "âserăţi", "âseră",
+    "âseşi", "âsem", "âse",
+    "userăm", "userăţi", "useră", "useşi",
+    "usem", "use",
+    "arăm", "arăţi", "ară", "aşi",
+    "urăm", "urăţi", "ură", "uşi",
+    "irăm", "irăţi", "iră", "işi",
+    "ârăm", "ârăţi", "âră",
+    "âşi", "âi",
+    "eaţi", "eau", "eam", "eai", "ea",
+    "iaţi", "iau", "iam", "iai", "ia",
+    "indu", "ându", "ind", "ând",
+    "ească", "ează", "eze", "ezi", "ez",
+    "eşti", "eşte", "esc",
+    "ăşti", "ăşte", "ăsc",
+    "are", "ere", "ire", "âre",
+    "am", "ai", "au", "ui",
+]
+_RO_STEP3_UNCOND = [
+    "seserăm", "seserăţi", "seseră", "seseşi",
+    "sesem", "sese",
+    "serăm", "serăţi", "seră", "seşi",
+    "sei", "se",
+    "aţi", "eţi", "iţi", "âţi",
+    "ăm", "em", "im", "âm",
+]
+
+
+def stem_romanian(word: str) -> str:
+    """Romanian Snowball (snowballstem.org/algorithms/romanian/stemmer.html;
+    reference vendors ``romanianStemmer.java``). Longest-match per step;
+    comma-below diacritics normalized to the cedilla forms."""
+    word = _ro_prelude(word.lower())
+    if len(word) <= 2:
+        return word.lower()
+    rv = _rv_romance(word, _RO_VOWELS)
+    r1, r2 = _r1_r2(word, _RO_VOWELS)
+
+    def ends_in(region, suf):
+        return word.endswith(suf) and len(word) - len(suf) >= region
+
+    # step 0 (in R1)
+    best = None
+    for suf, rep, cond in _RO_STEP0:
+        if ends_in(r1, suf) and (best is None or len(suf) > len(best[0])):
+            if cond == "not_ab" and word[: len(word) - len(suf)].endswith(
+                    "ab"):
+                continue
+            best = (suf, rep)
+    if best:
+        word = word[: len(word) - len(best[0])] + best[1]
+
+    # step 1 (in R1, repeat while a replacement happens)
+    changed = True
+    standard_done = False
+    while changed:
+        changed = False
+        best = None
+        for suf, rep in _RO_STEP1:
+            if ends_in(r1, suf) and (best is None
+                                     or len(suf) > len(best[0])):
+                best = (suf, rep)
+        if best:
+            word = word[: len(word) - len(best[0])] + best[1]
+            changed = True
+            standard_done = False
+
+    # step 2 (in R2)
+    best = None
+    for suf in _RO_STEP2_DEL:
+        if ends_in(r2, suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    ist = None
+    for suf in _RO_STEP2_IST:
+        if ends_in(r2, suf) and (ist is None or len(suf) > len(ist)):
+            ist = suf
+    iune = None
+    for suf in ("iune", "iuni"):
+        if ends_in(r2, suf) and word[: len(word) - len(suf)].endswith(
+                "ţ"):
+            iune = suf
+    cands = [c for c in (best, ist, iune) if c]
+    if cands:
+        pick = max(cands, key=len)
+        if pick == iune:
+            word = word[: len(word) - len(pick) - 1] + "t"
+            standard_done = True
+        elif pick == ist:
+            word = word[: len(word) - len(pick)] + "ist"
+            standard_done = True
+        else:
+            word = word[: len(word) - len(pick)]
+            standard_done = True
+
+    # step 3 (verb suffixes, in RV) only if no standard suffix was removed
+    if not standard_done:
+        best = None
+        kind = None
+        for suf in _RO_STEP3_COND:
+            if ends_in(rv, suf) and (best is None or len(suf) > len(best)):
+                best, kind = suf, "cond"
+        for suf in _RO_STEP3_UNCOND:
+            if ends_in(rv, suf) and (best is None or len(suf) > len(best)):
+                best, kind = suf, "uncond"
+        if best:
+            stem = word[: len(word) - len(best)]
+            if kind == "uncond":
+                word = stem
+            elif stem and (stem[-1] not in _RO_VOWELS or stem[-1] == "u"):
+                word = stem
+
+    # step 4: final vowel (in RV)
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if ends_in(rv, suf):
+            word = word[: len(word) - len(suf)]
+            break
+    return word.lower()
+
+
+
+
+# ------------------------------------------------------------------- Russian
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PGERUND_1 = ["вшись", "вши", "в"]                  # preceded by а/я
+_RU_PGERUND_2 = ["ившись", "ывшись", "ивши", "ывши", "ив", "ыв"]
+_RU_ADJ = ["ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые",
+           "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их",
+           "ых", "ую", "юю", "ая", "яя", "ою", "ею"]
+_RU_PART_1 = ["ем", "нн", "вш", "ющ", "щ"]             # preceded by а/я
+_RU_PART_2 = ["ивш", "ывш", "ующ"]
+_RU_VERB_1 = ["ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем", "ло",
+              "но", "ет", "ют", "ны", "ть", "й", "л", "н"]  # after а/я
+_RU_VERB_2 = ["ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+              "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+              "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+              "ит", "ыт", "ую", "ю"]
+_RU_NOUN = ["иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев",
+            "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем",
+            "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья", "а", "е",
+            "и", "й", "о", "у", "ы", "ь", "ю", "я"]
+
+
+def stem_russian(word: str) -> str:
+    """Russian Snowball (snowballstem.org/algorithms/russian/stemmer.html;
+    reference vendors ``russianStemmer.java``). ё is folded to е like the
+    reference."""
+    word = word.lower().replace("ё", "е")
+    # RV: after the first vowel; R2 via the standard R1-of-R1
+    rv = len(word)
+    for i, ch in enumerate(word):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    _r1, r2 = _r1_r2(word, _RU_VOWELS)
+
+    def try_strip(sufs, preceded_ay=False):
+        """Longest match in RV; group-1 lists additionally require the
+        suffix to be preceded by а or я (the а/я belongs to the stem)."""
+        nonlocal word
+        best = None
+        for suf in sufs:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                if preceded_ay:
+                    p = len(word) - len(suf) - 1
+                    if p < 0 or word[p] not in "ая" or p + 1 < rv:
+                        continue
+                if best is None or len(suf) > len(best):
+                    best = suf
+        if best is not None:
+            word = word[: len(word) - len(best)]
+            return True
+        return False
+
+    # step 1: perfective gerund, else [reflexive] + adjectival/verb/noun
+    if not (try_strip(_RU_PGERUND_2) or try_strip(_RU_PGERUND_1, True)):
+        try_strip(["ся", "сь"])                        # reflexive
+        # adjectival = adjective [after optional participle strip]
+        if try_strip(_RU_ADJ):
+            if not try_strip(_RU_PART_2):
+                try_strip(_RU_PART_1, True)
+        elif try_strip(_RU_VERB_2) or try_strip(_RU_VERB_1, True):
+            pass
+        else:
+            try_strip(_RU_NOUN)
+    # step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+    # step 3: derivational (R2)
+    for suf in ("ость", "ост"):
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            word = word[: len(word) - len(suf)]
+            break
+    # step 4: нн → н / superlative / final ь
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        for suf in ("ейше", "ейш"):
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                word = word[: len(word) - len(suf)]
+                if word.endswith("нн") and len(word) - 1 >= rv:
+                    word = word[:-1]
+                break
+        else:
+            if word.endswith("ь") and len(word) - 1 >= rv:
+                word = word[:-1]
+    return word
+
+
+
+
+# ------------------------------------------------------------------- Finnish
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+
+def stem_finnish(word: str) -> str:
+    """Finnish Snowball (snowballstem.org/algorithms/finnish/stemmer.html;
+    reference vendors ``finnishStemmer.java``). Longest-match-then-condition
+    (a failing condition on the longest match means no removal, Snowball
+    among() semantics)."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    r1, r2 = _r1_r2(word, _FI_VOWELS)
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    def in_r2(suf):
+        return len(word) - len(suf) >= r2
+
+    # step 1: particles
+    parts = sorted(["kin", "kaan", "kään", "ko", "kö",
+                    "han", "hän", "pa", "pä", "sti"],
+                   key=len, reverse=True)
+    for suf in parts:
+        if word.endswith(suf) and in_r1(suf):
+            if suf == "sti":
+                if in_r2(suf):
+                    word = word[: len(word) - len(suf)]
+            else:
+                p = word[len(word) - len(suf) - 1: len(word) - len(suf)]
+                if p and (p in "nt" or p in _FI_VOWELS):
+                    word = word[: len(word) - len(suf)]
+            break
+
+    # step 2: possessives (longest match, then condition)
+    poss = sorted(["si", "ni", "nsa", "nsä", "mme", "nne", "an",
+                   "än", "en"], key=len, reverse=True)
+    for suf in poss:
+        if word.endswith(suf) and in_r1(suf):
+            stem = word[: len(word) - len(suf)]
+            if suf == "si":
+                if not stem.endswith("k"):
+                    word = stem
+            elif suf == "ni":
+                word = stem
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+            elif suf == "an":
+                if stem.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                    word = stem
+            elif suf == "än":
+                if stem.endswith(("tä", "ssä", "stä",
+                                  "llä", "ltä", "nä")):
+                    word = stem
+            elif suf == "en":
+                if stem.endswith(("lle", "ine")):
+                    word = stem
+            else:
+                word = stem
+            break
+
+    # step 3: cases (longest match then condition)
+    hxn = ["han", "hen", "hin", "hon", "hun", "hyn", "hän",
+           "hön"]
+    cases = sorted(["seen", "siin", "tten", "den", "tta", "ttä",
+                    "ssa", "ssä", "sta", "stä", "lla",
+                    "llä", "lta", "ltä", "lle", "na",
+                    "nä", "ksi", "ine", "ta", "tä", "a",
+                    "ä", "n"] + hxn, key=len, reverse=True)
+    ending_removed = False
+    for suf in cases:
+        if word.endswith(suf) and in_r1(suf):
+            stem = word[: len(word) - len(suf)]
+            if suf in hxn:
+                # preceded by the matching X vowel
+                if stem.endswith(suf[1]):
+                    word = stem
+                    ending_removed = True
+            elif suf == "seen":
+                if stem[-2:] in _FI_LV:
+                    word = stem
+                    ending_removed = True
+            elif suf in ("siin", "den", "tten"):
+                # preceded by i preceded by a vowel
+                if (len(stem) >= 2 and stem[-1] == "i"
+                        and stem[-2] in _FI_VOWELS):
+                    word = stem
+                    ending_removed = True
+            elif suf in ("a", "ä"):
+                # preceded by cv (consonant then vowel)
+                if (len(stem) >= 2 and stem[-1] in _FI_VOWELS
+                        and stem[-2] not in _FI_VOWELS):
+                    word = stem
+                    ending_removed = True
+            elif suf in ("tta", "ttä"):
+                if stem.endswith("e"):
+                    word = stem
+                    ending_removed = True
+            elif suf == "n":
+                word = stem
+                if word[-2:] in _FI_LV or word.endswith("ie"):
+                    word = word[:-1]
+                ending_removed = True
+            else:
+                word = stem
+                ending_removed = True
+            break
+
+    # step 4: other endings (R2)
+    others = sorted(["mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+                     "impi", "impa", "impä", "immi", "imma",
+                     "immä", "eja", "ejä"], key=len,
+                    reverse=True)
+    for suf in others:
+        if word.endswith(suf) and in_r2(suf):
+            stem = word[: len(word) - len(suf)]
+            if suf in ("mpi", "mpa", "mpä", "mmi", "mma",
+                       "mmä"):
+                if not stem.endswith("po"):
+                    word = stem
+            else:
+                word = stem
+            break
+
+    # step 5: plurals
+    if ending_removed:
+        for suf in ("i", "j"):
+            if word.endswith(suf) and in_r1(suf):
+                word = word[:-1]
+                break
+    else:
+        if word.endswith("t") and in_r1("t") and len(word) >= 2                 and word[-2] in _FI_VOWELS:
+            word = word[:-1]
+            for suf in ("imma", "mma"):
+                if word.endswith(suf) and in_r2(suf):
+                    stem = word[: len(word) - len(suf)]
+                    if suf == "mma" and stem.endswith("po"):
+                        break
+                    word = stem
+                    break
+
+    # step 6: tidying
+    if word[-2:] in _FI_LV and in_r1(word[-1:]):           # 6a
+        word = word[:-1]
+    if (len(word) >= 2 and word[-1] in "aäei"
+            and word[-2] not in _FI_VOWELS and in_r1(word[-1:])):  # 6b
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and in_r1("j"):          # 6c
+        word = word[:-1]
+    if word.endswith("jo") and in_r1("o"):                  # 6d
+        word = word[:-1]
+    # 6e: undouble final double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and word[i] not in _FI_VOWELS and word[i] == word[i - 1]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
 # ------------------------------------------------------------------- registry
 
 def get_stemmer(lang: str):
@@ -843,9 +1574,17 @@ def get_stemmer(lang: str):
         "fr": stem_french, "french": stem_french,
         "it": stem_italian, "italian": stem_italian,
         "pt": stem_portuguese, "portuguese": stem_portuguese,
+        "no": stem_norwegian, "nb": stem_norwegian,
+        "norwegian": stem_norwegian,
+        "da": stem_danish, "danish": stem_danish,
+        "sv": stem_swedish, "swedish": stem_swedish,
+        "nl": stem_dutch, "dutch": stem_dutch,
+        "ro": stem_romanian, "romanian": stem_romanian,
+        "ru": stem_russian, "russian": stem_russian,
+        "fi": stem_finnish, "finnish": stem_finnish,
     }
     return table.get(lang.lower(), lambda w: w)
 
 
 def supported_languages() -> tuple[str, ...]:
-    return ("en", "de", "es", "fr", "it", "pt")
+    return ("en", "de", "es", "fr", "it", "pt", "no", "da", "sv", "nl", "ro", "ru", "fi")

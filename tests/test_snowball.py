@@ -111,7 +111,7 @@ def test_registry_and_fallback():
     assert get_stemmer("it")("cantare") == "cant"
     assert get_stemmer("pt")("falando") == "fal"
     assert get_stemmer("zz")("running") == "running"   # identity fallback
-    assert set(supported_languages()) == {"en", "de", "es", "fr", "it", "pt"}
+    assert {"en", "de", "es", "fr", "it", "pt"} <= set(supported_languages())
 
 
 def test_analyzer_lang_plumbing(ray_session, tmp_path):
@@ -145,3 +145,114 @@ def test_analyzer_lang_plumbing(ray_session, tmp_path):
     dict_tbl = pq.ParquetDataset(f"{out}/dict").read()
     terms = set(dict_tbl.column("term").to_pylist())
     assert {"buch", "arbeit", "haus"} <= terms, terms
+
+
+def test_norwegian_golden():
+    """Published snowballstem.org Norwegian vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_norwegian as s
+
+    for w, want in [("havnedistriktene", "havnedistrikt"),
+                    ("forlenge", "forleng"),
+                    ("avskaffelsen", "avskaff"),
+                    ("beslutning", "beslutning"),
+                    ("vannet", "vann"),
+                    ("gode", "god"),
+                    ("erklærte", "erklært"),
+                    ("forserte", "forser"),   # erte → er
+                                        ("bok", "bok")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_danish_golden():
+    """Published snowballstem.org Danish vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_danish as s
+
+    for w, want in [("indtagelse", "indtag"),
+                    ("undersøgelse", "undersøg"),
+                    ("sikkerhed", "sikker"),
+                    ("væggen", "væg"),        # step-4 undouble
+                    ("gennemsnitlig", "gennemsnit"),
+                    ("alderdommen", "alderdom"),
+                    ("barndommens", "barndom"),
+                    ("bøgerne", "bøg"),
+                    ("bog", "bog")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_swedish_golden():
+    """Published snowballstem.org Swedish vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_swedish as s
+
+    for w, want in [("jackorna", "jack"),
+                    ("möjligheternas", "möjlighet"),
+                    ("klockor", "klock"),
+                    ("betydelsen", "betyd"),
+                    ("möjlig", "möj"),
+                    ("fartyg", "fartyg"),
+                    ("erbjudande", "erbjud"),
+                    ("bok", "bok")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_dutch_golden():
+    """Published snowballstem.org Dutch vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_dutch as s
+
+    for w, want in [("lichamelijk", "licham"),
+                    ("lichamelijke", "licham"),
+                    ("opheffen", "opheff"),
+                    ("doorbraak", "doorbrak"),
+                    ("beschrijving", "beschrijv"),
+                    ("mogelijkheden", "mogelijk"),
+                    ("gekkenhuis", "gekkenhuis"),
+                    ("lichamen", "licham"),
+                    ("bodem", "bodem")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_romanian_golden():
+    """Romanian Snowball hand-traced pairs (cedilla normalization incl.)."""
+    from ir_base_ray.functions.snowball import stem_romanian as s
+
+    for w, want in [("abilitate", "abil"),
+                    ("contabilitate", "contabil"),
+                    ("folosirea", "folos"),
+                    ("gustului", "gust"),
+                    ("iubire", "iub"),
+                    ("românească", "român"),
+                    ("importantă", "import"),
+                    ("ştiinţă", "ştiinţ"),
+                    ("națiunea", "naţiun")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_russian_golden():
+    """Published snowballstem.org Russian vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_russian as s
+
+    for w, want in [("восстановление", "восстановлен"),
+                    ("работающий", "работа"),
+                    ("красивая", "красив"),
+                    ("читала", "чита"),
+                    ("книгами", "книг"),
+                    ("возможность", "возможн"),
+                    ("постепенно", "постепен"),
+                    ("пёстрый", "пестр"),      # ё fold
+                    ("стол", "стол")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_finnish_golden():
+    """Published snowballstem.org Finnish vocabulary pairs."""
+    from ir_base_ray.functions.snowball import stem_finnish as s
+
+    for w, want in [("edeltäjistään", "edeltäj"),
+                    ("edeltäjiinsä", "edeltäj"),
+                    ("taloissa", "talo"),
+                    ("talon", "talo"),
+                    ("kirjasta", "kirj"),
+                    ("kaikkien", "kaik"),
+                    ("kokeella", "kok"),
+                    ("nopeimmat", "nopeim"),
+                    ("talo", "talo")]:
+        assert s(w) == want, (w, s(w), want)
