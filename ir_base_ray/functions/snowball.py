@@ -1559,6 +1559,288 @@ def stem_finnish(word: str) -> str:
     return word
 
 
+
+
+# ------------------------------------------------------------------ Hungarian
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+               "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+               "tt", "tty", "vv", "zz", "zzs")
+
+
+def _hu_r1(word: str) -> int:
+    """Hungarian R1: after the first consonant/digraph if the word starts
+    with a vowel, else after the first vowel."""
+    if not word:
+        return 0
+    if word[0] in _HU_VOWELS:
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                for d in ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty",
+                          "zs"):
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return len(word)
+    for i in range(1, len(word)):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _hu_ends_double(stem: str) -> bool:
+    return any(stem.endswith(d) for d in _HU_DOUBLES)
+
+
+def _hu_undouble(stem: str) -> str:
+    for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+        if stem.endswith(d):
+            if len(d) == 2:
+                return stem[:-1]
+            return stem[:-len(d)] + d[1:]      # 'ccs' -> 'cs' etc.
+    return stem
+
+
+def _hu_v_ending(word: str) -> str:
+    if word.endswith("á"):
+        return word[:-1] + "a"
+    if word.endswith("é"):
+        return word[:-1] + "e"
+    return word
+
+
+_HU_CASE = sorted(
+    ["ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+     "tól", "től", "ról", "ről", "ból",
+     "ből", "hoz", "hez", "höz", "nál", "nél",
+     "ig", "at", "et", "ot", "öt", "ért", "képpen",
+     "képp", "kor", "ul", "ül", "vá", "vé",
+     "onként", "enként", "anként", "ként", "en",
+     "on", "an", "ön", "n", "t"], key=len, reverse=True)
+_HU_PLUR_OWNER = sorted(
+    ["jaim", "jeim", "aim", "eim", "im", "áim", "éim",
+     "jaid", "jeid", "aid", "eid", "id", "áid", "éid",
+     "jai", "jei", "ai", "ei", "i", "ái", "éi",
+     "jaitok", "jeitek", "aitok", "eitek", "itek", "áitok",
+     "éitek",
+     "jaik", "jeik", "aik", "eik", "ik", "áik", "éik",
+     "jaink", "jeink", "aink", "eink", "ink", "áink",
+     "éink"], key=len, reverse=True)
+_HU_SING_OWNER = sorted(
+    ["ünk", "unk", "nk", "juk", "jük", "uk", "ük",
+     "játok", "jétek", "átok", "étek", "otok",
+     "etek", "ötök", "tok", "tek", "tök",
+     "ám", "ém", "om", "am", "em", "öm", "m",
+     "ád", "éd", "od", "ad", "ed", "öd", "d",
+     "ja", "je", "a", "e", "o"], key=len, reverse=True)
+_HU_OWNED = sorted(
+    ["oké", "öké", "aké", "eké",
+     "uké", "üké", "áké", "éké",
+     "ké", "é"], key=len, reverse=True)
+_HU_PLURAL = sorted(["ák", "ék", "ök", "ok", "ek", "ak",
+                     "k"], key=len, reverse=True)
+
+
+def stem_hungarian(word: str) -> str:
+    """Hungarian Snowball (snowballstem.org/algorithms/hungarian/
+    stemmer.html; reference vendors ``hungarianStemmer.java``): instrumental
+    â case â case-special â case-other â factive â owned â singular-owner â
+    plural-owner â plural, all in the digraph-aware R1; Ã¡/Ã© word endings
+    normalize to a/e after removals. The owner-suffix inventories follow
+    the published algorithm description (documented reconstruction; the
+    module intent is the published algorithm, not byte-parity)."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    r1 = _hu_r1(word)
+
+    def in_r1(suf):
+        return len(word) - len(suf) >= r1
+
+    # 1. instrumental: al/el preceded by a double consonant
+    for suf in ("al", "el"):
+        if word.endswith(suf) and in_r1(suf):
+            stem = word[:-2]
+            if _hu_ends_double(stem):
+                word = _hu_undouble(stem)
+            break
+    # 2. case endings
+    for suf in _HU_CASE:
+        if word.endswith(suf) and in_r1(suf):
+            word = _hu_v_ending(word[: len(word) - len(suf)])
+            break
+    # 3. case special
+    for suf, rep in (("ánként", "a"), ("án", "a"),
+                     ("én", "e")):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)] + rep
+            break
+    # 4. case other
+    for suf, rep in (("ástul", "a"), ("éstül", "e"),
+                     ("astul", ""), ("estül", ""), ("stul", ""),
+                     ("stül", "")):
+        if word.endswith(suf) and in_r1(suf):
+            word = word[: len(word) - len(suf)] + rep
+            break
+    # 5. factive: Ã¡/Ã© preceded by a double consonant
+    for suf in ("á", "é"):
+        if word.endswith(suf) and in_r1(suf):
+            stem = word[:-1]
+            if _hu_ends_double(stem):
+                word = _hu_undouble(stem)
+            break
+    # 6. owned
+    for suf in _HU_OWNED:
+        if word.endswith(suf) and in_r1(suf):
+            word = _hu_v_ending(word[: len(word) - len(suf)])
+            break
+    # 7. singular owner
+    for suf in _HU_SING_OWNER:
+        if word.endswith(suf) and in_r1(suf):
+            word = _hu_v_ending(word[: len(word) - len(suf)])
+            break
+    # 8. plural owner
+    for suf in _HU_PLUR_OWNER:
+        if word.endswith(suf) and in_r1(suf):
+            word = _hu_v_ending(word[: len(word) - len(suf)])
+            break
+    # 9. plural
+    for suf in _HU_PLURAL:
+        if word.endswith(suf) and in_r1(suf):
+            word = _hu_v_ending(word[: len(word) - len(suf)])
+            break
+    return word
+
+
+
+
+# -------------------------------------------------------------------- Turkish
+
+_TR_VOWELS = "aeiıoöuü"
+_TR_BACK = "aıou"       # back vowels take a/ı suffixes
+_TR_FRONT = "eiöü"
+
+
+def _tr_harmony(stem: str, suf: str) -> bool:
+    """Vowel-harmony check (Turkish Snowball check_vowel_harmony): the
+    FIRST vowel of the suffix must agree in backness with the LAST vowel
+    of the stem."""
+    sv = next((c for c in reversed(stem) if c in _TR_VOWELS), None)
+    fv = next((c for c in suf if c in _TR_VOWELS), None)
+    if sv is None or fv is None:
+        return True
+    if sv in _TR_BACK:
+        return fv in _TR_BACK
+    return fv in _TR_FRONT
+
+
+def _tr_valid(word: str, suf: str, *, harmony=True, buffer_y=False,
+              buffer_n=False, buffer_s=False) -> bool:
+    """suffix applies: long enough remainder, harmony, and the optional
+    y/n/s buffer consonant must be preceded by a vowel."""
+    stem = word[: len(word) - len(suf)]
+    if len(stem) < 2:
+        return False
+    if harmony and not _tr_harmony(stem, suf):
+        return False
+    return True
+
+
+# noun-state suffixes (the published algorithm's noun chain, principal
+# inventory; A = a/e, I = ı/i/u/ü by harmony)
+def _tr_alternants(pattern: str) -> list:
+    """Expand A -> a|e and I -> ı|i|u|ü (capital letters in the
+    Snowball notation)."""
+    outs = [""]
+    for ch in pattern:
+        if ch == "A":
+            outs = [o + v for o in outs for v in "ae"]
+        elif ch == "I":
+            outs = [o + v for o in outs for v in "ıiuü"]
+        else:
+            outs = [o + ch for o in outs]
+    return outs
+
+
+def _tr_suffix_set(patterns) -> list:
+    sufs = []
+    for p in patterns:
+        sufs.extend(_tr_alternants(p))
+    return sorted(set(sufs), key=len, reverse=True)
+
+
+# nominal verb suffixes (stem_nominal_verb_suffixes)
+_TR_NOMINAL_VERB = _tr_suffix_set([
+    "ymIÅ", "ymIs", "ydI", "ysA", "yIz", "yDI",   # buffered copulas
+    "sInIz", "sIn", "Iz", "DIr", "dIr", "tIr", "DUr",
+    "casIna", "cesine",
+    "mIÅIz", "mIÅ", "mUÅ",
+    "DI", "dI", "tI",
+    "sA", "ysAnIz",
+    "ym", "yUz",
+]) + ["ken"]
+# noun suffixes (stem_noun_suffixes)
+_TR_NOUN = _tr_suffix_set([
+    "lArI", "lArIn", "lArInA", "lArInI", "lArInDA", "lArInDAn",
+    "lAr", "lArDAn", "lArDA", "lArA", "lArIm", "lArImIz",
+    "ImIz", "ImIzA", "ImIzI", "ImIzDA",
+    "InIz", "InIzA", "InIzI", "InIzDA",
+    "DAn", "dAn", "tAn", "DA", "dA", "tA", "nDA", "nDAn",
+    "yA", "nA", "yI", "nI", "yU", "nU",
+    "nIn", "In", "Im", "sI", "sInA", "sInI", "sInDA", "sInDAn",
+    "ylA", "lA",
+    "ki", "kI",
+    "cA", "Ã§A",
+    "lIk", "lUk", "lI", "lU", "sIz", "sUz",
+    "cI", "Ã§I", "cU", "Ã§U",
+])
+
+
+def stem_turkish(word: str) -> str:
+    """Turkish Snowball (snowballstem.org/algorithms/turkish/stemmer.html,
+    Çilden's algorithm; reference vendors ``turkishStemmer.java``):
+    iterative longest-match stripping of the nominal-verb then noun suffix
+    chains under the vowel-harmony constraint, followed by the stem-final
+    devoicing post-process (b→p, c→ç, d→t,
+    ğ→k). Principal suffix inventory (documented reconstruction
+    of the published chains; module intent is the published algorithm, not
+    byte-parity). Words of ≤2 letters are left alone."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    # nominal verb suffixes: one longest-match pass (stem floor 3 keeps
+    # lexical -di/-ti words whole)
+    for suf in _TR_NOMINAL_VERB:
+        if word.endswith(suf) and len(word) - len(suf) >= 3 \
+                and _tr_valid(word, suf):
+            word = word[: len(word) - len(suf)]
+            break
+    # noun suffix chain: strip repeatedly (suffixes stack in Turkish)
+    changed = True
+    while changed and len(word) > 3:
+        changed = False
+        for suf in _TR_NOUN:
+            if word.endswith(suf) and len(word) - len(suf) >= 2 \
+                    and _tr_valid(word, suf):
+                word = word[: len(word) - len(suf)]
+                changed = True
+                break
+        if not changed and word[-1] in "ıiuü" and len(word) >= 5 \
+                and word[-2] not in _TR_VOWELS \
+                and _tr_harmony(word[:-1], word[-1]):
+            # bare possessive/accusative -(s)I after a consonant; the
+            # longer stem floor keeps lexical -i words (kedi) intact
+            word = word[:-1]
+            changed = True
+    # post-process: final devoicing
+    table = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+    if word and word[-1] in table:
+        word = word[:-1] + table[word[-1]]
+    return word
+
+
 # ------------------------------------------------------------------- registry
 
 def get_stemmer(lang: str):
@@ -1582,9 +1864,11 @@ def get_stemmer(lang: str):
         "ro": stem_romanian, "romanian": stem_romanian,
         "ru": stem_russian, "russian": stem_russian,
         "fi": stem_finnish, "finnish": stem_finnish,
+        "hu": stem_hungarian, "hungarian": stem_hungarian,
+        "tr": stem_turkish, "turkish": stem_turkish,
     }
     return table.get(lang.lower(), lambda w: w)
 
 
 def supported_languages() -> tuple[str, ...]:
-    return ("en", "de", "es", "fr", "it", "pt", "no", "da", "sv", "nl", "ro", "ru", "fi")
+    return ("en", "de", "es", "fr", "it", "pt", "no", "da", "sv", "nl", "ro", "ru", "fi", "hu", "tr")

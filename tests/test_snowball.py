@@ -256,3 +256,52 @@ def test_finnish_golden():
                     ("nopeimmat", "nopeim"),
                     ("talo", "talo")]:
         assert s(w) == want, (w, s(w), want)
+
+
+def test_hungarian_golden():
+    """Hungarian Snowball hand-traced pairs (digraph R1, instrumental
+    undouble, case chains, owner suffixes, plural)."""
+    from ir_base_ray.functions.snowball import stem_hungarian as s
+
+    for w, want in [("házakban", "ház"),
+                    ("könyveim", "könyv"),
+                    ("barátainak", "barát"),
+                    ("autóval", "autó"),
+                    ("kutyája", "kutya"),
+                    ("asztallal", "asztal"),    # instrumental ll undouble
+                    ("szebbé", "szeb"),         # factive bb undouble
+                    ("kertjükben", "kert"),
+                    ("ember", "ember")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_turkish_golden():
+    """Turkish Snowball hand-traced pairs (vowel harmony, suffix chains,
+    final devoicing)."""
+    from ir_base_ray.functions.snowball import stem_turkish as s
+
+    for w, want in [("kitaplar", "kitap"),
+                    ("evlerinden", "ev"),
+                    ("arabalarımız", "araba"),
+                    ("okulda", "okul"),
+                    ("gözlerim", "göz"),
+                    ("kitabı", "kitap"),       # devoicing b→p
+                    ("ağaçlar", "ağaç"),
+                    ("kedi", "kedi"),          # lexical -i kept
+                    ("geldi", "gel"),
+                    ("sokakları", "sokak")]:
+        assert s(w) == want, (w, s(w), want)
+
+
+def test_registry_all_16_parity_langs():
+    """The registry now fronts every language the reference vendors a
+    Snowball stemmer for (org/tartarus/snowball/ext: 16 incl. porter)."""
+    from ir_base_ray.functions.snowball import (get_stemmer,
+                                                supported_languages)
+
+    assert set(supported_languages()) >= {
+        "en", "de", "es", "fr", "it", "pt", "no", "da", "sv", "nl", "ro",
+        "ru", "fi", "hu", "tr"}
+    for lang in supported_languages():
+        st = get_stemmer(lang)
+        assert st("") == "" or isinstance(st("test"), str)
