@@ -1778,3 +1778,123 @@ def train_colinadapt_neighborhood(user_docs: dict, g_w: np.ndarray, *,
     out = dict(out)
     out["learned_neighbors"] = cur
     return out
+
+
+# --------------------------------------- cross feature selection + SVM bases
+
+def cross_feature_selection(vec_ds, *, n_classes: int, n_features: int,
+                            k_fold: int = 4, k_means: int = 10,
+                            C_reg: float = 1.0, seed: int = 83,
+                            max_iter: int = 60):
+    """CrossFeatureSelection (``Analyzer/CrossFeatureSelection.java``):
+    random k-fold masks over the corpus (``shuffle`` :67-73, seeded Philox
+    replacing the unseeded Random), one linear SVM per fold (:75-84,
+    distributed squared-hinge like the R6 SVM), then KMeansAlg4Vct over the
+    FEATURES — each feature described by its k-fold weight profile
+    (``kMeans`` :86-93) — producing the feature-group map the
+    MTLinAdapt/CoLinAdaptWithDiffFeatureGroups tier consumes (:95-106
+    writes exactly that comma-separated group file). Returns
+    (feature_group int array of length F+1 incl. bias→its own group,
+    fold weight matrix)."""
+    from ir_base_ray.pipelines.kmeans import kmeans_dense_cosine
+    from ir_base_ray.pipelines.linear import train_linear_svm
+
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+
+    import pyarrow as pa
+
+    def mask(batch: pa.Table) -> pa.Table:
+        # per-doc fold by hash of doc_id (layout-independent, unlike the
+        # reference's unseeded Random — documented determinism substitution)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids.astype(np.int64)
+        fold = (ids * 2654435761 % 2**32) % k_fold
+        return batch.append_column("fold", pa.array(fold, pa.int64()))
+
+    folds_ds = vec_ds.map_batches(mask, batch_format="pyarrow")
+    del rng
+    weights = []
+    for f in range(k_fold):
+        sub = folds_ds.filter(lambda r, f=f: r["fold"] == f)
+        W, _fv, _it = train_linear_svm(sub, n_classes=n_classes,
+                                       n_features=n_features, C_reg=C_reg,
+                                       max_iter=max_iter)
+        # binary: the class-1 margin vector; multi: stack all classes
+        weights.append(W[1] - W[0] if n_classes == 2 else W.ravel())
+    Wk = np.stack(weights)                    # k_fold × (F+1)
+    feat_profiles = Wk[:, 1:].T               # F × k_fold
+    assign, _cent = kmeans_dense_cosine(feat_profiles, k=k_means, seed=seed)
+    groups = np.empty(n_features + 1, dtype=np.int64)
+    groups[0] = 0                             # bias keeps its own group
+    groups[1:] = assign + 1
+    return groups, Wk
+
+
+def train_individual_svm(user_docs: dict, *, n_features: int,
+                         C_reg: float = 1.0, max_iter: int = 100,
+                         gtol: float = 1e-4):
+    """IndividualSVM (``Classifier/supervised/IndividualSVM.java``): one
+    linear SVM PER USER on the user's own adaptation data only (no
+    sharing; the no-adaptation baseline of the MT-SVM family, L2R_L1LOSS
+    → squared-hinge primal substitution as documented for MT-SVM).
+    Embarrassingly parallel per user."""
+    F1 = n_features + 1
+    users = [u for u in user_docs if user_docs[u]]
+    personalized = {}
+    for u in users:
+        rows = [(np.asarray(t, dtype=np.int64),
+                 np.asarray(v, dtype=np.float64),
+                 1.0 if y == 1 else -1.0) for t, v, y in user_docs[u]]
+
+        def fg(w, rows=rows):
+            f = 0.5 * float(w[1:] @ w[1:])
+            g = np.zeros_like(w)
+            g[1:] = w[1:]
+            for tids, vals, y in rows:
+                s = w[0] + float((w[tids + 1] * vals).sum())
+                m = 1.0 - y * s
+                if m > 0:
+                    f += C_reg * m * m
+                    coef = -2.0 * C_reg * m * y
+                    g[0] += coef
+                    np.add.at(g, tids + 1, coef * vals)
+            return f, g
+
+        w, _f, _it = lbfgs_minimize(fg, np.zeros(F1), m=6, gtol=gtol,
+                                    max_iter=max_iter)
+        personalized[u] = w
+    return {"users": users, "personalized": personalized}
+
+
+def train_global_svm(user_docs: dict, *, n_features: int, C_reg: float = 1.0,
+                     max_iter: int = 100, gtol: float = 1e-4):
+    """GlobalSVM (``Classifier/supervised/GlobalSVM.java``): ONE linear SVM
+    over every user's pooled adaptation data; all users share the single
+    model (the other no-adaptation baseline)."""
+    rows = []
+    users = [u for u in user_docs if user_docs[u]]
+    for u in users:
+        for t, v, y in user_docs[u]:
+            rows.append((np.asarray(t, dtype=np.int64),
+                         np.asarray(v, dtype=np.float64),
+                         1.0 if y == 1 else -1.0))
+    F1 = n_features + 1
+
+    def fg(w):
+        f = 0.5 * float(w[1:] @ w[1:])
+        g = np.zeros_like(w)
+        g[1:] = w[1:]
+        for tids, vals, y in rows:
+            s = w[0] + float((w[tids + 1] * vals).sum())
+            m = 1.0 - y * s
+            if m > 0:
+                f += C_reg * m * m
+                coef = -2.0 * C_reg * m * y
+                g[0] += coef
+                np.add.at(g, tids + 1, coef * vals)
+        return f, g
+
+    w, _f, _it = lbfgs_minimize(fg, np.zeros(F1), m=6, gtol=gtol,
+                                max_iter=max_iter)
+    return {"users": users, "personalized": {u: w for u in users}}

@@ -2694,13 +2694,22 @@ def colinadapt_diffgroups_classify(sf_dir: str):
     """modelAdaptation: CoLinAdaptWithDiffFeatureGroups
     (``CoLinAdapt/CoLinAdaptWithDiffFeatureGroups.java``) — per-user
     TWO-class softmax over separate class-0/class-1 transforms with their
-    own feature-group maps (identity here, the reference's no-file path),
-    R1+R2 on both sets. Rows-only; pinned by
-    tests/test_linadapt.py::test_colinadapt_diffgroups."""
-    from ir_base_ray.pipelines.linadapt import train_colinadapt_diffgroups
+    own feature-group maps; the class-0 map comes from the REAL
+    CrossFeatureSelection flow (``Analyzer/CrossFeatureSelection.java``:
+    k-fold SVMs → KMeansAlg4Vct over per-feature weight profiles → group
+    file), class-1 stays identity — the reference's asymmetric-group
+    usage. Rows-only; pinned by
+    tests/test_linadapt.py::test_colinadapt_diffgroups +
+    test_cross_feature_selection."""
+    from ir_base_ray.pipelines.linadapt import (cross_feature_selection,
+                                                train_colinadapt_diffgroups)
 
-    _bds, g_w, user_docs, doc_of_user, _nf = _binary_user_setup(sf_dir)
-    out = train_colinadapt_diffgroups(user_docs, g_w, topk=3)
+    bds, g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    groups, _wk = cross_feature_selection(bds, n_classes=2,
+                                          n_features=n_feat, k_fold=3,
+                                          k_means=8, max_iter=30)
+    out = train_colinadapt_diffgroups(user_docs, g_w, topk=3,
+                                      group_a=groups)
     return _personalized_preds(out["users"], out["personalized"],
                                user_docs, doc_of_user)
 
@@ -2719,6 +2728,32 @@ def colinadapt_nl_classify(sf_dir: str):
                                         max_rounds=2)
     pers = dict(zip(out["users"], out["personalized"]))
     return _personalized_preds(out["users"], pers, user_docs, doc_of_user)
+
+
+def individual_svm_classify(sf_dir: str):
+    """modelAdaptation baseline: IndividualSVM
+    (``Classifier/supervised/IndividualSVM.java``) — one SVM per user on
+    their own adaptation data only, no sharing. Rows-only; pinned by
+    tests/test_linadapt.py::test_individual_and_global_svm."""
+    from ir_base_ray.pipelines.linadapt import train_individual_svm
+
+    _bds, _g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    out = train_individual_svm(user_docs, n_features=n_feat)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
+
+
+def global_svm_classify(sf_dir: str):
+    """modelAdaptation baseline: GlobalSVM
+    (``Classifier/supervised/GlobalSVM.java``) — one SVM on the pooled
+    adaptation data, shared by every user. Rows-only; pinned by
+    tests/test_linadapt.py::test_individual_and_global_svm."""
+    from ir_base_ray.pipelines.linadapt import train_global_svm
+
+    _bds, _g_w, user_docs, doc_of_user, n_feat = _binary_user_setup(sf_dir)
+    out = train_global_svm(user_docs, n_features=n_feat)
+    return _personalized_preds(out["users"], out["personalized"],
+                               user_docs, doc_of_user)
 
 
 def mtsvm_clusters_classify(sf_dir: str):
@@ -3553,6 +3588,12 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("colinadapt_nl",
                            globals().get("colinadapt_nl_classify"),
+                           "pred_lang"),
+                          ("individual_svm",
+                           globals().get("individual_svm_classify"),
+                           "pred_lang"),
+                          ("global_svm",
+                           globals().get("global_svm_classify"),
                            "pred_lang")):
         if fn is None:
             continue

@@ -796,3 +796,68 @@ def test_colinadapt_neighborhood(ray_session):
                                          max_rounds=2, eta1=0.1, eta2=0.1,
                                          eta3=0.1, eta4=0.1)
     assert np.allclose(out["A"], out2["A"])
+
+
+def test_cross_feature_selection(ray_session):
+    """CrossFeatureSelection: k-fold SVMs + KMeansAlg4Vct over per-feature
+    weight profiles produce a usable feature-group map — correlated
+    features land in the same group, deterministic."""
+    import ray.data as rd
+
+    from ir_base_ray.pipelines.linadapt import cross_feature_selection
+
+    rng = np.random.default_rng(71)
+    F = 12
+    w_true = np.zeros(F + 1)
+    w_true[1:5] = 3.0          # features 0-3 strongly positive
+    w_true[5:9] = -3.0         # features 4-7 strongly negative
+    rows = []
+    for d in range(120):
+        tids = np.sort(rng.choice(F, size=5, replace=False)).astype(np.int64)
+        vals = np.ones(5)
+        y = 1 if (w_true[0] + float((w_true[tids + 1] * vals).sum())) > 0 \
+            else 0
+        rows.append({"doc_id": d, "tids": tids.tolist(),
+                     "vals": vals.tolist(), "label": y})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    groups, wk = cross_feature_selection(ds, n_classes=2, n_features=F,
+                                         k_fold=3, k_means=3, max_iter=40)
+    assert groups.shape == (F + 1,)
+    assert groups[0] == 0                    # bias keeps its own group
+    assert wk.shape == (3, F + 1)
+    # positive-block features cluster together, negative-block together,
+    # and the two blocks are separated
+    pos = set(groups[1:5].tolist())
+    neg = set(groups[5:9].tolist())
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg, groups
+    groups2, _ = cross_feature_selection(ds, n_classes=2, n_features=F,
+                                         k_fold=3, k_means=3, max_iter=40)
+    assert np.array_equal(groups, groups2)
+
+
+def test_individual_and_global_svm(ray_session):
+    """IndividualSVM fits each user's own (even disagreeing) labels;
+    GlobalSVM gives everyone the pooled model — the disagreeing user is
+    badly served by global, perfectly by individual."""
+    from ir_base_ray.pipelines.linadapt import (train_global_svm,
+                                                train_individual_svm)
+
+    rng = np.random.default_rng(73)
+    F = 8
+    w_true = rng.standard_normal(F + 1) * 2.0
+    user_docs = {"a": _docs_for_weights(w_true, 25, 300),
+                 "b": _docs_for_weights(w_true, 25, 301),
+                 "contrarian": _docs_for_weights(w_true, 25, 302,
+                                                 flip=True)}
+
+    def acc(pw, docs):
+        return sum(int(((pw[0] + float((pw[t + 1] * v).sum())) > 0)
+                       == (y == 1)) for t, v, y in docs) / len(docs)
+
+    ind = train_individual_svm(user_docs, n_features=F)
+    glb = train_global_svm(user_docs, n_features=F)
+    for u, docs in user_docs.items():
+        assert acc(ind["personalized"][u], docs) >= 0.95, u
+    assert acc(glb["personalized"]["contrarian"],
+               user_docs["contrarian"]) <= 0.5
+    assert np.allclose(glb["personalized"]["a"], glb["personalized"]["b"])
