@@ -977,3 +977,53 @@ def sparselda_kernel():
             lib.sparselda_topics.restype = None
         _sparselda_lib = lib
     return _sparselda_lib
+
+
+_LDA_INFER_SRC = r"""
+#include <stdint.h>
+
+/* Frozen-stats inference sweep (the *_test.java harness path,
+   m_collectCorpusStats = false): identical walk to lda_sweep but the
+   global (wts, m_sstat) tables are read-only — only the doc's own sstat
+   moves. */
+void lda_sweep_frozen(const int64_t *words, int64_t n, int64_t *z,
+                      double *doc_sstat, const double *wts,
+                      const double *m_sstat, const double *us,
+                      double *cache, int64_t K, int64_t V) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wid = words[i], t = z[i];
+        doc_sstat[t] -= 1.0;
+        double cum = 0.0;
+        for (int64_t k = 0; k < K; k++) {
+            cum += doc_sstat[k] * wts[k * V + wid] / m_sstat[k];
+            cache[k] = cum;
+        }
+        double u = cum * us[i];
+        int64_t tn = K - 1;
+        for (int64_t k = 0; k < K; k++) {
+            if (cache[k] >= u) { tn = k; break; }
+        }
+        z[i] = tn;
+        doc_sstat[tn] += 1.0;
+    }
+}
+"""
+
+_lda_infer_lib = None
+_lda_infer_tried = False
+
+
+def lda_infer_kernel():
+    global _lda_infer_lib, _lda_infer_tried
+    if not _lda_infer_tried:
+        _lda_infer_tried = True
+        lib = load("ldainfer", _LDA_INFER_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            lib.lda_sweep_frozen.argtypes = [
+                P(i64), i64, P(i64), P(f64), P(f64), P(f64), P(f64),
+                P(f64), i64, i64]
+            lib.lda_sweep_frozen.restype = None
+        _lda_infer_lib = lib
+    return _lda_infer_lib

@@ -202,7 +202,8 @@ def train_lda_gibbs(vec_ds, *, n_topics: int, vocab_size: int,
         s = acc.sum(axis=1, keepdims=True)
         s[s == 0] = 1.0
         doc_topics.append(acc / s)
-    return {"topic_term": topic_term_acc / norm, "doc_topics": doc_topics}
+    return {"topic_term": topic_term_acc / norm, "doc_topics": doc_topics,
+            "word_topic_sstat": wts, "m_sstat": m_sstat}
 
 
 def lda_gibbs_serial(tids_list, vals_list, *, n_topics: int, vocab_size: int,
@@ -242,3 +243,143 @@ def lda_gibbs_serial(tids_list, vals_list, *, n_topics: int, vocab_size: int,
     s = topics_acc.sum(axis=1, keepdims=True)
     s[s == 0] = 1.0
     return {"topic_term": topic_term_acc / norm, "doc_topics": topics_acc / s}
+
+
+# ------------------------------------------------- held-out perplexity eval
+
+class _LdaInferActor:
+    """Frozen-model Gibbs inference over test docs — the reference's
+    evaluation harness (``topicmodels/LDA/LDA_Gibbs_test.java``):
+
+    - per doc, testLength = ⌈prop·L⌉ tokens held out at seeded-random
+      positions (``_Doc.setTopics4GibbsTest`` :303-334; seeded Philox
+      replaces the unseeded draws, house policy), the remaining tokens get
+      random initial topics feeding the doc sstat;
+    - ``inferenceDoc`` (:151-166): number_of_iteration sweeps of the
+      LDA_Gibbs walk with m_collectCorpusStats = false — the global
+      (word_topic_sstat, m_sstat) stay FROZEN, only the doc sstat moves
+      (C kernel ``lda_sweep_frozen``); stats collected while
+      i < burnIn and i % lag == 0 (the harness's inverted-burn-in quirk,
+      transcribed);
+    - held-out log-likelihood per test word: log Σ_k θ_dk·φ_kw
+      (``cal_logLikelihood_partial`` :168-185) with θ the L1-normalized
+      collected topics and φ the trained topic_term_probabilty.
+
+    Stateful actor: tables land once per actor via the broadcast object
+    refs; each batch is embarrassingly parallel over docs."""
+
+    def __init__(self, wts_ref, msstat_ref, phi_ref, K, alpha, test_prop,
+                 n_iters, lag, burn_in, seed):
+        self.wts = ray.get(wts_ref)
+        self.msstat = ray.get(msstat_ref)
+        self.phi = ray.get(phi_ref)
+        self.K = K
+        self.alpha = alpha
+        self.test_prop = test_prop
+        self.n_iters = n_iters
+        self.lag = lag
+        self.n_burn = max(1, int(burn_in * n_iters))
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ir_base_ray.functions.ckernels import lda_infer_kernel
+
+        lib = lda_infer_kernel()
+        K = self.K
+        ids, logliks, testlens = [], [], []
+        doc_ids = batch.column("doc_id").to_pylist()
+        tids_col = batch.column("tids").to_pylist()
+        vals_col = batch.column("vals").to_pylist()
+        for did, tids, vals in zip(doc_ids, tids_col, vals_col):
+            words = np.repeat(np.asarray(tids, dtype=np.int64),
+                              np.asarray(vals, dtype=np.int64))
+            L = words.size
+            rng = np.random.Generator(np.random.Philox(
+                key=self.seed, counter=[int(did), 0, 0, 0]))
+            test_len = int(self.test_prop * L)
+            if L == 0:
+                ids.append(did)
+                logliks.append(0.0)
+                testlens.append(0)
+                continue
+            perm = rng.permutation(L)
+            test_idx = np.zeros(L, dtype=bool)
+            test_idx[perm[:test_len]] = True
+            train_w = words[~test_idx]
+            test_w = words[test_idx]
+            z = rng.integers(0, K, size=train_w.size)
+            sstat = np.full(K, self.alpha)
+            np.add.at(sstat, z, 1.0)
+            topics = np.zeros(K)
+            for it in range(self.n_iters):
+                us = rng.random(train_w.size)
+                if lib is not None and train_w.size:
+                    import ctypes
+
+                    P = ctypes.POINTER
+                    f64, i64 = ctypes.c_double, ctypes.c_int64
+                    cache = np.empty(K)
+                    wc = np.ascontiguousarray(train_w)
+                    lib.lda_sweep_frozen(
+                        wc.ctypes.data_as(P(i64)), train_w.size,
+                        z.ctypes.data_as(P(i64)),
+                        sstat.ctypes.data_as(P(f64)),
+                        self.wts.ctypes.data_as(P(f64)),
+                        self.msstat.ctypes.data_as(P(f64)),
+                        us.ctypes.data_as(P(f64)),
+                        cache.ctypes.data_as(P(f64)), K,
+                        self.wts.shape[1])
+                else:
+                    for i in range(train_w.size):
+                        wid = train_w[i]
+                        t = z[i]
+                        sstat[t] -= 1.0
+                        cache = sstat * self.wts[:, wid] / self.msstat
+                        cum = np.cumsum(cache)
+                        t = int(np.searchsorted(cum, cum[-1] * us[i],
+                                                side="left"))
+                        if t >= K:
+                            t = K - 1
+                        z[i] = t
+                        sstat[t] += 1.0
+                if it < self.n_burn and it % self.lag == 0:
+                    topics = topics + sstat    # the harness quirk
+            theta = topics / topics.sum() if topics.sum() else \
+                np.full(K, 1.0 / K)
+            ll = 0.0
+            for wid in test_w.tolist():
+                ll += float(np.log((theta * self.phi[:, wid]).sum()))
+            ids.append(did)
+            logliks.append(ll)
+            testlens.append(int(test_len))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "loglik": pa.array(logliks, pa.float64()),
+                         "test_len": pa.array(testlens, pa.int64())})
+
+
+def lda_heldout_perplexity(test_ds, train_out, *, n_topics: int,
+                           alpha: float = 1.05, test_prop: float = 0.2,
+                           n_iters: int = 20, lag: int = 2,
+                           burn_in: float = 0.4, seed: int = 91,
+                           concurrency: int = 2):
+    """``Evaluation()`` (LDA_Gibbs_test.java :108-144): distributed
+    frozen-model inference over the test Dataset, then
+    perplexity = exp(−Σ loglik / Σ test words) and the mean per-doc
+    log-likelihood. ``train_out`` = train_lda_gibbs's result dict (its
+    final word_topic_sstat/m_sstat drive the walk; its normalized
+    topic_term drives the held-out likelihood)."""
+    wts_ref = ray.put(np.ascontiguousarray(train_out["word_topic_sstat"]))
+    ms_ref = ray.put(np.ascontiguousarray(train_out["m_sstat"]))
+    phi_ref = ray.put(np.ascontiguousarray(train_out["topic_term"]))
+    out = test_ds.map_batches(
+        _LdaInferActor, batch_format="pyarrow",
+        fn_constructor_args=(wts_ref, ms_ref, phi_ref, n_topics, alpha,
+                             test_prop, n_iters, lag, burn_in, seed),
+        concurrency=concurrency).to_pandas()
+    total_words = int(out["test_len"].sum())
+    sum_ll = float(out["loglik"].sum())
+    perplexity = float(np.exp(-sum_ll / total_words)) if total_words else \
+        float("inf")
+    return {"perplexity": perplexity,
+            "avg_doc_loglik": sum_ll / max(1, len(out)),
+            "per_doc": out}

@@ -3415,7 +3415,36 @@ def mixture_profiles(sf_dir: str):
         "model": "tuir", "entity": tu["entity"].astype(str),
         "top_topic": tu["top_topic"].astype(np.int64),
         "top_weight": tu["top_weight"].astype(np.float64)}))
+    pp = lda_perplexity_eval(sf_dir)
+    parts.append(pd.DataFrame({
+        "model": "lda_perplexity", "entity": pp["entity"].astype(str),
+        "top_topic": np.int64(-1),
+        "top_weight": pp["value"].astype(np.float64)}))
     return pd.concat(parts, ignore_index=True)
+
+
+def lda_perplexity_eval(sf_dir: str):
+    """Held-out perplexity harness (``topicmodels/LDA/LDA_Gibbs_test.java``
+    ``Evaluation`` :108-144): train LDA_Gibbs on the even-doc_id half,
+    frozen-model Gibbs inference over the odd half (20% of each test doc's
+    tokens held out, seeded), perplexity = exp(−Σ loglik/Σ test words) +
+    the mean per-doc log-likelihood. Rows: (entity, value) for
+    'perplexity' and 'avg_doc_loglik'. Deterministic; rows-only (through
+    mixture_profiles); pinned by tests/test_lda.py::test_heldout_perplexity."""
+    from ir_base_ray.pipelines.lda import (lda_heldout_perplexity,
+                                           train_lda_gibbs)
+
+    ds, vocab = _doc_vectors(sf_dir)
+    train = ds.filter(lambda r: int(r["doc_id"]) % 2 == 0)
+    test = ds.filter(lambda r: int(r["doc_id"]) % 2 == 1)
+    out = train_lda_gibbs(train, n_topics=5, vocab_size=len(vocab),
+                          n_iters=15, seed=11)
+    ev = lda_heldout_perplexity(test, out, n_topics=5, test_prop=0.2,
+                                n_iters=10, seed=91)
+    return pd.DataFrame({
+        "entity": ["perplexity", "avg_doc_loglik"],
+        "value": [round(ev["perplexity"], 6),
+                  round(ev["avg_doc_loglik"], 6)]})
 
 
 def sentence_models(sf_dir: str):

@@ -98,3 +98,47 @@ def test_gibbs_ckernel_bit_exact_parity():
         ckernels._lda_lib = ckernels._dcm_lib = None
     assert np.array_equal(lda_c["topic_term"], lda_py["topic_term"])
     assert np.array_equal(dcm_c["topic_term"], dcm_py["topic_term"])
+
+
+def test_heldout_perplexity(ray_session):
+    """LDA_Gibbs_test.Evaluation: frozen-model inference perplexity on
+    held-out words beats the uniform bound on a planted two-half corpus,
+    is deterministic, and degrades when the model is garbage."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ir_base_ray.pipelines.lda import (lda_heldout_perplexity,
+                                           train_lda_gibbs)
+
+    rng = np.random.default_rng(3)
+    V, K = 20, 4
+
+    def make(n, offset=0):
+        rows = []
+        for d in range(n):
+            half = d % 2
+            vocab = np.arange(10) + 10 * half
+            t = np.sort(rng.choice(vocab, size=6, replace=False))
+            rows.append({"doc_id": d + offset, "tids": t.tolist(),
+                         "vals": [2] * 6})
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    train = make(60)
+    test = make(20, 1000)
+    out = train_lda_gibbs(train, n_topics=K, vocab_size=V, n_iters=25,
+                          beta=0.1, seed=19)
+    ev = lda_heldout_perplexity(test, out, n_topics=K, test_prop=0.25,
+                                n_iters=15, seed=91)
+    assert ev["perplexity"] < V          # beats uniform over the vocab
+    assert ev["per_doc"]["test_len"].sum() > 0
+    ev2 = lda_heldout_perplexity(test, out, n_topics=K, test_prop=0.25,
+                                 n_iters=15, seed=91)
+    assert ev["perplexity"] == ev2["perplexity"]
+    # a garbage model (uniform tables) must do no better than uniform
+    bad = {"word_topic_sstat": np.ones_like(out["word_topic_sstat"]),
+           "m_sstat": np.full(K, float(V)),
+           "topic_term": np.full((K, V), 1.0 / V)}
+    evb = lda_heldout_perplexity(test, bad, n_topics=K, test_prop=0.25,
+                                 n_iters=15, seed=91)
+    assert evb["perplexity"] >= V - 1e-6
+    assert ev["perplexity"] < evb["perplexity"]
