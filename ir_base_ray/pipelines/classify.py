@@ -7,6 +7,9 @@
 - kNN: top-k nearest neighbours by sparse cosine/dot against a broadcast
   candidate set (Q2 block-nested-loop with per-row bounded heap,
   ``Classifier/semisupervised/PairwiseSimCalculator.java:36-78``).
+
+
+``Classifier/BaseClassifier.java`` (train/test/CV harness base) is covered by these trainers plus pipelines/evalmetrics.py.
 """
 
 from __future__ import annotations
@@ -184,3 +187,84 @@ def knn_topk(ds, candidates: pd.DataFrame, *, k: int, id_col: str,
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def knn_lsh_classify(train_df, test_ds, *, n_features: int, classes,
+                     k: int = 5, n_planes: int = 10, seed: int = 97,
+                     id_col: str = "doc_id", concurrency=4):
+    """KNN (``Classifier/supervised/KNN.java``): the LSH-bucketed k-nearest-
+    neighbor classifier — ``l`` random hyperplanes in [−1,1)^F hash every
+    train doc into a sign-pattern bucket (``init``/``getHashCode``
+    :28-41,66-72, seeded Philox replacing the unseeded Random); prediction
+    hashes the test doc, ranks its OWN BUCKET's docs by sparse dot product
+    in a bounded k-heap and majority-votes their labels (first max wins,
+    ``predict`` :74-97 — the reference ignores similarity in the vote, its
+    own 'why don't we consider the similarity?' comment kept as-is). Docs
+    whose bucket holds fewer than k train docs fall back to the whole
+    train set (the reference errors out; documented grace). Train buckets
+    broadcast once; at crawl scale the same sign-hash becomes the
+    co-location groupby key so each bucket scan stays block-local.
+
+    ``train_df``: pandas (doc_id, tids, vals, label-int). Returns a
+    Dataset (id, pred) with pred = class index."""
+    rng = np.random.Generator(np.random.Philox(key=seed,
+                                               counter=[0, 0, 0, 0]))
+    planes = 2.0 * rng.random((n_planes, n_features)) - 1.0
+
+    def sign_hash(tids, vals):
+        code = 0
+        for p in range(n_planes):
+            s = float((planes[p, tids] * vals).sum())
+            code = (code << 1) | (1 if s > 0 else 0)
+        return code
+
+    buckets: dict[int, list] = {}
+    all_train = []
+    for row in train_df.itertuples():
+        t = np.asarray(row.tids, dtype=np.int64)
+        v = np.asarray(row.vals, dtype=np.float64)
+        y = int(row.label)
+        entry = (t, v, y)
+        all_train.append(entry)
+        buckets.setdefault(sign_hash(t, v), []).append(entry)
+    state_ref = ray.put((planes, buckets, all_train))
+    n_classes = len(classes)
+
+    class Knn:
+        def __init__(self):
+            self.planes, self.buckets, self.all = ray.get(state_ref)
+
+        def _hash(self, t, v):
+            code = 0
+            for p in range(n_planes):
+                s = float((self.planes[p, t] * v).sum())
+                code = (code << 1) | (1 if s > 0 else 0)
+            return code
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            tids = batch.column("tids").to_pylist()
+            vals = batch.column("vals").to_pylist()
+            preds = []
+            for t, v in zip(tids, vals):
+                t = np.asarray(t, dtype=np.int64)
+                v = np.asarray(v, dtype=np.float64)
+                cands = self.buckets.get(self._hash(t, v), [])
+                if len(cands) < k:
+                    cands = self.all
+                dense = np.zeros(n_features)
+                dense[t] = v
+                sims = [(float((dense[ct] * cv).sum()), i, cy)
+                        for i, (ct, cv, cy) in enumerate(cands)]
+                # bounded k-heap, reference tie semantics: incumbent wins
+                # (stable sort on (-sim, insertion order))
+                sims.sort(key=lambda x: (-x[0], x[1]))
+                counts = np.zeros(n_classes)
+                for _s, _i, cy in sims[:k]:
+                    counts[cy] += 1
+                preds.append(int(np.argmax(counts)))   # first max wins
+            return pa.table({id_col: batch.column(id_col),
+                             "pred": pa.array(preds, pa.int64())})
+
+    return test_ds.map_batches(Knn, batch_format="pyarrow",
+                               concurrency=concurrency)

@@ -38,6 +38,9 @@ unit's tables are parent-owned — so units are embarrassingly parallel given
 (α, α_c, β): blocks of units pinned once, ``inner_iters`` Gibbs sweeps per
 round per block, then small hyperparameter partials (histograms + pair
 arrays) merge on the driver. Deterministic per-block Philox streams.
+
+
+The multi-threaded E-step variants (``correspondenceModels/DCMCorrLDA_multi.java`` / ``DCMCorrLDA_multi_E.java``) distribute exactly as this pipeline's per-parent blocks.
 """
 
 from __future__ import annotations

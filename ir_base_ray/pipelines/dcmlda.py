@@ -24,7 +24,10 @@ sums and (b) COUNT HISTOGRAMS (doc lengths, n_dk per topic, and sparse
 (k,v,n_dkv) counts), from which the driver evaluates every Σ_d ψ(·) term of
 the fixed points EXACTLY for any α/β — no extra cluster rounds per Newton
 iteration. The reference's unseeded ``m_rand``/``permutation`` are seeded /
-fixed-order (SURVEY §7)."""
+fixed-order (SURVEY §7).
+
+Thread-pool variant ``topicmodels/multithreads/DCMLDA/DCMLDA_multithread.java`` = the pinned-block Ray fan-out here.
+"""
 
 from __future__ import annotations
 

@@ -42,6 +42,9 @@ and distributes exactly like the repo's other joint objectives: per-user-
 block (f, g) partials against the broadcast concatenated cluster models,
 summed in fixed order, L-BFGS on the driver. Determinism: seeded Philox
 streams replace the reference's unseeded Mersenne twisters (house policy).
+
+
+``modelAdaptation/DirichletProcess/_DPAdaptStruct.java``'s per-user cluster pointer is the assign list here.
 """
 
 from __future__ import annotations

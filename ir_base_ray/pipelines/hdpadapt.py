@@ -32,6 +32,9 @@ Execution shape: review-level CRP sweep sequential (cheap); the M-step
 distributes as per-review-block (f, g) partials through the SAME remote as
 the DP tier (``dpadapt._dp_block_fg`` with singleton-review entries,
 l_norm=False). Seeded Philox streams replace the unseeded cern RNGs.
+
+
+Per-user bookkeeping of ``modelAdaptation/HDP/_HDPAdaptStruct.java`` lives in the user_mem dicts here.
 """
 
 from __future__ import annotations

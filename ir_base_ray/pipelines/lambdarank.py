@@ -16,6 +16,9 @@ Transcribed semantics:
   broadcast weights for ``max_iter`` epochs; driver averages worker weights
   uniformly (``Utils.add2Array(m_weight, worker.getWeight(), 1/W)``, :125)
   and broadcasts again.
+
+
+``Ranker/LambdaRankWorker.java`` (the reference's per-thread weight-averaging worker) = the per-block remote + fixed-order average here.
 """
 
 from __future__ import annotations

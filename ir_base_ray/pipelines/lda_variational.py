@@ -22,7 +22,10 @@ Distributed shape: identical to pLSA (A7/T5) — blocks pinned once; each EM
 round broadcasts (logβ, α) and runs one ``@ray.remote`` E-step task per
 block returning (K×V sstat partial, α-stat partial, Σ ELBO, γ/φ state);
 driver sums partials in fixed block order and runs the M-step. One block ⇒
-bit-identical to the serial twin (pytest-pinned)."""
+bit-identical to the serial twin (pytest-pinned).
+
+The reference's thread-pool E-step (``topicmodels/multithreads/LDA/LDA_Variational_multithread.java``) is this pipeline's map_batches fan-out — Ray blocks play the worker role.
+"""
 
 from __future__ import annotations
 

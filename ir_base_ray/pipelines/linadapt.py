@@ -26,6 +26,9 @@ Semantics transcribed:
   w^u_n = a_{g(n)}·w_n + b_{g(n)}, prediction P>0.5 → 1 (RegLR ``predict``).
 
 Determinism: the optimization is deterministic given the data (no RNG).
+
+
+``modelAdaptation/CoLinAdapt/_CoLinAdaptStruct.java``'s sharedA layout is the concatenated joint vector here.
 """
 
 from __future__ import annotations

@@ -37,6 +37,9 @@ switch, ``accSigmaStat``); the M-step (iter>0) fits ω and δ independently by
 ``estimateDelta`` :104-205), both via distributed (f, g) partials per block.
 The reference's never-read NaN global ε/σ update is dropped (quirk noted in
 ``pipelines/lrhtmm.py``).
+
+
+Thread-pool variant ``topicmodels/multithreads/HTSM/LRHTSM_multithread.java`` = the per-doc Ray fan-out here.
 """
 
 from __future__ import annotations

@@ -36,6 +36,9 @@ Transcribed semantics:
 Doc-side machinery (Dirichlet-multinomial LM, Antoniak γ resampling,
 distributed joint-φ L-BFGS M-step) is shared with pipelines/hdpadapt.py.
 Defaults ρ=0.001, (a,b)=(0.1,0.01) per the reference (:29-36).
+
+
+``modelAdaptation/MMB/_MMBAdaptStruct.java``'s edge-membership bookkeeping lives in the user_edge_mem/edge_ind maps here.
 """
 
 from __future__ import annotations

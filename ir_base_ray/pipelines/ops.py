@@ -2730,6 +2730,25 @@ def colinadapt_nl_classify(sf_dir: str):
     return _personalized_preds(out["users"], pers, user_docs, doc_of_user)
 
 
+def knn_lsh_classify_op(sf_dir: str):
+    """R6: KNN (``Classifier/supervised/KNN.java``) — the LSH-bucketed
+    kNN classifier (random-hyperplane sign-hash buckets, per-bucket top-k
+    dot-product vote). Train on even doc_ids, predict the odd half.
+    Rows-only; pinned by tests/test_classify_knn.py."""
+    from ir_base_ray.pipelines.classify import knn_lsh_classify
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    pdf = ds.to_pandas()
+    train = pdf[pdf["doc_id"] % 2 == 0].reset_index(drop=True)
+    test = ray.data.from_pandas(
+        pdf[pdf["doc_id"] % 2 == 1].reset_index(drop=True))
+    out = knn_lsh_classify(train, test, n_features=len(vocab),
+                           classes=classes, k=5, n_planes=6)
+    pred = out.to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
 def individual_svm_classify(sf_dir: str):
     """modelAdaptation baseline: IndividualSVM
     (``Classifier/supervised/IndividualSVM.java``) — one SVM per user on
@@ -3370,7 +3389,8 @@ def topk_bm25_merged(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def topic_term_models(sf_dir: str):
-    """R7 suite: flat topic models that emit top-10 terms per topic —
+    """R7 suite: flat topic models that emit top-10 terms per topic
+    (the ``topicmodels/outputFile.java`` top-word printout, as rows) —
     pLSA (EM), LDA collapsed Gibbs, LDA variational, DCM-LDA (+ sparse
     variants when present). Schema (model, topic, rank, term, p);
     rows-only (iterative training), per-model semantics pinned by their
@@ -3623,6 +3643,9 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("global_svm",
                            globals().get("global_svm_classify"),
+                           "pred_lang"),
+                          ("knn_lsh",
+                           globals().get("knn_lsh_classify_op"),
                            "pred_lang")):
         if fn is None:
             continue

@@ -26,7 +26,10 @@ shared-memory sstat replaced by per-task partials. Broadcast φ is one
 ``ray.put`` per round (T5).
 
 Determinism fix (SURVEY.md §7): the reference randomizes φ with an unseeded
-``Math.random``; here init is a seeded numpy Gumbel-free uniform."""
+``Math.random``; here init is a seeded numpy Gumbel-free uniform.
+
+The reference's worker classes (``topicmodels/multithreads/pLSA/pLSA_multithread.java``, ``TopicModelWorker.java``, ``updateParam_worker.java``) correspond to the per-block partial-sstat remotes here.
+"""
 
 from __future__ import annotations
 

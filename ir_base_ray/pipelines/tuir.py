@@ -47,6 +47,9 @@ item blocks — with the small parameter tables (η: I×K, ν_P: U×K×K, Σ_P:
 U×K×K, logβ) broadcast per phase and partials summed in fixed block order.
 Deterministic at any block count (per-entity math depends only on broadcast
 tables, not block grouping).
+
+
+The reference's threaded trainer (``topicmodels/multithreads/embeddingModel/TUIR_multithread.java`` + ``EmbedModel_worker.java``) maps to this pipeline's per-block remote partials.
 """
 
 from __future__ import annotations
