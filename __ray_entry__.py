@@ -95,8 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": ops.dedup_minhash,              # SQL-mirrored LSH
         "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,
         "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
-        "ann_cosine_topk": ops.ann_cosine_topk,
-        "ann_ivf_topk": ops.ann_ivf_topk,                # IVF-Flat (full probe == exact)
+        "ann_topk": ops.ann_topk,                        # brute + IVF-Flat folded (variant col)
+        "lm_ppl_filter": ops.lm_ppl_filter,              # bigram-LM quality filter (CCNet-style)
         "embedding_near_dup_exact": ops.embedding_near_dup_exact,
         "embedding_near_dup": ops.embedding_near_dup_pairs,  # LSH
         "text_quality": ops.text_quality_scores,
@@ -153,8 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": ops.sql_minhash_lsh(),
         "dedup_simhash": ops.SQL_SIMHASH,
         "doc_fingerprints": ops.sql_fingerprints(),
-        "ann_cosine_topk": ops.SQL_ANN_COSINE,
-        "ann_ivf_topk": ops.SQL_ANN_COSINE,
+        "ann_topk": ops.SQL_ANN_TOPK,
+        "lm_ppl_filter": ops.SQL_LM_PPL_FILTER,
         "embedding_near_dup_exact": ops.SQL_NEAR_DUP_EXACT,
         "embedding_near_dup": ops.sql_embedding_lsh(),
         "text_quality": ops.SQL_TEXT_QUALITY,

@@ -3874,3 +3874,133 @@ SELECT 'tfidf_l2', doc_id, term,
        round(v / sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 6)
 FROM w2
 """
+
+
+def ann_topk(sf_dir: str):
+    """Similarity-search fold (driver 50-slot window): the exact
+    brute-force cosine top-k AND the IVF-Flat scale path (run at full
+    probing, provably exact) as (variant, query_id, vec_id, cosine, rank)
+    — both value-hash against the same SQL mirror. Standalone ops remain
+    public."""
+    parts = []
+    for variant, fn in (("brute", ann_cosine_topk), ("ivf", ann_ivf_topk)):
+        df = fn(sf_dir).copy()
+        df.insert(0, "variant", variant)
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
+SQL_ANN_TOPK = SQL_ANN_COSINE.replace(
+    "SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank < 10",
+    """SELECT 'brute' AS variant, query_id, vec_id, cosine, rank
+FROM ranked WHERE rank < 10
+UNION ALL
+SELECT 'ivf', query_id, vec_id, cosine, rank FROM ranked WHERE rank < 10""")
+
+
+def lm_ppl_filter(sf_dir: str):
+    """Training-data tier: bigram-LM perplexity quality filter (the
+    CCNet-style device, Wenzek et al. 2020 — public; here an add-k
+    smoothed bigram model instead of KenLM so the oracle is exact SQL):
+    train token-bigram/unigram counts on the even-doc_id half (one
+    flat_map + groupby), broadcast them, score EVERY doc with
+    ppl = exp(−mean log p(w_i|w_{i−1})), p = (c(w1,w2)+k)/(c(w1)+k·V),
+    k=0.5, V = train vocab size. Low-perplexity docs read like the
+    training distribution; high-perplexity docs are the quality-filter
+    cut candidates. Returns (doc_id, n_bigrams, ppl)."""
+    from ir_base_ray.functions.analyzer import analyze_simple
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    K_SMOOTH = 0.5
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        w1s, w2s = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if int(did) % 2 != 0:
+                continue
+            toks = analyze_simple(t or "")
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        return pa.table({"w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string())})
+
+    big = (docs.map_batches(bigram_rows, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).count().to_pandas())
+    cnt_col = [c for c in big.columns if c not in ("w1", "w2")][0]
+    bigram_c = dict(zip(zip(big["w1"], big["w2"]),
+                        big[cnt_col].astype(int)))
+    uni_c: dict[str, int] = {}
+    vocab: set = set()
+    for (w1, w2), c in bigram_c.items():
+        uni_c[w1] = uni_c.get(w1, 0) + c
+        vocab.add(w1)
+        vocab.add(w2)
+    V = len(vocab)
+    model_ref = ray.put((bigram_c, uni_c, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bc, uc, vsz = ray.get(model_ref)
+        ids, nbs, ppls = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = analyze_simple(t or "")
+            n = max(0, len(toks) - 1)
+            ll = 0.0
+            for w1, w2 in zip(toks[:-1], toks[1:]):
+                p = ((bc.get((w1, w2), 0) + K_SMOOTH)
+                     / (uc.get(w1, 0) + K_SMOOTH * vsz))
+                ll += np.log(p)
+            ids.append(did)
+            nbs.append(n)
+            ppls.append(round(float(np.exp(-ll / n)), 4) if n else 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nbs, pa.int64()),
+                         "ppl": pa.array(ppls, pa.float64())})
+
+    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LM_PPL_FILTER = r"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM raw
+), strip AS (
+  SELECT doc_id, i,
+         lower(regexp_replace(arr[i], '[^a-zA-Z0-9_]+', '', 'g')) AS s
+  FROM pos
+), tok AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+         CASE WHEN regexp_matches(s, '^[0-9]+$') THEN 'NUM' ELSE s END
+             AS term
+  FROM strip WHERE s <> ''
+), bi AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+), bc AS (
+  SELECT w1, w2, count(*) AS c FROM bi WHERE doc_id % 2 = 0
+  GROUP BY w1, w2
+), uc AS (
+  SELECT w1, sum(c) AS c FROM bc GROUP BY w1
+), vsz AS (
+  SELECT count(DISTINCT t) AS v FROM (
+    SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc)
+), scored AS (
+  SELECT bi.doc_id,
+         ln((coalesce(bc.c, 0) + 0.5)
+            / (coalesce(uc.c, 0) + 0.5 * (SELECT v FROM vsz))) AS lp
+  FROM bi LEFT JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+          LEFT JOIN uc ON bi.w1 = uc.w1
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(lp)), 4) AS ppl
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.ppl, 0.0) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""

@@ -1,0 +1,31 @@
+
+
+def test_lm_ppl_filter_discriminates(ray_session, tmp_path):
+    """Bigram-LM quality filter: docs drawn from the training bigram chain
+    score lower perplexity than token-shuffled (chain-breaking) docs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ir_base_ray.pipelines.ops import lm_ppl_filter
+
+    rng = np.random.default_rng(5)
+    chain = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for d in range(40):
+        if d % 4 == 3:                       # scrambled docs (odd ids too)
+            toks = [chain[rng.integers(0, 5)] for _ in range(30)]
+        else:                                # chain-following docs
+            start = int(rng.integers(0, 5))
+            toks = [chain[(start + i) % 5] for i in range(30)]
+        rows.append({"doc_id": d, "text": " ".join(toks),
+                     "lang": "en", "source": "t", "n_chars": 1})
+    pq.write_table(__import__("pyarrow").Table.from_pandas(
+        pd.DataFrame(rows)), str(tmp_path / "documents.parquet"))
+    out = lm_ppl_filter(str(tmp_path))
+    chain_ppl = out.loc[out["doc_id"] % 4 != 3, "ppl"].mean()
+    scram_ppl = out.loc[out["doc_id"] % 4 == 3, "ppl"].mean()
+    assert chain_ppl < scram_ppl, (chain_ppl, scram_ppl)
+    assert (out["n_bigrams"] == 29).all()
+    out2 = lm_ppl_filter(str(tmp_path))
+    assert out["ppl"].tolist() == out2["ppl"].tolist()
