@@ -3907,7 +3907,15 @@ def lm_ppl_filter(sf_dir: str):
     ppl = exp(−mean log p(w_i|w_{i−1})), p = (c(w1,w2)+k)/(c(w1)+k·V),
     k=0.5, V = train vocab size. Low-perplexity docs read like the
     training distribution; high-perplexity docs are the quality-filter
-    cut candidates. Returns (doc_id, n_bigrams, ppl)."""
+    cut candidates. Returns (doc_id, n_bigrams, ppl).
+
+    Scale note: the broadcast bigram dict is right while the TRAIN slice's
+    bigram table fits a worker heap (fine for a bounded LM-training
+    sample, which is how CCNet trains its KenLM too). For an unbounded
+    train side the scale path is count-threshold pruning (drop c==1
+    bigrams — Katz-style) or a hash-partitioned bigram join keyed by w1;
+    the per-doc scoring pass itself is stateless map_batches either
+    way."""
     from ir_base_ray.functions.analyzer import analyze_simple
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
