@@ -3949,22 +3949,35 @@ def lm_ppl_filter(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         bc, uc, vsz = ray.get(model_ref)
-        ids, nbs, ppls = [], [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
+        ids = batch.column("doc_id").to_pylist()
+        w1s, w2s, lens = [], [], []
+        for t in batch.column("text").to_pylist():
             toks = analyze_simple(t or "")
-            n = max(0, len(toks) - 1)
-            ll = 0.0
-            for w1, w2 in zip(toks[:-1], toks[1:]):
-                p = ((bc.get((w1, w2), 0) + K_SMOOTH)
-                     / (uc.get(w1, 0) + K_SMOOTH * vsz))
-                ll += np.log(p)
-            ids.append(did)
-            nbs.append(n)
-            ppls.append(round(float(np.exp(-ll / n)), 4) if n else 0.0)
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+            lens.append(max(0, len(toks) - 1))
+        # vectorized count lookup: one C-speed dict map per column pair +
+        # segment-sum of the logs (no per-token Python arithmetic)
+        if w1s:
+            pair_counts = pd.Series(list(zip(w1s, w2s))).map(bc) \
+                .fillna(0.0).to_numpy()
+            uni_counts = pd.Series(w1s).map(uc).fillna(0.0).to_numpy()
+            logs = np.log((pair_counts + K_SMOOTH)
+                          / (uni_counts + K_SMOOTH * vsz))
+            bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            sums = np.add.reduceat(logs,
+                                   np.minimum(bounds, logs.size - 1))
+            sums[np.asarray(lens) == 0] = 0.0   # reduceat's empty-segment
+            # artifacts (repeated/clipped indices) zeroed
+        else:
+            sums = np.zeros(len(lens))
+        lens_arr = np.asarray(lens, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.where(lens_arr > 0,
+                           np.round(np.exp(-sums / lens_arr), 4), 0.0)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_bigrams": pa.array(nbs, pa.int64()),
-                         "ppl": pa.array(ppls, pa.float64())})
+                         "n_bigrams": pa.array(lens_arr),
+                         "ppl": pa.array(ppl, pa.float64())})
 
     out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
