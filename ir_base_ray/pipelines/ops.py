@@ -3729,8 +3729,9 @@ def iso_user_split(sf_dir: str):
 
     def with_user(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "user", pa.array([f"u{int(i) % 8}" for i in ids], pa.string()))
+        users = np.char.add("u", (ids.astype(np.int64) % 8).astype(str))
+        return batch.append_column("user",
+                                   pa.array(users.tolist(), pa.string()))
 
     ds = docs.map_batches(with_user, batch_format="pyarrow")
     counts = ds.groupby("user").count().to_pandas()
@@ -3794,17 +3795,18 @@ def bipartite_maps(sf_dir: str):
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        kinds, splits, ents = [], [], []
-        for i in ids:
-            i = int(i)
-            split = "train" if i % 10 < 8 else "test"
-            for kind, ent in (("user", f"u{i % 8}"), ("item", f"i{i % 5}")):
-                kinds.extend([kind, kind])
-                splits.extend([split, "global"])
-                ents.extend([ent, ent])
-        return pa.table({"kind": pa.array(kinds, pa.string()),
-                         "split": pa.array(splits, pa.string()),
-                         "entity": pa.array(ents, pa.string())})
+        ids = ids.astype(np.int64)
+        split = np.where(ids % 10 < 8, "train", "test")
+        glob = np.full(ids.size, "global")
+        users = np.char.add("u", (ids % 8).astype(str))
+        items = np.char.add("i", (ids % 5).astype(str))
+        kinds = np.concatenate([np.full(2 * ids.size, "user"),
+                                np.full(2 * ids.size, "item")])
+        splits = np.concatenate([split, glob, split, glob])
+        ents = np.concatenate([users, users, items, items])
+        return pa.table({"kind": pa.array(kinds.tolist(), pa.string()),
+                         "split": pa.array(splits.tolist(), pa.string()),
+                         "entity": pa.array(ents.tolist(), pa.string())})
 
     out = (docs.map_batches(expand, batch_format="pyarrow")
            .groupby(["kind", "split", "entity"]).count().to_pandas())
