@@ -92,8 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_sample": ops.shuffled_sample,          # Q8 seeded hash shuffle
         # training-data tier: dedup / similarity / text analysis
         "dedup_exact": ops.dedup_exact,
-        "dedup_minhash": ops.dedup_minhash,              # SQL-mirrored LSH
-        "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,
+        "dedup_near_pairs": ops.dedup_near_pairs,        # MinHash-LSH + ngram-Jaccard folded
+        "dedup_substring": ops.dedup_substring,          # exact-substring spans (Lee et al. 2021)
         "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
         "ann_topk": ops.ann_topk,                        # brute + IVF-Flat folded (variant col)
         "lm_ppl_filter": ops.lm_ppl_filter,              # bigram-LM quality filter (CCNet-style)
@@ -150,7 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_sample": ops.SQL_SHUFFLED_SAMPLE,
         "selector_union": ops.SQL_SELECTOR_UNION,
         "dedup_exact": ops.SQL_DEDUP_EXACT,
-        "dedup_minhash": ops.sql_minhash_lsh(),
+        "dedup_near_pairs": ops.sql_dedup_near_pairs(),
+        "dedup_substring": ops.SQL_DEDUP_SUBSTRING,
         "dedup_simhash": ops.SQL_SIMHASH,
         "doc_fingerprints": ops.sql_fingerprints(),
         "ann_topk": ops.SQL_ANN_TOPK,
@@ -162,7 +163,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": ops.SQL_TOKEN_COUNTS,
         "pagerank_weights": ops.SQL_PAGERANK,
         "lm_rank_children": ops.SQL_LM_RANK_CHILDREN,
-        "dedup_ngram_jaccard": ops.SQL_NGRAM_JACCARD,
         "lang_id": ops.SQL_LANG_ID,
         "pos_adjadv_vector": ops.SQL_POS_ADJADV,
         "senti_scores": ops.SQL_SENTI,

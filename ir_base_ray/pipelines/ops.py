@@ -4027,3 +4027,83 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id
 """
+
+
+def dedup_near_pairs(sf_dir: str):
+    """Near-dup fold (driver 50-slot window): MinHash-LSH and exact
+    inverted-shingle n-gram Jaccard pair lists as
+    (variant, id_a, id_b, jaccard) — both value-hash against the union of
+    their original SQL mirrors. Standalone ops remain public."""
+    parts = []
+    for variant, fn in (("minhash", dedup_minhash),
+                        ("ngram", dedup_ngram_jaccard)):
+        df = fn(sf_dir).copy()
+        df.insert(0, "variant", variant)
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
+def dedup_substring(sf_dir: str):
+    """Training-data tier: exact-substring dedup signal (Lee et al. 2021)
+    — per doc the count of sliding 8-token shingles that appear verbatim
+    in at least one OTHER doc (``stages/dedup.substring_dup_stats``).
+    Returns (doc_id, n_windows, dup_windows); the cut step masks the
+    flagged spans."""
+    from ir_base_ray.stages.dedup import substring_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = substring_dup_stats(docs, window=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_SUBSTRING = r"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM raw
+), strip AS (
+  SELECT doc_id, i,
+         lower(regexp_replace(arr[i], '[^a-zA-Z0-9_]+', '', 'g')) AS s
+  FROM pos
+), tok AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+         CASE WHEN regexp_matches(s, '^[0-9]+$') THEN 'NUM' ELSE s END
+             AS term
+  FROM strip WHERE s <> ''
+), win AS (
+  SELECT doc_id,
+         string_agg(term, ' ') OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS shingle,
+         count(*) OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM tok
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM win WHERE w = 8
+), dup AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle) WHERE nd >= 2
+), allwin AS (
+  SELECT doc_id, shingle FROM win WHERE w = 8
+), per AS (
+  SELECT a.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS dup_windows
+  FROM allwin a LEFT JOIN dup d ON a.shingle = d.shingle
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def sql_dedup_near_pairs():
+    """UNION of the MinHash-LSH and n-gram-Jaccard mirrors under a variant
+    column (schemas already identical)."""
+    return ("SELECT 'minhash' AS variant, id_a, id_b, jaccard FROM ("
+            + sql_minhash_lsh() + ")\nUNION ALL\n"
+            "SELECT 'ngram', id_a, id_b, jaccard FROM ("
+            + SQL_NGRAM_JACCARD + ")")

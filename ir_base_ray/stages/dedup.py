@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from ir_base_ray.perf import pool_size
 
 
@@ -556,3 +558,66 @@ def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
 
     cand = bands.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------ exact-substring dedup
+
+def substring_dup_stats(docs_ds, *, window: int = 8):
+    """Exact-substring (span) deduplication signal — the Lee et al. 2021
+    device ("Deduplicating Training Data Makes Language Models Better",
+    public): every doc's sliding ``window``-token shingles, a shingle
+    duplicated when it appears in ≥2 DISTINCT docs; per doc the actionable
+    cut signal (n_windows, dup_windows). Two passes:
+
+    1. map_batches → (shingle, doc_id) rows, per-doc-deduplicated at the
+       source (a doc's rows stay in its batch), then one groupby(shingle)
+       count — rows already distinct per doc, so count == distinct docs;
+    2. duplicated-shingle set broadcast (gate scale; at crawl scale this
+       becomes the standard shingle-keyed semi-join back — same device as
+       the MinHash verify), second tokenize pass counts each doc's
+       windows in the set.
+
+    The shingle key is the literal space-joined token text (no hash) so
+    the DuckDB mirror is exact."""
+    import pyarrow as pa
+
+    from ir_base_ray.functions.analyzer import analyze_simple
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        shs, dids = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = analyze_simple(t or "")
+            seen = set()
+            for i in range(len(toks) - window + 1):
+                seen.add(" ".join(toks[i: i + window]))
+            shs.extend(seen)
+            dids.extend([did] * len(seen))
+        return pa.table({"shingle": pa.array(shs, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64())})
+
+    counts = (docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
+              .groupby("shingle").count().to_pandas())
+    cnt_col = [c for c in counts.columns if c != "shingle"][0]
+    dup_set = set(counts.loc[counts[cnt_col] >= 2, "shingle"])
+    dup_ref = ray.put(dup_set)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        ids, nw, dw = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = analyze_simple(t or "")
+            n = max(0, len(toks) - window + 1)
+            d = 0
+            for i in range(n):
+                if " ".join(toks[i: i + window]) in dups:
+                    d += 1
+            ids.append(did)
+            nw.append(n)
+            dw.append(d)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_windows": pa.array(nw, pa.int64()),
+                         "dup_windows": pa.array(dw, pa.int64())})
+
+    return docs_ds.map_batches(per_doc, batch_format="pyarrow")

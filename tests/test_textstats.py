@@ -29,3 +29,28 @@ def test_lm_ppl_filter_discriminates(ray_session, tmp_path):
     assert (out["n_bigrams"] == 29).all()
     out2 = lm_ppl_filter(str(tmp_path))
     assert out["ppl"].tolist() == out2["ppl"].tolist()
+
+
+def test_substring_dedup(ray_session):
+    """Exact-substring dedup: a planted 10-token span shared by two docs
+    is flagged in both; a unique doc reports zero duplicated windows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ir_base_ray.stages.dedup import substring_dup_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame([
+        {"doc_id": 0, "text": "one two three " + span + " four five"},
+        {"doc_id": 1, "text": "six seven " + span + " eight nine ten"},
+        {"doc_id": 2, "text": "eleven twelve thirteen fourteen fifteen "
+                              "sixteen seventeen eighteen nineteen twenty"},
+    ])
+    out = (substring_dup_stats(rd.from_pandas(docs), window=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    # the shared 10-token span yields 3 duplicated 8-gram windows per doc
+    assert out.loc[0, "dup_windows"] == 3, out
+    assert out.loc[1, "dup_windows"] == 3, out
+    assert out.loc[2, "dup_windows"] == 0, out
+    assert (out["n_windows"] > 0).all()
