@@ -203,33 +203,55 @@ static void md5_block(uint32_t st[4], const uint8_t *p) {
     st[0] += A; st[1] += B; st[2] += C; st[3] += D;
 }
 
+static void md5_state(const uint8_t *msg, uint64_t len, uint32_t st[4]) {
+    st[0] = 0x67452301; st[1] = 0xefcdab89;
+    st[2] = 0x98badcfe; st[3] = 0x10325476;
+    uint64_t i = 0;
+    for (; i + 64 <= len; i += 64) md5_block(st, msg + i);
+    uint8_t tail[128];
+    uint64_t rem = len - i;
+    memcpy(tail, msg + i, rem);
+    tail[rem++] = 0x80;
+    uint64_t tlen = (rem <= 56) ? 64 : 128;
+    memset(tail + rem, 0, tlen - 8 - rem);
+    uint64_t bits = len << 3;
+    for (int b = 0; b < 8; b++) tail[tlen - 8 + b] = (uint8_t)(bits >> (8*b));
+    md5_block(st, tail);
+    if (tlen == 128) md5_block(st, tail + 64);
+}
+
+/* big-endian uint64 of 8 digest bytes starting at word w0: digest bytes are
+   the state words little-endian, so byte b of the pair (w0, w0+1) is
+   st[w0 + (b>>2)] >> (8*(b&3)). */
+static inline uint64_t digest_be64(const uint32_t *st, int w0) {
+    uint64_t v = 0;
+    for (int b = 0; b < 8; b++)
+        v = (v << 8) | (uint8_t)(st[w0 + (b >> 2)] >> (8 * (b & 3)));
+    return v;
+}
+
 /* out[i] = first 8 digest bytes of md5(data[offsets[i]..offsets[i+1])),
    big-endian — matches int.from_bytes(md5(s).digest()[:8], 'big'). */
 void md5_prefix64(const uint8_t *data, const int64_t *offsets, int64_t n,
                   uint64_t *out) {
     for (int64_t it = 0; it < n; it++) {
-        const uint8_t *msg = data + offsets[it];
-        uint64_t len = (uint64_t)(offsets[it + 1] - offsets[it]);
-        uint32_t st[4] = {0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476};
-        uint64_t i = 0;
-        for (; i + 64 <= len; i += 64) md5_block(st, msg + i);
-        uint8_t tail[128];
-        uint64_t rem = len - i;
-        memcpy(tail, msg + i, rem);
-        tail[rem++] = 0x80;
-        uint64_t tlen = (rem <= 56) ? 64 : 128;
-        memset(tail + rem, 0, tlen - 8 - rem);
-        uint64_t bits = len << 3;
-        for (int b = 0; b < 8; b++) tail[tlen - 8 + b] = (uint8_t)(bits >> (8*b));
-        md5_block(st, tail);
-        if (tlen == 128) md5_block(st, tail + 64);
-        /* digest bytes are little-endian words; big-endian uint64 of the
-           first 8 bytes = bytes of st[0] then st[1] in digest order. */
-        uint64_t v = 0;
-        const uint32_t w[2] = {st[0], st[1]};
-        for (int b = 0; b < 8; b++)
-            v = (v << 8) | (uint8_t)(w[b >> 2] >> (8 * (b & 3)));
-        out[it] = v;
+        uint32_t st[4];
+        md5_state(data + offsets[it],
+                  (uint64_t)(offsets[it + 1] - offsets[it]), st);
+        out[it] = digest_be64(st, 0);
+    }
+}
+
+/* full 128-bit digest as two big-endian uint64 halves — matches
+   int.from_bytes(md5(s).digest()[:8], 'big') / digest()[8:]. */
+void md5_full128(const uint8_t *data, const int64_t *offsets, int64_t n,
+                 uint64_t *out_hi, uint64_t *out_lo) {
+    for (int64_t it = 0; it < n; it++) {
+        uint32_t st[4];
+        md5_state(data + offsets[it],
+                  (uint64_t)(offsets[it + 1] - offsets[it]), st);
+        out_hi[it] = digest_be64(st, 0);
+        out_lo[it] = digest_be64(st, 2);
     }
 }
 """
@@ -248,25 +270,21 @@ def md5_kernel():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64)]
             lib.md5_prefix64.restype = None
+            lib.md5_full128.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64)]
+            lib.md5_full128.restype = None
         _md5_lib = lib
     return _md5_lib
 
 
-def md5_prefix64_strings(arr) -> "object":
-    """uint64 md5-prefix per element of a pyarrow string array (one C call;
-    hashlib loop fallback). Returns np.ndarray[uint64] aligned with arr."""
+def _string_ckernel_bufs(arr):
+    """(data, offsets) int64-offset views over a pyarrow string array's UTF-8
+    buffers, zero-copy except the offset upcast."""
     import numpy as np
     import pyarrow as pa
 
-    if isinstance(arr, (list, tuple)):
-        arr = pa.array(arr, pa.string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    lib = md5_kernel()
-    if lib is None:
-        return np.array(
-            [int.from_bytes(hashlib.md5((s or "").encode()).digest()[:8], "big")
-             for s in arr.to_pylist()], dtype=np.uint64)
     if arr.null_count:
         arr = arr.fill_null("")
     off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
@@ -276,12 +294,66 @@ def md5_prefix64_strings(arr) -> "object":
             arr.offset: arr.offset + len(arr) + 1].astype(np.int64))
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
         else np.empty(0, np.uint8)
+    return data, offsets
+
+
+def _as_string_array(arr):
+    import pyarrow as pa
+
+    if isinstance(arr, (list, tuple)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def md5_prefix64_strings(arr) -> "object":
+    """uint64 md5-prefix per element of a pyarrow string array (one C call;
+    hashlib loop fallback). Returns np.ndarray[uint64] aligned with arr."""
+    import numpy as np
+
+    arr = _as_string_array(arr)
+    lib = md5_kernel()
+    if lib is None:
+        return np.array(
+            [int.from_bytes(hashlib.md5((s or "").encode()).digest()[:8], "big")
+             for s in arr.to_pylist()], dtype=np.uint64)
+    data, offsets = _string_ckernel_bufs(arr)
     out = np.empty(len(arr), dtype=np.uint64)
     lib.md5_prefix64(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(arr), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+def md5_hash128_strings(arr) -> "object":
+    """Full 128-bit md5 per element of a pyarrow string array as two aligned
+    np.ndarray[uint64] halves ``(hi, lo)`` — big-endian ``digest()[:8]`` /
+    ``digest()[8:]``. Collision-safe content identity at 10^12 docs (a 64-bit
+    prefix birthday-collides at ~10^10). One C call per batch; hashlib loop
+    fallback."""
+    import numpy as np
+
+    arr = _as_string_array(arr)
+    lib = md5_kernel()
+    if lib is None:
+        hi = np.empty(len(arr), dtype=np.uint64)
+        lo = np.empty(len(arr), dtype=np.uint64)
+        for i, s in enumerate(arr.to_pylist()):
+            d = hashlib.md5((s or "").encode()).digest()
+            hi[i] = int.from_bytes(d[:8], "big")
+            lo[i] = int.from_bytes(d[8:], "big")
+        return hi, lo
+    data, offsets = _string_ckernel_bufs(arr)
+    hi = np.empty(len(arr), dtype=np.uint64)
+    lo = np.empty(len(arr), dtype=np.uint64)
+    lib.md5_full128(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(arr), hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

@@ -31,25 +31,36 @@ from ir_base_ray.perf import pool_size
 
 # ---------------------------------------------------------------- exact dedup
 
-def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
-    """Vectorized sha1 content hash per row (cheap, collision-safe at 10^12)."""
+def add_content_hash(ds, text_col: str = "text", out_cols=("hash_hi", "hash_lo")):
+    """Full 128-bit md5 content identity per row as two uint64 columns —
+    one batched C kernel call per Arrow batch straight off the string
+    buffers (``functions/ckernels.md5_hash128_strings``; hashlib fallback),
+    collision-safe at 10^12 docs where a 64-bit prefix is not. Fixed 16
+    bytes/row enter the downstream shuffle instead of a 40-char hexdigest.
+    Halves are bit-cast to int64 (Ray's groupby materializes uint64 keys
+    through Python ints, which overflow past 2^63 and fall back to pickled
+    object blocks — int64 keys stay native Arrow end to end)."""
+    from ir_base_ray.functions.ckernels import md5_hash128_strings
+
+    hi_col, lo_col = out_cols
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        hashes = [hashlib.sha1((t or "").encode("utf-8")).hexdigest() for t in texts]
-        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+        hi, lo = md5_hash128_strings(batch.column(text_col))
+        return (batch.append_column(hi_col, pa.array(hi.view(np.int64), pa.int64()))
+                     .append_column(lo_col, pa.array(lo.view(np.int64), pa.int64())))
 
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the smallest id per identical text (hash-partitioned shuffle on
-    the content hash; survivor rule = min id, deterministic)."""
+    the 128-bit content hash; survivor rule = min id, deterministic)."""
     from ray.data.aggregate import Count, Min
 
-    hashed = add_content_hash(ds, text_col)
+    hashed = add_content_hash(ds, text_col).select_columns(
+        [id_col, "hash_hi", "hash_lo"])
     return (
-        hashed.groupby("content_hash")
+        hashed.groupby(["hash_hi", "hash_lo"])
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
         .select_columns([id_col, "n_dups"])
     )
@@ -562,62 +573,127 @@ def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
 
 # ------------------------------------------------ exact-substring dedup
 
-def substring_dup_stats(docs_ds, *, window: int = 8):
+def substring_dup_stats(docs_ds, *, window: int = 8,
+                        dup_broadcast_max: int = 5_000_000,
+                        num_partitions: int = 32):
     """Exact-substring (span) deduplication signal — the Lee et al. 2021
     device ("Deduplicating Training Data Makes Language Models Better",
     public): every doc's sliding ``window``-token shingles, a shingle
     duplicated when it appears in ≥2 DISTINCT docs; per doc the actionable
-    cut signal (n_windows, dup_windows). Two passes:
+    cut signal (n_windows, dup_windows).
 
-    1. map_batches → (shingle, doc_id) rows, per-doc-deduplicated at the
-       source (a doc's rows stay in its batch), then one groupby(shingle)
-       count — rows already distinct per doc, so count == distinct docs;
-    2. duplicated-shingle set broadcast (gate scale; at crawl scale this
-       becomes the standard shingle-keyed semi-join back — same device as
-       the MinHash verify), second tokenize pass counts each doc's
-       windows in the set.
+    Scale shape — NOTHING corpus-sized ever reaches the driver:
+
+    1. tokenize pass → per-doc-distinct ``(shingle)`` rows, one
+       ``groupby(shingle)`` count (rows are distinct per doc, so count ==
+       distinct docs), then the ``>= 2`` cut applied DISTRIBUTED inside a
+       ``map_batches`` over the aggregate — the singleton tail (≈ the
+       corpus's token count at crawl scale) is dropped in place and the
+       surviving duplicated-shingle Dataset is materialized in the object
+       store (spillable), never collected;
+    2. size-dispatched second pass, same device as the doc-id map
+       (`build_index.py`) and the MinHash verify:
+       - ≤ ``dup_broadcast_max`` duplicated shingles: collect + broadcast
+         the dup SET (bounded by actual duplication, not vocabulary) and
+         count each doc's member windows in one tokenize pass;
+       - above it: shingle-keyed semi-join — re-emit ``(shingle, doc_id,
+         n_occ)`` occurrence rows (plus one empty-shingle sentinel per doc,
+         ``n_occ = 0``, so zero-window docs survive the aggregate),
+         ``left_outer``-join them to the dup Dataset keyed by shingle, and
+         ``groupby(doc_id)`` sums ``n_occ`` (→ n_windows) and the matched
+         ``n_occ`` (→ dup_windows). Both shuffles are keyed (shingle, then
+         doc_id); the sentinel contributes 0 to both sums even if "" were
+         ever duplicated.
 
     The shingle key is the literal space-joined token text (no hash) so
-    the DuckDB mirror is exact."""
-    import pyarrow as pa
+    the DuckDB mirror is exact. Both dispatch arms produce identical rows
+    (pinned by tests/test_textstats.py)."""
+    from ray.data.aggregate import Count, Sum
 
     from ir_base_ray.functions.analyzer import analyze_simple
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        shs, dids = [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
+    def distinct_shingles(batch: pa.Table) -> pa.Table:
+        shs = []
+        for t in batch.column("text").to_pylist():
             toks = analyze_simple(t or "")
             seen = set()
             for i in range(len(toks) - window + 1):
                 seen.add(" ".join(toks[i: i + window]))
             shs.extend(seen)
-            dids.extend([did] * len(seen))
-        return pa.table({"shingle": pa.array(shs, pa.string()),
-                         "doc_id": pa.array(dids, pa.int64())})
+        return pa.table({"shingle": pa.array(shs, pa.string())})
 
-    counts = (docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
-              .groupby("shingle").count().to_pandas())
-    cnt_col = [c for c in counts.columns if c != "shingle"][0]
-    dup_set = set(counts.loc[counts[cnt_col] >= 2, "shingle"])
-    dup_ref = ray.put(dup_set)
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("n"), 2))
+        return pa.table({
+            "shingle": batch.column("shingle"),
+            "dup_mark": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+        })
 
-    def per_doc(batch: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        ids, nw, dw = [], [], []
+    dups = (docs_ds.map_batches(distinct_shingles, batch_format="pyarrow")
+            .groupby("shingle").aggregate(Count(alias_name="n"))
+            .map_batches(keep_dups, batch_format="pyarrow")
+            .materialize())
+    n_dup_shingles = dups.count()
+
+    if n_dup_shingles <= dup_broadcast_max:
+        dup_set = (set(dups.to_pandas()["shingle"]) if n_dup_shingles else set())
+        dup_ref = ray.put(dup_set)
+
+        def per_doc(batch: pa.Table) -> pa.Table:
+            dup_lookup = ray.get(dup_ref)
+            ids, nw, dw = [], [], []
+            for did, t in zip(batch.column("doc_id").to_pylist(),
+                              batch.column("text").to_pylist()):
+                toks = analyze_simple(t or "")
+                n = max(0, len(toks) - window + 1)
+                d = 0
+                for i in range(n):
+                    if " ".join(toks[i: i + window]) in dup_lookup:
+                        d += 1
+                ids.append(did)
+                nw.append(n)
+                dw.append(d)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_windows": pa.array(nw, pa.int64()),
+                             "dup_windows": pa.array(dw, pa.int64())})
+
+        return docs_ds.map_batches(per_doc, batch_format="pyarrow")
+
+    # --- semi-join arm: duplicated-shingle table exceeds the broadcast bound
+    def occurrence_rows(batch: pa.Table) -> pa.Table:
+        shs, dids, occ = [], [], []
         for did, t in zip(batch.column("doc_id").to_pylist(),
                           batch.column("text").to_pylist()):
             toks = analyze_simple(t or "")
-            n = max(0, len(toks) - window + 1)
-            d = 0
-            for i in range(n):
-                if " ".join(toks[i: i + window]) in dups:
-                    d += 1
-            ids.append(did)
-            nw.append(n)
-            dw.append(d)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_windows": pa.array(nw, pa.int64()),
-                         "dup_windows": pa.array(dw, pa.int64())})
+            per_doc_occ: dict[str, int] = {}
+            for i in range(len(toks) - window + 1):
+                s = " ".join(toks[i: i + window])
+                per_doc_occ[s] = per_doc_occ.get(s, 0) + 1
+            shs.extend(per_doc_occ)
+            occ.extend(per_doc_occ.values())
+            dids.extend([did] * len(per_doc_occ))
+            shs.append("")      # sentinel: keeps zero-window docs in the agg
+            occ.append(0)
+            dids.append(did)
+        return pa.table({"shingle": pa.array(shs, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64()),
+                         "n_occ": pa.array(occ, pa.int64())})
 
-    return docs_ds.map_batches(per_doc, batch_format="pyarrow")
+    rows = docs_ds.map_batches(occurrence_rows, batch_format="pyarrow")
+    joined = rows.join(dups, "left_outer", num_partitions, on=("shingle",))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n_occ = batch.column("n_occ").to_numpy(zero_copy_only=False)
+        matched = pc.is_valid(batch.column("dup_mark")).to_numpy(
+            zero_copy_only=False)
+        dup_occ = np.where(matched, n_occ, 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_occ": batch.column("n_occ"),
+            "dup_occ": pa.array(dup_occ.astype(np.int64), pa.int64()),
+        })
+
+    return (joined.map_batches(tag, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_occ", alias_name="n_windows"),
+                       Sum("dup_occ", alias_name="dup_windows")))

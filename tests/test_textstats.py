@@ -54,3 +54,16 @@ def test_substring_dedup(ray_session):
     assert out.loc[1, "dup_windows"] == 3, out
     assert out.loc[2, "dup_windows"] == 0, out
     assert (out["n_windows"] > 0).all()
+    # scale arm: dup_broadcast_max=0 forces the shingle-keyed semi-join
+    # (left_outer join + doc_id groupby — no broadcast set, nothing
+    # corpus-sized on the driver); rows must match the broadcast arm exactly
+    docs_edge = pd.concat([docs, pd.DataFrame(
+        [{"doc_id": 3, "text": "tiny"}, {"doc_id": 4, "text": ""}])],
+        ignore_index=True)
+    broad = (substring_dup_stats(rd.from_pandas(docs_edge), window=8)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    joined = (substring_dup_stats(rd.from_pandas(docs_edge), window=8,
+                                  dup_broadcast_max=0, num_partitions=4)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert broad[["doc_id", "n_windows", "dup_windows"]].astype("int64").equals(
+        joined[["doc_id", "n_windows", "dup_windows"]].astype("int64"))
