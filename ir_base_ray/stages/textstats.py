@@ -28,42 +28,84 @@ _UPPER_RE = re.compile(r"[A-Z]")
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 
 
+def _clean_string_column(batch: pa.Table, col: str) -> pa.Array:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    return arr
+
+
+def _split_tokens(arr: pa.Array):
+    """Whitespace-split an Arrow string array fully in C++: returns
+    (seg, flat, flat_len, nonempty) — the doc index per flat token, the flat
+    token array, its codepoint lengths, and the non-empty-token mask (Arrow's
+    split keeps empty edge pieces that Python's ``str.split()`` drops)."""
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    return seg, flat, flat_len, flat_len > 0
+
+
 class TextQualityActor:
     """Per-doc quality metrics (length / punctuation / stopword ratios) —
     float ratios are computed as plain float64 divisions so the DuckDB oracle
-    can mirror them exactly."""
+    can mirror them exactly. Fully vectorized: one Arrow whitespace split +
+    RE2 count kernels per batch, per-doc reductions via ``np.bincount`` over
+    the token→doc segment index (the oracle itself is RE2-on-DuckDB, so the
+    Arrow RE2 classes ``[^\\w\\s]`` / ``\\d`` mirror it exactly)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
         self.stop = _LANG_MARKERS["en"]
+        self.stop_arr = pa.array(sorted(self.stop), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n_chars, n_tokens, n_types = [], [], []
-        avg_tok_len, punct_ratio, digit_ratio, stop_ratio = [], [], [], []
-        for t in texts:
-            t = t or ""
-            toks = t.split()
-            words = _WORD_RE.findall(t)
-            n_chars.append(len(t))
-            n_tokens.append(len(toks))
-            n_types.append(len(set(toks)))
-            avg_tok_len.append(sum(len(w) for w in toks) / len(toks) if toks else 0.0)
-            punct_ratio.append(len(_PUNCT_RE.findall(t)) / len(t) if t else 0.0)
-            digit_ratio.append(len(_DIGIT_RE.findall(t)) / len(t) if t else 0.0)
-            stop_ratio.append(
-                sum(1 for w in toks if w.lower() in self.stop) / len(toks) if toks else 0.0
-            )
+        import pyarrow.compute as pc
+
+        arr = _clean_string_column(batch, self.text_col)
+        n = len(arr)
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        seg, flat, flat_len, nonempty = _split_tokens(arr)
+        n_tokens = np.bincount(seg[nonempty], minlength=n).astype(np.int64)
+        tok_len_sum = np.bincount(seg, weights=flat_len, minlength=n)
+        # distinct tokens per doc: C++ dictionary-encode, then unique
+        # (doc, code) pairs — no per-token Python
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        stride = np.int64(len(enc.dictionary) + 1)
+        uniq = np.unique(seg[nonempty] * stride + codes[nonempty])
+        n_types = np.bincount(uniq // stride, minlength=n).astype(np.int64)
+        hit = pc.is_in(pc.utf8_lower(flat), value_set=self.stop_arr).to_numpy(
+            zero_copy_only=False)
+        stop_cnt = np.bincount(seg[hit & nonempty], minlength=n)
+        n_punct = pc.count_substring_regex(arr, r"[^\w\s]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_digit = pc.count_substring_regex(arr, r"\d").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        safe_t = np.maximum(n_tokens, 1).astype(np.float64)
+        safe_c = np.maximum(n_chars, 1).astype(np.float64)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "n_chars": pa.array(n_chars, pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "n_types": pa.array(n_types, pa.int64()),
-            "avg_token_len": pa.array(avg_tok_len, pa.float64()),
-            "punct_ratio": pa.array(punct_ratio, pa.float64()),
-            "digit_ratio": pa.array(digit_ratio, pa.float64()),
-            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "avg_token_len": pa.array(
+                np.where(n_tokens > 0, tok_len_sum / safe_t, 0.0), pa.float64()),
+            "punct_ratio": pa.array(
+                np.where(n_chars > 0, n_punct / safe_c, 0.0), pa.float64()),
+            "digit_ratio": pa.array(
+                np.where(n_chars > 0, n_digit / safe_c, 0.0), pa.float64()),
+            "stopword_ratio": pa.array(
+                np.where(n_tokens > 0, stop_cnt / safe_t, 0.0), pa.float64()),
         })
 
 
@@ -76,27 +118,35 @@ class LangIdActor:
         self.id_col = id_col
         self.text_col = text_col
         self.langs = sorted(k for k in _LANG_MARKERS if k != "zh")
+        self.marker_arrs = [pa.array(sorted(_LANG_MARKERS[lang]), pa.string())
+                            for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column(self.text_col).to_pylist():
-            t = t or ""
-            if t and sum(1 for c in t if "一" <= c <= "鿿") / len(t) > 0.2:
-                out.append("zh")
-                continue
-            toks = [w.lower() for w in t.split()]
-            if not toks:
-                out.append("und")
-                continue
-            best_lang, best = "und", 0
-            for lang in self.langs:
-                hits = sum(1 for w in toks if w in _LANG_MARKERS[lang])
-                if hits > best:
-                    best, best_lang = hits, lang
-            out.append(best_lang)
+        """Vectorized: CJK ratio via one RE2 count kernel, marker hits via
+        one lowered split + per-language ``is_in`` → bincount; ``argmax``
+        over the (lang × doc) hit matrix keeps the alphabetical tie-break
+        (langs sorted, first max wins — same as the ``hits > best`` walk)."""
+        import pyarrow.compute as pc
+
+        arr = _clean_string_column(batch, self.text_col)
+        n = len(arr)
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        cjk = pc.count_substring_regex(arr, "[一-鿿]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_zh = (n_chars > 0) & (cjk / np.maximum(n_chars, 1) > 0.2)
+        seg, flat, _, _ = _split_tokens(arr)
+        lower = pc.utf8_lower(flat)
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for li, markers in enumerate(self.marker_arrs):
+            m = pc.is_in(lower, value_set=markers).to_numpy(zero_copy_only=False)
+            hits[li] = np.bincount(seg[m], minlength=n)
+        best = hits.max(axis=0)
+        pred = np.array(self.langs, dtype=object)[hits.argmax(axis=0)]
+        pred[best == 0] = "und"
+        pred[is_zh] = "zh"
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "pred_lang": pa.array(out, pa.string()),
+            "pred_lang": pa.array(pred, pa.string()),
         })
 
 
@@ -109,15 +159,17 @@ class TokenCountActor:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ws, bpe = [], []
-        for t in batch.column(self.text_col).to_pylist():
-            t = t or ""
-            ws.append(len(t.split()))
-            bpe.append(len(_BPE_RE.findall(t)))
+        """Two RE2 count kernels per batch (the oracle counts the same RE2
+        extractions in DuckDB) — no Python token materialization."""
+        import pyarrow.compute as pc
+
+        arr = _clean_string_column(batch, self.text_col)
+        ws = pc.count_substring_regex(arr, r"\S+")
+        bpe = pc.count_substring_regex(arr, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "n_ws_tokens": pa.array(ws, pa.int64()),
-            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+            "n_ws_tokens": pc.cast(ws, pa.int64()),
+            "n_bpe_tokens": pc.cast(bpe, pa.int64()),
         })
 
 
