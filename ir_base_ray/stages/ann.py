@@ -226,6 +226,28 @@ def exact_near_dup(ds, *, threshold: float = 0.45, id_col: str = "vec_id",
 
 # -------------------------------------------------------------- IVF top-k
 
+def assign_ivf_clusters(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+                        out_col: str = "ivf_cluster", concurrency=2):
+    """Persist each vector's coarse-quantizer cell as a column — computed
+    ONCE per corpus (broadcast centroid matrix, one matmul+argmax per batch)
+    and reused by every probe-restricted scan. At crawl scale this column is
+    the partitioning key for a cluster-keyed shuffle/layout."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class ClusterAssign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize_rows(_batch_matrix(batch, vec_col))
+            cl = (m @ self.cent.T).argmax(axis=1)
+            return batch.append_column(out_col,
+                                       pa.array(cl.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(ClusterAssign, batch_format="pyarrow",
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
 def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *, k: int = 10,
              n_clusters: int = 16, n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 19,
@@ -237,20 +259,24 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *, k: int = 10,
 
     1. coarse quantizer: cosine KMeans over the embeddings
        (`pipelines/kmeans.train_kmeans` — distributed per-block partials);
-    2. each query probes its ``n_probe`` nearest centroids (driver-side: the
-       centroid table is tiny);
-    3. scoring: ONE map_batches pass over the corpus — each batch scores
-       only (query, vector) pairs whose vector's centroid is in the query's
-       probe set (mask from broadcast centroids + probe table), emitting
-       per-batch partial top-k;
-    4. driver merge identical to brute_force_topk (score desc, vec_id asc).
+    2. cluster id persisted as a column (:func:`assign_ivf_clusters` —
+       computed once, never per scorer call);
+    3. each query probes its ``n_probe`` nearest centroids (driver-side:
+       the centroid table is tiny); the probe table is inverted once per
+       actor into cluster → probing-query lists;
+    4. scoring: ONE map_batches pass — each batch is cluster-sorted and
+       each present cell's slice is matmul'd ONLY against the queries
+       probing that cell, so per-batch FLOPs are
+      ``rows × n_queries × n_probe / n_clusters`` (true inverted-file
+       pruning, not post-hoc masking); per-query partial top-k is selected
+       by (cosine desc, id asc) — deterministic under ties;
+    5. driver merge identical to brute_force_topk (score desc, vec_id asc).
 
-    At 10^12 scale step 3 becomes a shuffle keyed by cluster id (each probe
-    list hits n_probe/n_clusters of the data); the batch-mask form keeps the
-    whole pipeline one pass at bench scale. Recall vs the exact baseline is
-    pinned by tests/test_capability.py."""
-    import ray.data
-
+    At 10^12 scale the persisted cluster column becomes the shuffle /
+    layout key so a probe touches only its cells' partitions; the one-pass
+    cluster-sorted form keeps bench scale to a single scan. Recall vs the
+    exact baseline is pinned by tests/test_capability.py; full probing
+    (n_probe == n_clusters) is provably exact and hash-checked."""
     from ir_base_ray.pipelines.kmeans import train_kmeans
 
     q_ids = np.asarray(query_ids, dtype=np.int64)
@@ -272,28 +298,49 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *, k: int = 10,
     centroids = _normalize_rows(km["centroids"])
     qn = _normalize_rows(q_mat)
     probe = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")[:, :n_probe]
-    state_ref = ray.put((q_ids, qn, centroids, probe))
+    state_ref = ray.put((q_ids, qn, probe, n_clusters))
 
     class IVFScorer:
         def __init__(self):
-            self.q_ids, self.q, self.cent, self.probe = ray.get(state_ref)
+            self.q_ids, self.q, probe_tbl, n_cells = ray.get(state_ref)
+            # inverted probe lists: cell -> indices of queries probing it
+            self.queries_of = [np.nonzero((probe_tbl == c).any(axis=1))[0]
+                               for c in range(n_cells)]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy()
+            cl = batch.column("ivf_cluster").to_numpy(zero_copy_only=False)
             m = _normalize_rows(_batch_matrix(batch, vec_col))
-            clusters = (m @ self.cent.T).argmax(axis=1)
-            sims = self.q @ m.T
-            out_q, out_v, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                mask = np.isin(clusters, self.probe[qi])
-                if not mask.any():
+            order = np.argsort(cl, kind="stable")
+            cl_sorted = cl[order]
+            cells, starts = np.unique(cl_sorted, return_index=True)
+            bounds = np.append(starts, len(cl_sorted))
+            nq = len(self.q_ids)
+            cand_v: list[list[np.ndarray]] = [[] for _ in range(nq)]
+            cand_s: list[list[np.ndarray]] = [[] for _ in range(nq)]
+            for ci, c in enumerate(cells):
+                qidx = self.queries_of[int(c)]
+                if qidx.size == 0:
                     continue
-                row = sims[qi][mask]
-                kk = min(k, row.size)
-                top = np.argpartition(-row, kk - 1)[:kk]
-                out_q.append(np.full(kk, self.q_ids[qi], dtype=np.int64))
-                out_v.append(ids[mask][top])
-                out_s.append(row[top])
+                rows = order[bounds[ci]: bounds[ci + 1]]
+                sims = self.q[qidx] @ m[rows].T  # (nq_cell, n_rows_cell)
+                for local, qi in enumerate(qidx):
+                    row = sims[local]
+                    kk = min(k, row.size)
+                    top = np.argpartition(-row, kk - 1)[:kk] if kk < row.size \
+                        else np.arange(row.size)
+                    cand_v[qi].append(ids[rows][top])
+                    cand_s[qi].append(row[top])
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                if not cand_v[qi]:
+                    continue
+                vs = np.concatenate(cand_v[qi])
+                ss = np.concatenate(cand_s[qi])
+                sel = np.lexsort((vs, -ss))[:k]  # cosine desc, id asc
+                out_q.append(np.full(sel.size, self.q_ids[qi], dtype=np.int64))
+                out_v.append(vs[sel])
+                out_s.append(ss[sel])
             if not out_q:
                 return pa.table({
                     "query_id": pa.array([], pa.int64()),
@@ -306,8 +353,9 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *, k: int = 10,
                 "cosine": pa.array(np.concatenate(out_s), pa.float64()),
             })
 
-    partial = ds.map_batches(IVFScorer, batch_format="pyarrow",
-                             concurrency=pool_size(4), num_cpus=1).to_pandas()
+    clustered = assign_ivf_clusters(ds, centroids, vec_col=vec_col)
+    partial = clustered.map_batches(IVFScorer, batch_format="pyarrow",
+                                    concurrency=pool_size(4), num_cpus=1).to_pandas()
     out = []
     for qid, g in partial.groupby("query_id"):
         g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
