@@ -60,3 +60,10 @@ class IndexConfig:
     # (stages/docids.assign_dense_ids) — ~50M urls ≈ 4 GB driver heap is the
     # safe single-driver bound
     driver_id_map_max_rows: int = 50_000_000
+    # auto-dispatch threshold for the dictionary finalize: vocabularies up to
+    # this many terms are sorted + rank-assigned on the driver and broadcast
+    # to the postings explode; larger vocabularies use the fully distributed
+    # path (stages/stats.build_dictionary dense ranks + a term-keyed
+    # Dataset.join in the postings explode, df→idf derived per partition) —
+    # ~100M terms ≈ 8 GB driver heap is the safe single-driver bound
+    driver_dict_max_terms: int = 100_000_000

@@ -51,7 +51,6 @@ from ir_base_ray.config import IndexConfig
 from ir_base_ray.stages.analyze import analyze_dataset
 from ir_base_ray.stages.docids import driver_key_id_map
 from ir_base_ray.stages.postings import build_postings
-from ir_base_ray.stages.stats import build_dictionary_driver
 
 
 def _stage_done(path: str) -> bool:
@@ -143,48 +142,79 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
     timings["docs"] = time.time() - t0
 
     # --- pass 2a: dictionary (combiner + distributed groupby) --------------
+    # Size dispatch mirrors the doc-id map (build_index.py url_id_map above):
+    # vocabularies up to cfg.driver_dict_max_terms finalize on the driver
+    # (sort + arange — one vocab-sized frame) and broadcast into the postings
+    # explode; above the bound the dictionary is rank-assigned distributed
+    # (stages/stats.build_dictionary) and the postings explode joins on term
+    # instead of broadcasting — no vocabulary-sized object in any one process.
     t0 = time.time()
     dict_dir = os.path.join(cfg.out_dir, "dict")
     import pyarrow.parquet as _pq
 
+    from ir_base_ray.stages.stats import dictionary_aggregate, finalize_aggregate
+
+    vocab_n: int
+    dict_pdf = None
     if not _stage_done(dict_dir):
         _fresh_dir(dict_dir)
         os.makedirs(dict_dir, exist_ok=True)
         # column-pruned re-read with few, large blocks: partial-combiner output
         # is vocab × #blocks rows, so block count — not row count — is what the
         # groupby shuffle pays for. The groupby-sum runs distributed; only the
-        # vocab-sized final aggregate ever reaches the driver.
+        # (post-aggregate) dictionary ever leaves it, and only on the driver
+        # branch.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         dict_src = ray.data.read_parquet(analyzed_dir, columns=["terms", "tfs"],
                                          override_num_blocks=max(32, ncpu * 2))
-        dict_pdf = build_dictionary_driver(dict_src)
-        _pq.write_table(pa.Table.from_pandas(dict_pdf, preserve_index=False),
-                        os.path.join(dict_dir, "dictionary.parquet"))
+        agg = dictionary_aggregate(dict_src).materialize()
+        vocab_n = agg.count()
+        if vocab_n <= cfg.driver_dict_max_terms:
+            dict_pdf = finalize_aggregate(agg)
+            _pq.write_table(pa.Table.from_pandas(dict_pdf, preserve_index=False),
+                            os.path.join(dict_dir, "dictionary.parquet"))
+        else:
+            from ir_base_ray.stages.docids import assign_dense_ids
+
+            assign_dense_ids(agg, key="term", id_col="term_id").write_parquet(dict_dir)
         _mark_done(dict_dir)
     else:
-        dict_pdf = (
-            ray.data.read_parquet(dict_dir).to_pandas()
-            .sort_values("term_id").reset_index(drop=True)
-        )
+        vocab_n = _count_parquet_rows(dict_dir)
+        if vocab_n <= cfg.driver_dict_max_terms:
+            dict_pdf = (
+                ray.data.read_parquet(dict_dir).to_pandas()
+                .sort_values("term_id").reset_index(drop=True)
+            )
+    dict_mode = "driver" if dict_pdf is not None else "distributed"
     timings["dictionary"] = time.time() - t0
 
     # scalars: N from docs parquet metadata, total token count = Σ TTF
     # (doc_len = Σ tf over a doc's terms, so Σ doc_len == Σ ttf exactly)
     t0 = time.time()
     n_docs = _count_parquet_rows(docs_dir)
-    total_len = int(dict_pdf["ttf"].sum())
+    if dict_pdf is not None:
+        vocab_n = len(dict_pdf)
+        total_len = int(dict_pdf["ttf"].sum())
+    else:
+        total_len = int(ray.data.read_parquet(dict_dir, columns=["ttf"])
+                        .sum("ttf") or 0)
     scalars = {"N": n_docs, "avgdl": total_len / n_docs if n_docs else 0.0,
                "total_len": float(total_len)}
     timings["scalars"] = time.time() - t0
 
-    # broadcast the dictionary once (J1): term→term_id index + df-by-tid array
+    # broadcast the dictionary once (J1): term→term_id index + df-by-tid
+    # array (driver mode only — distributed mode joins on term instead)
     t0 = time.time()
-    term_index = pd.Index(dict_pdf["term"])
-    df_by_tid = dict_pdf["df"].to_numpy()
-    dict_ref = ray.put((term_index, df_by_tid))
-    from ir_base_ray.functions.scoring import bm25_idf_by_tid
+    dict_ref = idf_ref = dict_ds = None
+    if dict_pdf is not None:
+        term_index = pd.Index(dict_pdf["term"])
+        df_by_tid = dict_pdf["df"].to_numpy()
+        dict_ref = ray.put((term_index, df_by_tid))
+        from ir_base_ray.functions.scoring import bm25_idf_by_tid
 
-    idf_ref = ray.put(bm25_idf_by_tid(scalars["N"], df_by_tid))
+        idf_ref = ray.put(bm25_idf_by_tid(scalars["N"], df_by_tid))
+    else:
+        dict_ds = ray.data.read_parquet(dict_dir)
     timings["broadcast_dict"] = time.time() - t0
 
     # --- pass 2b: postings (broadcast-join explode → disk exchange → encode)
@@ -199,6 +229,7 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
         N=scalars["N"],
         avgdl=scalars["avgdl"],
         timings=timings,
+        dict_ds=dict_ds,
     )
     timings["postings"] = time.time() - t0
 
@@ -206,7 +237,8 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
         "N": scalars["N"],
         "avgdl": scalars["avgdl"],
         "total_len": scalars["total_len"],
-        "vocab_size": int(len(dict_pdf)),
+        "vocab_size": int(vocab_n),
+        "dict_mode": dict_mode,
         "block_doc_range": cfg.block_doc_range,
         "num_partitions": cfg.num_partitions,
         "analyzer": {

@@ -88,11 +88,70 @@ def explode_postings(analyzed_ds, dict_ref, *, block_doc_range: int, num_parts: 
     return analyzed_ds.map_batches(to_postings, batch_format="pyarrow")
 
 
+def explode_postings_distributed(analyzed_ds, dict_ds, *, block_doc_range: int,
+                                 num_parts: int,
+                                 num_join_partitions: int | None = None):
+    """Distributed-dictionary variant of :func:`explode_postings`: when the
+    vocabulary exceeds the driver broadcast bound
+    (``IndexConfig.driver_dict_max_terms``), term_id/df are attached by a
+    hash-partitioned ``Dataset.join`` keyed on term (both sides shuffle by
+    term hash — no vocabulary-sized object ever exists in one process). The
+    per-posting ``df`` column rides along to the encode stage, which derives
+    the BM25 idf from it (scalar-libm per distinct df — bit-identical to the
+    broadcast path's lookup array)."""
+
+    def flatten_rows(batch: pa.Table) -> pa.Table:
+        terms = batch.column("terms")
+        tfs = batch.column("tfs")
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        tfs = tfs.combine_chunks() if isinstance(tfs, pa.ChunkedArray) else tfs
+        lengths = np.asarray(pa.compute.list_value_length(terms))
+        return pa.table({
+            "term": terms.flatten(),
+            "doc_id": pa.array(np.repeat(batch.column("doc_id").to_numpy(), lengths),
+                               pa.int64()),
+            "tf": pa.compute.cast(tfs.flatten(), pa.int32()),
+            "doc_len": pa.array(
+                np.repeat(batch.column("doc_len").to_numpy(), lengths).astype(np.int32),
+                pa.int32()),
+        })
+
+    rows = analyzed_ds.map_batches(flatten_rows, batch_format="pyarrow")
+    if num_join_partitions is None:
+        # scale with the cluster, but never demand more aggregator slots
+        # than a small session can grant (the join deadlocks if its actor
+        # pool can't schedule)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_join_partitions = max(2, min(64, ncpu))
+    joined = rows.join(dict_ds.select_columns(["term", "term_id", "df"]),
+                       "inner", num_join_partitions, on=("term",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tids = batch.column("term_id").to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        chunk = doc_ids // block_doc_range
+        return pa.table({
+            "term_id": pa.array(tids.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": batch.column("tf"),
+            "doc_len": batch.column("doc_len"),
+            "df": pa.compute.cast(batch.column("df"), pa.int64()),
+            "part": pa.array(_hash_part(tids.astype(np.int64), chunk, num_parts),
+                             pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
-                   block_doc_range: int, avgdl: float, idf_by_tid,
-                   t0: float) -> dict:
+                   block_doc_range: int, avgdl: float, idf_by_tid=None,
+                   df=None, N=None, t0: float) -> dict:
     """Sort + block-split + batch varbyte encode one partition's posting rows;
-    write blocks.parquet + manifest. Returns metrics."""
+    write blocks.parquet + manifest. Returns metrics. The BM25 idf comes from
+    the broadcast ``idf_by_tid`` lookup (driver-dictionary path) or is derived
+    from the aligned per-posting ``df`` column (distributed-dictionary path) —
+    scalar libm per distinct df, so both paths produce bit-identical
+    max_score."""
     if (tid.size and int(tid.max()) < (1 << 31) and int(did.max()) < (1 << 32)
             and int(did.min()) >= 0):
         # single-key stable sort: one pass instead of lexsort's two (tid is
@@ -103,6 +162,8 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
     else:
         order = np.lexsort((did, tid))
     tid, did, tf, dl = tid[order], did[order], tf[order], dl[order]
+    if df is not None:
+        df = df[order]
     chunk = did // block_doc_range
 
     boundary = np.empty(tid.size, dtype=bool)
@@ -114,7 +175,16 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
     # exact per-posting BM25 weight → per-block max (float64, W4 expression,
     # IDF from the scalar-libm lookup array so max_score is bit-identical to
     # the score the query engine recomputes — a sound, tight pruning bound)
-    weights = bm25_weights_from_idf(tf, dl, idf_by_tid[tid], avgdl)
+    if df is not None:
+        from ir_base_ray.functions.scoring import bm25_idf_exact
+
+        uniq_df, inv = np.unique(df, return_inverse=True)
+        idf_lut = np.array([bm25_idf_exact(N, float(d)) for d in uniq_df],
+                           dtype=np.float64)
+        idf = idf_lut[inv]
+    else:
+        idf = idf_by_tid[tid]
+    weights = bm25_weights_from_idf(tf, dl, idf, avgdl)
 
     # batch codec: delta against the previous posting, reset at block starts,
     # ONE varbyte call per column; per-value byte lengths → block boundaries
@@ -162,11 +232,17 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
 
 def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
                    block_doc_range: int, num_parts: int, N: int, avgdl: float,
-                   resume: bool = True, timings: dict | None = None):
+                   resume: bool = True, timings: dict | None = None,
+                   dict_ds=None):
     """Full posting-build stage (disk-exchange shuffle; see module docstring).
     Returns a small per-partition metrics DataFrame. With ``resume=True``,
     partitions whose manifest already exists are skipped entirely. Pass a
-    ``timings`` dict to get the scatter/encode wall-time split."""
+    ``timings`` dict to get the scatter/encode wall-time split.
+
+    ``dict_ds`` (instead of ``dict_ref``/``idf_by_tid_ref``) selects the
+    distributed-dictionary path: term_id/df attach by a term-keyed
+    ``Dataset.join`` and idf is derived per partition from the df column —
+    byte-identical index output (pinned by tests/test_index_e2e.py)."""
     if timings is None:
         timings = {}
     t_scatter0 = time.time()
@@ -179,9 +255,14 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
 
         if os.path.isdir(raw_dir):
             shutil.rmtree(raw_dir)
-        postings = explode_postings(
-            analyzed_ds, dict_ref, block_doc_range=block_doc_range, num_parts=num_parts
-        )
+        if dict_ds is not None:
+            postings = explode_postings_distributed(
+                analyzed_ds, dict_ds, block_doc_range=block_doc_range,
+                num_parts=num_parts)
+        else:
+            postings = explode_postings(
+                analyzed_ds, dict_ref, block_doc_range=block_doc_range,
+                num_parts=num_parts)
         postings.write_parquet(raw_dir, partition_cols=["part"])
         with open(done_marker, "w") as f:
             f.write(str(time.time()))
@@ -212,12 +293,14 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
 
     @ray.remote
     def encode_group(parts: list) -> list:
-        idf_by_tid = ray.get(idf_by_tid_ref)
+        idf_by_tid = ray.get(idf_by_tid_ref) if idf_by_tid_ref is not None else None
         out = []
         for part in parts:
             t0 = time.time()
             files = sorted(glob.glob(os.path.join(raw_dir, f"part={part}", "*.parquet")))
             tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            df_col = (tbl.column("df").to_numpy().astype(np.int64)
+                      if "df" in tbl.column_names else None)
             out.append(_encode_arrays(
                 part,
                 tbl.column("term_id").to_numpy(),
@@ -225,7 +308,7 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
                 tbl.column("tf").to_numpy().astype(np.int64),
                 tbl.column("doc_len").to_numpy().astype(np.int64),
                 index_dir=index_dir, block_doc_range=block_doc_range,
-                avgdl=avgdl, idf_by_tid=idf_by_tid, t0=t0,
+                avgdl=avgdl, idf_by_tid=idf_by_tid, df=df_col, N=N, t0=t0,
             ))
         return out
 

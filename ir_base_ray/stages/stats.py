@@ -43,28 +43,32 @@ def _partial_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+def dictionary_aggregate(analyzed_ds):
+    """analyzed Dataset → aggregated (term, df, ttf) Dataset — the common
+    prefix of both dictionary finalize paths (combiner partials, one
+    distributed groupby-sum). term_id is NOT assigned yet."""
+    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
+                                       batch_size=None)
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+
+
 def build_dictionary(analyzed_ds):
     """analyzed Dataset → dictionary Dataset (term, df, ttf, term_id) with
     term_id = dense rank of term (sorted order — deterministic, unlike the
     reference's grow-on-first-sight arrival order, ``Analyzer.java:126-130``).
     Fully-distributed term_id assignment (sort + offset ranks) — use when the
     vocabulary is too large to finalize on the driver."""
-    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
-                                       batch_size=None)
-    dictionary = partials.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
-    )
-    return assign_dense_ids(dictionary, key="term", id_col="term_id")
+    return assign_dense_ids(dictionary_aggregate(analyzed_ds),
+                            key="term", id_col="term_id")
 
 
-def finalize_partials(partials_ds):
-    """(term, df, ttf) combiner partials Dataset → final dictionary pandas
-    frame: distributed groupby-sum (partial rows ≈ vocab × #blocks), then a
-    vocab-sized driver finalize (sort + dense term_id ranks)."""
-    agg = partials_ds.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
-    )
-    pdf = agg.to_pandas()
+def finalize_aggregate(agg_ds):
+    """aggregated (term, df, ttf) Dataset → final dictionary pandas frame:
+    a vocab-sized driver finalize (sort + dense term_id ranks). Same ids as
+    :func:`build_dictionary` (both rank terms under the ascending sort)."""
+    pdf = agg_ds.to_pandas()
     if "term" not in pdf.columns:
         # a fully-empty Dataset loses its schema through to_pandas() (e.g.
         # every doc dropped by a zero-overlap frozen CV) — normalize so the
@@ -79,16 +83,24 @@ def finalize_partials(partials_ds):
     return pdf
 
 
+def finalize_partials(partials_ds):
+    """(term, df, ttf) combiner partials Dataset → final dictionary pandas
+    frame: distributed groupby-sum (partial rows ≈ vocab × #blocks), then a
+    vocab-sized driver finalize (sort + dense term_id ranks)."""
+    return finalize_aggregate(partials_ds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    ))
+
+
 def build_dictionary_driver(analyzed_ds):
     """Same result as :func:`build_dictionary` but finalizes the (combiner-
     shrunk) aggregate on the driver: one distributed execution (partials →
     groupby-sum), then a driver-side sort + arange for term_id. Web
     vocabularies (10^6-10^8 terms × ~24 B) fit driver memory comfortably; the
-    distributed variant exists for when they don't. Returns a pandas frame
-    sorted by term_id."""
-    partials = analyzed_ds.map_batches(_partial_stats, batch_format="pyarrow",
-                                       batch_size=None)  # one combiner output per block
-    return finalize_partials(partials)
+    distributed variant exists for when they don't (``build_index`` dispatches
+    on ``IndexConfig.driver_dict_max_terms``). Returns a pandas frame sorted
+    by term_id."""
+    return finalize_aggregate(dictionary_aggregate(analyzed_ds))
 
 
 def build_dictionary_driver_fast(analyzed_ds):

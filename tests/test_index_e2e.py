@@ -201,3 +201,54 @@ def test_resume_skips_finished_partitions(ray_session, corpus_table, tmp_path):
     for p, m in kept_mtime.items():
         f = os.path.join(out, "postings", f"part={p}", "blocks.parquet")
         assert os.path.getmtime(f) == m, f"finished partition {p} was rewritten"
+
+
+def test_distributed_dict_path_matches_driver_path(
+        ray_session, built_index, corpus_table, tmp_path):
+    """Force the distributed dictionary path (driver_dict_max_terms=0: dense
+    ranks via assign_dense_ids + term-keyed Dataset.join in the postings
+    explode, idf derived from the per-posting df column) and require the SAME
+    index as the broadcast-dictionary build: identical docs/dict tables,
+    byte-identical posting blocks, bit-identical topk."""
+    out = str(tmp_path / "index_dict_dist")
+    cfg = IndexConfig(
+        out_dir=out, block_doc_range=64, num_partitions=8,
+        analyzer_concurrency=2, analyzer_batch_size=128,
+        analyzer=AnalyzerSpec(ngram=1),
+        driver_dict_max_terms=0,  # always take the distributed branch
+    )
+    corpus_ds = ray.data.from_arrow(corpus_table).select_columns(["url", "text"])
+    meta = build_index(corpus_ds, cfg)
+    import pyarrow.parquet as pq
+
+    base, base_meta = built_index
+    assert meta["dict_mode"] == "distributed"
+    assert base_meta.get("dict_mode", "driver") == "driver"
+    assert meta["N"] == base_meta["N"] and meta["avgdl"] == base_meta["avgdl"]
+    assert meta["vocab_size"] == base_meta["vocab_size"]
+
+    def _tbl(root, sub, sort_cols):
+        files = sorted(glob.glob(os.path.join(root, sub, "**", "*.parquet"), recursive=True))
+        t = pa.concat_tables(pq.read_table(f) for f in files).to_pandas()
+        return t.sort_values(sort_cols).reset_index(drop=True)
+
+    for sub, cols in (("docs", ["doc_id"]), ("dict", ["term_id"])):
+        a = _tbl(base, sub, cols)
+        b = _tbl(out, sub, cols)
+        common = sorted(set(a.columns) & set(b.columns))
+        assert a[common].equals(b[common]), f"{sub} differs"
+
+    # posting blocks byte-identical per partition (the encode output depends
+    # only on the raw rows, sorted inside encode — both idf derivations must
+    # produce the same bits)
+    for pdir in sorted(glob.glob(os.path.join(base, "postings", "part=*"))):
+        part = os.path.basename(pdir)
+        a = pq.read_table(os.path.join(pdir, "blocks.parquet"))
+        b = pq.read_table(os.path.join(out, "postings", part, "blocks.parquet"))
+        assert a.equals(b), f"postings {part} differ"
+
+    seg_a, seg_b = IndexSegment(base), IndexSegment(out)
+    queries = synth_queries(corpus_table, n_queries=20, seed=3)
+    for text, k in zip(queries.column("text").to_pylist(),
+                       queries.column("k").to_pylist()):
+        assert seg_a.topk(text, int(k)) == seg_b.topk(text, int(k))
