@@ -2949,6 +2949,25 @@ def sparse_cluster_dcmlda_topics(sf_dir: str):
     return pd.DataFrame(recs)
 
 
+_LR_CACHE: dict = {}
+
+
+def _lr_trained(sf_dir: str):
+    """Multi-class LR over (lang-labeled) doc vectors, memoized per sf_dir
+    so ``lr_classify`` and the saved-model round-trip row share one train.
+    → (vectors Dataset, vocab, classes, β)."""
+    hit = _LR_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from ir_base_ray.pipelines.linear import train_logistic_regression
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    beta, _f, _it = train_logistic_regression(
+        ds, n_classes=len(classes), n_features=len(vocab), lam=1.0, max_iter=60)
+    _LR_CACHE[sf_dir] = (ds, vocab, classes, beta)
+    return _LR_CACHE[sf_dir]
+
+
 def lr_classify(sf_dir: str):
     """R6 style=SUP mainline: multi-class Logistic Regression
     (``Classifier/supervised/LogisticRegression.java``) trained with
@@ -2956,14 +2975,34 @@ def lr_classify(sf_dir: str):
     (label = lang), then broadcast-model prediction. Rows-only check
     (iterative training is not SQL-expressible); correctness is pinned by
     tests/test_linear.py serial-parity + accuracy assertions."""
-    from ir_base_ray.pipelines.linear import (predict_linear,
-                                              train_logistic_regression)
+    from ir_base_ray.pipelines.linear import predict_linear
 
-    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
-    beta, _f, _it = train_logistic_regression(
-        ds, n_classes=len(classes), n_features=len(vocab), lam=1.0, max_iter=60)
+    ds, _vocab, classes, beta = _lr_trained(sf_dir)
     pred = predict_linear(beta, ds).to_pandas().sort_values("doc_id")
     pred["pred_lang"] = [classes[int(p)] for p in pred["pred"]]
+    return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
+
+
+def lr_saved_classify(sf_dir: str):
+    """Model persistence round-trip (``BaseClassifier.saveModel``/ the
+    mains' ``-sm``/``-lm`` flags): the trained LR is SAVED to a model
+    directory (reference saveModel row shape: term + per-class weights,
+    ``LogisticRegression.java saveModel``), RELOADED, and the suite row is
+    served entirely from the loaded weights — proving a user can persist a
+    trained classifier and predict later without retraining. Bit-equality
+    of save→load→predict is pinned by tests/test_model_persistence.py."""
+    import tempfile
+
+    from ir_base_ray.pipelines.linear import predict_linear
+    from ir_base_ray.state.models import load_linear_model, save_linear_model
+
+    ds, vocab, classes, beta = _lr_trained(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lr_model_") as tmp:
+        save_linear_model(tmp, beta, classes=classes, terms=list(vocab),
+                          kind="lr", params={"lam": 1.0, "max_iter": 60})
+        beta2, classes2, _meta = load_linear_model(tmp)
+    pred = predict_linear(beta2, ds).to_pandas().sort_values("doc_id")
+    pred["pred_lang"] = [classes2[int(p)] for p in pred["pred"]]
     return pred[["doc_id", "pred_lang"]].reset_index(drop=True)
 
 
@@ -3646,7 +3685,8 @@ def classify_suite(sf_dir: str):
                            "pred_lang"),
                           ("knn_lsh",
                            globals().get("knn_lsh_classify_op"),
-                           "pred_lang")):
+                           "pred_lang"),
+                          ("lr_saved", lr_saved_classify, "pred_lang")):
         if fn is None:
             continue
         df = fn(sf_dir)
