@@ -132,14 +132,25 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
 
     analyzed = ray.data.read_parquet(analyzed_dir)
 
-    # --- docs table --------------------------------------------------------
-    t0 = time.time()
+    # --- docs table (runs CONCURRENTLY with the dictionary stage below: the
+    # two read disjoint columns of analyzed/ and write disjoint outputs, so
+    # serializing them just leaves CPUs idle at stage edges) ----------------
     docs_dir = os.path.join(cfg.out_dir, "docs")
-    if not _stage_done(docs_dir):
-        _fresh_dir(docs_dir)
-        analyzed.select_columns(["doc_id", "url", "doc_len", "n_terms"]).write_parquet(docs_dir)
-        _mark_done(docs_dir)
-    timings["docs"] = time.time() - t0
+
+    def _write_docs() -> float:
+        t0 = time.time()
+        if not _stage_done(docs_dir):
+            _fresh_dir(docs_dir)
+            (ray.data.read_parquet(
+                analyzed_dir, columns=["doc_id", "url", "doc_len", "n_terms"])
+             .write_parquet(docs_dir))
+            _mark_done(docs_dir)
+        return time.time() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _docs_pool = ThreadPoolExecutor(max_workers=1)
+    _docs_fut = _docs_pool.submit(_write_docs)
 
     # --- pass 2a: dictionary (combiner + distributed groupby) --------------
     # Size dispatch mirrors the doc-id map (build_index.py url_id_map above):
@@ -187,6 +198,8 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
             )
     dict_mode = "driver" if dict_pdf is not None else "distributed"
     timings["dictionary"] = time.time() - t0
+    timings["docs"] = _docs_fut.result()
+    _docs_pool.shutdown()
 
     # scalars: N from docs parquet metadata, total token count = Σ TTF
     # (doc_len = Σ tf over a doc's terms, so Σ doc_len == Σ ttf exactly)
@@ -230,6 +243,7 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
         avgdl=scalars["avgdl"],
         timings=timings,
         dict_ds=dict_ds,
+        vocab_n=int(vocab_n),
     )
     timings["postings"] = time.time() - t0
 

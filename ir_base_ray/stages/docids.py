@@ -60,11 +60,17 @@ def driver_key_id_map_from_parquet(path_or_paths, key: str):
 
     paths = [path_or_paths] if isinstance(path_or_paths, str) else list(path_or_paths)
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     @ray.remote
-    def read_rgs(path: str, lo: int, hi: int) -> np.ndarray:
+    def read_rgs(path: str, lo: int, hi: int) -> "pa.Array":
         f = pq.ParquetFile(path)
         tbl = f.read_row_groups(list(range(lo, hi)), columns=[key])
-        return tbl.column(key).to_numpy(zero_copy_only=False)
+        # Arrow arrays ship as raw buffers (no per-string pickling) and feed
+        # Arrow's parallel sort on the driver — UTF-8 byte order == code-point
+        # order, so the ranks are identical to a Python-str sort
+        return tbl.column(key).combine_chunks()
 
     refs = []
     for p in paths:
@@ -73,9 +79,11 @@ def driver_key_id_map_from_parquet(path_or_paths, key: str):
         for lo in range(0, n_rg, step):
             refs.append(read_rgs.remote(p, lo, min(lo + step, n_rg)))
     parts = ray.get(refs)
-    arr = np.concatenate(parts) if parts else np.array([], dtype=object)
-    arr.sort(kind="stable")
-    return pd.Index(arr)
+    if not parts:
+        return pd.Index(np.array([], dtype=object))
+    combined = pa.chunked_array(parts)
+    sorted_arr = pc.take(combined, pc.sort_indices(combined))
+    return pd.Index(sorted_arr.to_numpy(zero_copy_only=False))
 
 
 def assign_dense_ids(ds, key: str, id_col: str):

@@ -51,12 +51,18 @@ def _hash_part(term_id: np.ndarray, chunk: np.ndarray, num_parts: int) -> np.nda
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
-def explode_postings(analyzed_ds, dict_ref, *, block_doc_range: int, num_parts: int):
+def explode_postings(analyzed_ds, dict_ref, *, block_doc_range: int, num_parts: int,
+                     compact_ids: bool = False):
     """analyzed docs → posting rows (term_id, doc_id, tf, doc_len, part).
 
     ``dict_ref`` is a ``ray.put`` handle to a pandas Index/array pair mapping
     term → term_id (broadcast once, read per task from the local object store
-    — J1 broadcast-hash-join, never a per-row shuffle)."""
+    — J1 broadcast-hash-join, never a per-row shuffle).
+
+    ``compact_ids``: emit int32 term_id/doc_id (caller guarantees N and vocab
+    fit) — the exchange is the single largest disk/IO volume of the build, so
+    halving its id bytes speeds both the scatter write and the encode read."""
+    id_type = pa.int32() if compact_ids else pa.int64()
 
     def to_postings(batch: pa.Table) -> pa.Table:
         term_index, _df_arr = ray.get(dict_ref)
@@ -77,12 +83,13 @@ def explode_postings(analyzed_ds, dict_ref, *, block_doc_range: int, num_parts: 
             )
         chunk = doc_ids // block_doc_range
         part = _hash_part(tids, chunk, num_parts)
+        np_id = np.int32 if compact_ids else np.int64
         return pa.table({
-            "term_id": pa.array(tids, pa.int64()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term_id": pa.array(tids.astype(np_id), id_type),
+            "doc_id": pa.array(doc_ids.astype(np_id), id_type),
             "tf": pa.array(flat_tfs.astype(np.int32), pa.int32()),
             "doc_len": pa.array(doc_lens.astype(np.int32), pa.int32()),
-            "part": pa.array(part, pa.int64()),
+            "part": pa.array(part.astype(np.int32), pa.int32()),
         })
 
     return analyzed_ds.map_batches(to_postings, batch_format="pyarrow")
@@ -188,29 +195,38 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
 
     # batch codec: delta against the previous posting, reset at block starts,
     # ONE varbyte call per column; per-value byte lengths → block boundaries
-    gaps = np.empty_like(did)
-    gaps[1:] = did[1:] - did[:-1]
+    gaps = np.empty(did.shape, dtype=np.int64)
+    gaps[1:] = did[1:].astype(np.int64) - did[:-1].astype(np.int64)
     gaps[starts] = did[starts]
     doc_blob, doc_lens_b = varbyte_encode_with_lengths(gaps.astype(np.uint64))
     tf_blob, tf_lens_b = varbyte_encode_with_lengths(tf.astype(np.uint64))
     doc_off = np.concatenate(([0], np.cumsum(doc_lens_b)))
     tf_off = np.concatenate(([0], np.cumsum(tf_lens_b)))
-    doc_mv = memoryview(doc_blob)
-    tf_mv = memoryview(tf_blob)
 
-    doc_bytes = [bytes(doc_mv[doc_off[s]: doc_off[e]]) for s, e in zip(starts, ends)]
+    # blocks tile each blob contiguously in sorted order (ends[i]==starts[i+1]),
+    # so the binary columns are built ZERO-COPY from (blob, offsets-at-starts)
+    # instead of materializing one Python bytes object per block.
+    def _binary_col(blob: bytes, off: np.ndarray) -> pa.Array:
+        n = starts.size
+        bounds = np.empty(n + 1, dtype=np.int64)
+        bounds[:n] = off[starts]
+        bounds[n] = off[-1]
+        if bounds[n] <= np.iinfo(np.int32).max:
+            return pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(blob)])
+        return pa.Array.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(bounds), pa.py_buffer(blob)])
+
     out = pa.table({
-        "term_id": pa.array(tid[starts], pa.int64()),
-        "chunk": pa.array(chunk[starts], pa.int64()),
+        "term_id": pa.array(tid[starts].astype(np.int64), pa.int64()),
+        "chunk": pa.array(chunk[starts].astype(np.int64), pa.int64()),
         "count": pa.array(ends - starts, pa.int64()),
-        "min_doc": pa.array(did[starts], pa.int64()),
-        "max_doc": pa.array(did[ends - 1], pa.int64()),
+        "min_doc": pa.array(did[starts].astype(np.int64), pa.int64()),
+        "max_doc": pa.array(did[ends - 1].astype(np.int64), pa.int64()),
         "max_score": pa.array(np.maximum.reduceat(weights, starts), pa.float64()),
-        "doc_bytes": pa.array(doc_bytes, pa.binary()),
-        "tf_bytes": pa.array(
-            [bytes(tf_mv[tf_off[s]: tf_off[e]]) for s, e in zip(starts, ends)],
-            pa.binary(),
-        ),
+        "doc_bytes": _binary_col(doc_blob, doc_off),
+        "tf_bytes": _binary_col(tf_blob, tf_off),
     })
     part_dir = os.path.join(index_dir, "postings", f"part={part}")
     os.makedirs(part_dir, exist_ok=True)
@@ -224,7 +240,7 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
         index_dir, part,
         rows=len(out), terms=int(np.unique(tid[starts]).size),
         postings=int(tid.size),
-        content_hash=content_hash_of(doc_bytes[:64]),
+        content_hash=content_hash_of(out.column("doc_bytes").slice(0, 64).to_pylist()),
         elapsed_s=time.time() - t0,
     )
     return {"part": part, "blocks": len(out), "postings": int(tid.size)}
@@ -233,7 +249,7 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
 def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
                    block_doc_range: int, num_parts: int, N: int, avgdl: float,
                    resume: bool = True, timings: dict | None = None,
-                   dict_ds=None):
+                   dict_ds=None, vocab_n: int | None = None):
     """Full posting-build stage (disk-exchange shuffle; see module docstring).
     Returns a small per-partition metrics DataFrame. With ``resume=True``,
     partitions whose manifest already exists are skipped entirely. Pass a
@@ -260,9 +276,10 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
                 analyzed_ds, dict_ds, block_doc_range=block_doc_range,
                 num_parts=num_parts)
         else:
+            compact = (N < 2 ** 31 and vocab_n is not None and vocab_n < 2 ** 31)
             postings = explode_postings(
                 analyzed_ds, dict_ref, block_doc_range=block_doc_range,
-                num_parts=num_parts)
+                num_parts=num_parts, compact_ids=compact)
         postings.write_parquet(raw_dir, partition_cols=["part"])
         with open(done_marker, "w") as f:
             f.write(str(time.time()))
@@ -286,19 +303,32 @@ def build_postings(analyzed_ds, dict_ref, idf_by_tid_ref, *, index_dir: str,
     # 4.8 s steady-state for 32 partitions at 32 CPUs), and it caps peak
     # concurrent allocation pressure. Per-partition manifests still make each
     # partition an independent resume unit.
+    # Worker count: measured ladder on this host (32 partitions, 1M docs) —
+    # 4w=7.4s / 8w=6.3s / 12w=9.0s at 16 cpus; 8w=9.1s / 16w=12.1s / 32w=32.1s
+    # at 32 cpus — encode is allocation-bound, so concurrency helps only up to
+    # ~8 heavy writers per host before allocator/fault collision reverses it.
+    # The num_cpus reservation per task is what generalizes to a real cluster:
+    # each node co-hosts at most ncpu/group_cpus encoders regardless of cap.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    n_workers = max(1, min(len(todo), max(4, ncpu // 4)))
+    _env_nw = os.environ.get("IR_ENCODE_WORKERS")  # experiment override
+    n_workers = (int(_env_nw) if _env_nw
+                 else max(1, min(len(todo), max(4, min(8, ncpu // 2)))))
     groups = [todo[i::n_workers] for i in range(n_workers)]
     group_cpus = max(1, ncpu // n_workers)
 
     @ray.remote
     def encode_group(parts: list) -> list:
+        import pyarrow.dataset as pads
+
         idf_by_tid = ray.get(idf_by_tid_ref) if idf_by_tid_ref is not None else None
         out = []
         for part in parts:
             t0 = time.time()
             files = sorted(glob.glob(os.path.join(raw_dir, f"part={part}", "*.parquet")))
-            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            # the exchange leaves ~#explode-blocks small files per partition;
+            # the dataset scanner amortizes per-file overhead across the
+            # task's reserved cpus (measured ~2× vs a per-file read loop)
+            tbl = pads.dataset(files, format="parquet").to_table()
             df_col = (tbl.column("df").to_numpy().astype(np.int64)
                       if "df" in tbl.column_names else None)
             out.append(_encode_arrays(
