@@ -47,3 +47,33 @@ def tune_malloc() -> None:
         libc.mallopt(ctypes.c_int(-1), ctypes.c_int(2**31 - 1))     # M_TRIM_THRESHOLD
     except Exception:
         pass  # non-glibc platform: nothing to tune
+
+
+def harden_ray_path_resolution() -> None:
+    """Make Ray Data path resolution safe under concurrent driver threads.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` re-attempts
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY call
+    (a failed import — aiohttp absent — is never cached in sys.modules).
+    When two Datasets resolve paths from different driver threads, CPython's
+    ``from X import Y`` fast path can observe the other thread's partially
+    executed module and raise plain ``ImportError: cannot import name`` —
+    which Ray catches only as ``ModuleNotFoundError``. Wrap the helper so a
+    racy ImportError degrades to the same answer a clean failure gives:
+    "not an HTTP filesystem"."""
+    try:
+        import ray.data.datasource.path_util as _pu
+    except Exception:
+        return
+    orig = getattr(_pu, "_is_http_filesystem", None)
+    if orig is None or getattr(orig, "_ir_base_hardened", False):
+        return
+
+    def _safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    _safe._ir_base_hardened = True
+    _pu._is_http_filesystem = _safe

@@ -80,6 +80,12 @@ def build_index(corpus_ds: "ray.data.Dataset", cfg: IndexConfig) -> dict:
     stage dirs (no ``_DONE`` marker) are wiped and rebuilt."""
     os.makedirs(cfg.out_dir, exist_ok=True)
     timings: dict[str, float] = {}
+    # the docs/dictionary stages below execute Datasets from two driver
+    # threads; guard Ray's per-call optional-import probe against the
+    # concurrent-import race (see perf.harden_ray_path_resolution)
+    from ir_base_ray.perf import harden_ray_path_resolution
+
+    harden_ray_path_resolution()
 
     # --- pass 0+1: doc ids, analyze, cache tokens --------------------------
     analyzed_dir = os.path.join(cfg.out_dir, "analyzed")
