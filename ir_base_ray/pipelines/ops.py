@@ -34,12 +34,16 @@ from ir_base_ray.functions.analyzer import analyze_simple
 
 # ---------------------------------------------------------------- helpers
 
+# The split class below is the EXACT Python ``str.split()`` / Arrow
+# ``utf8_split_whitespace`` whitespace set (every cp where str.isspace() —
+# verified exhaustively over the BMP+SMP against DuckDB's RE2); RE2's bare
+# ``\s`` is ASCII-only and silently diverges on NBSP/U+2028/\x1c-\x1f etc.
 _TOKENS_CTE = r"""
 WITH toks AS (
   SELECT doc_id, CASE WHEN regexp_matches(stripped, '^[0-9]+$') THEN 'NUM' ELSE stripped END AS term
   FROM (
     SELECT doc_id, lower(regexp_replace(t, '[^a-zA-Z0-9_]+', '', 'g')) AS stripped
-    FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) AS t FROM documents)
   ) WHERE stripped <> ''
 )
 """
@@ -841,8 +845,8 @@ def sql_minhash_lsh(num_perm: int = 64, num_bands: int = 16,
     return rf"""
 WITH raw AS (
   SELECT doc_id,
-         unnest(string_split_regex(text, '\s+')) AS tok,
-         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+         unnest(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{{85}}\x{{a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+')) AS tok,
+         generate_subscripts(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{{85}}\x{{a0}}\x{{1680}}\x{{2000}}-\x{{200a}}\x{{2028}}\x{{2029}}\x{{202f}}\x{{205f}}\x{{3000}}]+'), 1) AS pos
   FROM documents),
 tk AS (SELECT doc_id, tok,
               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
@@ -905,8 +909,8 @@ def dedup_ngram_jaccard(sf_dir: str):
 SQL_NGRAM_JACCARD = r"""
 WITH raw AS (
   SELECT doc_id,
-         unnest(string_split_regex(text, '\s+')) AS tok,
-         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+         unnest(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) AS tok,
+         generate_subscripts(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'), 1) AS pos
   FROM documents),
 tk AS (SELECT doc_id, tok,
               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
@@ -957,7 +961,7 @@ def dedup_simhash(sf_dir: str):
 SQL_SIMHASH = r"""
 WITH tok AS (
   SELECT doc_id, t AS tok, count(*)::BIGINT AS tf
-  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+')) AS t FROM documents)
   WHERE tok <> ''
   GROUP BY 1, 2),
 th AS (
@@ -1219,7 +1223,7 @@ WITH markers(lang, marker) AS (VALUES
   ('es','el'),('es','la'),('es','los'),('es','y'),('es','es'),('es','en'),
   ('es','que'),('es','por'),('es','con'),('es','para')),
 words AS (
-  SELECT doc_id, lower(unnest(string_split_regex(text, '\s+'))) AS w
+  SELECT doc_id, lower(unnest(string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+'))) AS w
   FROM documents),
 cjk AS (
   SELECT doc_id,
@@ -4027,7 +4031,7 @@ def lm_ppl_filter(sf_dir: str):
 
 SQL_LM_PPL_FILTER = r"""
 WITH raw AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents
+  SELECT doc_id, string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+') AS arr FROM documents
 ), pos AS (
   SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM raw
 ), strip AS (
@@ -4098,7 +4102,7 @@ def dedup_substring(sf_dir: str):
 
 SQL_DEDUP_SUBSTRING = r"""
 WITH raw AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS arr FROM documents
+  SELECT doc_id, string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+') AS arr FROM documents
 ), pos AS (
   SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM raw
 ), strip AS (

@@ -18,12 +18,19 @@ DF/TTF rollback (``Analyzer.java:156-186``) unnecessary.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
 from ir_base_ray.config import AnalyzerSpec
-from ir_base_ray.functions.analyzer import Analyzer, analyze_simple
+from ir_base_ray.functions.analyzer import (
+    _SIMPLE_DIGITS,
+    _SIMPLE_STRIP,
+    Analyzer,
+    analyze_simple,
+)
 from ir_base_ray.sources.stopwords import load_stopwords
 
 
@@ -53,9 +60,127 @@ class AnalyzerActor:
         else:
             from collections import Counter
 
+            self._analyzer = None
             self._count = lambda text: Counter(analyze_simple(text))
+        # the Arrow-vectorized batch path applies whenever emission is
+        # chunk-local (no cross-chunk n-grams): simple mode always, full mode
+        # at ngram == 1 — the headline index-build configuration
+        self._vectorizable = spec.mode != "full" or spec.ngram == 1
+        # cache: whitespace chunk → tuple of EMITTED terms (legit, in-vocab),
+        # the final per-chunk emission after every filter — one dict hit per
+        # unique chunk per batch replaces all per-occurrence work
+        self._chunk_terms_cache: dict[str, tuple] = {}
+
+    def _chunk_terms(self, chunk: str) -> tuple:
+        hit = self._chunk_terms_cache.get(chunk)
+        if hit is not None:
+            return hit
+        if self._analyzer is not None:
+            ts = tuple(t for t, legit in self._analyzer._analyze_chunk(chunk) if legit)
+        else:
+            t = _SIMPLE_STRIP.sub("", chunk).lower()
+            if t:
+                ts = ("NUM",) if _SIMPLE_DIGITS.match(t) else (t,)
+            else:
+                ts = ()
+        if self._vocab is not None:
+            ts = tuple(t for t in ts if t in self._vocab)
+        if len(self._chunk_terms_cache) < 2_000_000:
+            self._chunk_terms_cache[chunk] = ts
+        return ts
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Arrow/numpy batch path, bit-identical to the per-doc walk.
+
+        utf8_split_whitespace (verified token-equal to Python ``str.split``
+        modulo empty edge chunks that emit nothing) → dictionary-encode the
+        flat chunk column → analyze each batch-UNIQUE chunk once through the
+        cache → numpy segment expansion to (doc, term) occurrences →
+        ``pd.factorize`` + ``bincount`` for per-doc (term, tf). factorize
+        returns uniques in first-appearance order and doc occurrences are
+        contiguous, so within-doc term order is exactly the per-doc walk's
+        first-occurrence order; no Python list-of-lists is ever built."""
+        import pandas as pd
+
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        ndocs = len(lists)
+        n_per_doc = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        enc = flat.dictionary_encode()
+        occ_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        uniq_chunks = enc.dictionary.to_pylist()
+
+        # per-unique-chunk emissions, interned into per-batch local term ids
+        local_terms: dict[str, int] = {}
+        chunk_term_ids: list[int] = []
+        term_offsets = np.empty(len(uniq_chunks) + 1, np.int64)
+        term_offsets[0] = 0
+        chunk_terms = self._chunk_terms
+        for i, ch in enumerate(uniq_chunks):
+            for t in chunk_terms(ch):
+                tid = local_terms.get(t)
+                if tid is None:
+                    tid = len(local_terms)
+                    local_terms[t] = tid
+                chunk_term_ids.append(tid)
+            term_offsets[i + 1] = len(chunk_term_ids)
+        chunk_term_ids = np.asarray(chunk_term_ids, np.int64)
+        k_per_chunk = np.diff(term_offsets)
+
+        # expand chunk occurrences → term occurrences (segmented gather)
+        k_occ = k_per_chunk[occ_ids]
+        total = int(k_occ.sum())
+        doc_occ = np.repeat(np.arange(ndocs, dtype=np.int64), n_per_doc)
+        if total:
+            seg_end = np.cumsum(k_occ)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(seg_end - k_occ, k_occ)
+            occ_terms = chunk_term_ids[np.repeat(term_offsets[:-1][occ_ids], k_occ) + intra]
+            doc_term = np.repeat(doc_occ, k_occ)
+            nt = len(local_terms)
+            codes, uniq_keys = pd.factorize(doc_term * nt + occ_terms)
+            tf = np.bincount(codes).astype(np.int64)
+            out_doc = uniq_keys // nt
+            out_term = uniq_keys % nt
+        else:
+            tf = out_doc = out_term = np.empty(0, np.int64)
+
+        n_terms = np.bincount(out_doc, minlength=ndocs)
+        doc_len = np.bincount(out_doc, weights=tf, minlength=ndocs).astype(np.int64)
+        keep = n_terms > self.spec.length_threshold
+        row_keep = keep[out_doc] if total else np.empty(0, bool)
+        out_term_f = out_term[row_keep]
+        tf_f = tf[row_keep]
+        kept_n_terms = n_terms[keep]
+        offs = np.zeros(len(kept_n_terms) + 1, np.int32)
+        np.cumsum(kept_n_terms, out=offs[1:])
+
+        term_dict_arr = pa.array(list(local_terms), pa.string())
+        term_values = pc.take(term_dict_arr, pa.array(out_term_f, pa.int64()))
+        offs_arr = pa.array(offs, pa.int32())
+
+        mask = pa.array(keep)
+        cols = {}
+        if self._id_index is not None:
+            keys = batch.column(self._id_key).to_numpy(zero_copy_only=False)
+            ids = self._id_index.get_indexer(keys)
+            cols[self._id_col] = pa.array(ids, pa.int64()).filter(mask)
+        for c in self.keep_cols:
+            if c in batch.column_names and c not in cols:
+                cols[c] = batch.column(c).filter(mask)
+        cols["terms"] = pa.ListArray.from_arrays(offs_arr, term_values)
+        cols["tfs"] = pa.ListArray.from_arrays(offs_arr, pa.array(tf_f, pa.int64()))
+        cols["doc_len"] = pa.array(doc_len[keep], pa.int64())
+        cols["n_terms"] = pa.array(n_terms[keep], pa.int64())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._vectorizable:
+            return self._call_vectorized(batch)
         texts = batch.column(self.text_col).to_pylist()
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
@@ -83,8 +208,6 @@ class AnalyzerActor:
         mask = pa.array(keep_mask, pa.bool_())
         cols = {}
         if self._id_index is not None:
-            import numpy as np
-
             keys = batch.column(self._id_key).to_numpy(zero_copy_only=False)
             ids = self._id_index.get_indexer(keys)
             cols[self._id_col] = pa.array(ids, pa.int64()).filter(mask)

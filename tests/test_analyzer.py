@@ -147,3 +147,47 @@ def test_frozen_vocabulary_drops_oov(ray_session):
     assert set(frozen_pdf["terms"].iloc[0]) == set(cv)
     assert int(frozen_pdf["doc_len"].iloc[0]) == \
         sum(f for t, f in zip(open_pdf["terms"].iloc[0], open_pdf["tfs"].iloc[0]) if t in set(cv))
+
+
+def test_vectorized_batch_path_bit_identical():
+    """The Arrow-vectorized analyzer batch path (utf8_split_whitespace →
+    dictionary-encode → per-unique-chunk analysis → factorize/bincount) must
+    be BIT-identical to the per-doc Counter walk — same terms in the same
+    first-occurrence order, same tfs/doc_len/n_terms, same keep filter —
+    across full/simple modes, length thresholds, and non-en stemmers.
+    Every oracle value-hash rests on this equivalence."""
+    import random
+
+    import pyarrow as pa
+
+    from ir_base_ray.config import AnalyzerSpec
+    from ir_base_ray.stages.analyze import AnalyzerActor
+
+    random.seed(11)
+    words = ["the", "running", "dogs", "cat's", "42", "...", "hello-world",
+             "naïve", "Über", "a", "I", "Straße", "émigré!!", "NUM", "x" * 25]
+    junk = "abcdefg ,.!?\t\n \x1c\x85-01923éüΣ "
+
+    def rand_text():
+        parts = []
+        for _ in range(random.randrange(0, 40)):
+            if random.random() < 0.5:
+                parts.append(random.choice(words))
+            else:
+                parts.append("".join(random.choice(junk)
+                                      for _ in range(random.randrange(1, 9))))
+        return " ".join(parts)
+
+    texts = [rand_text() for _ in range(300)] + ["", "   ", "\x1c\x85", "a", "ab c ab"]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    for spec in (AnalyzerSpec(), AnalyzerSpec(mode="simple"),
+                 AnalyzerSpec(length_threshold=2), AnalyzerSpec(lang="de")):
+        vec = AnalyzerActor(spec, keep_cols=("doc_id",))
+        ref = AnalyzerActor(spec, keep_cols=("doc_id",))
+        assert vec._vectorizable
+        ref._vectorizable = False
+        assert vec(batch).equals(ref(batch)), (spec.mode, spec.length_threshold, spec.lang)
+
+    # ngram > 1 must stay on the per-doc walk (n-grams cross chunks)
+    assert not AnalyzerActor(AnalyzerSpec(ngram=2), keep_cols=("doc_id",))._vectorizable
