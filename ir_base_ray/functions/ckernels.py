@@ -1099,3 +1099,95 @@ def lda_infer_kernel():
             lib.lda_sweep_frozen.restype = None
         _lda_infer_lib = lib
     return _lda_infer_lib
+
+
+# ---------------------------------------------------------------------------
+# Analyzer expand-count: chunk occurrences → per-doc (term, tf) in
+# first-occurrence order, entirely in caller-provided grow-only buffers.
+# This is the hot inner step of the vectorized analyzer batch path
+# (stages/analyze.py): the numpy twin (repeat/factorize/bincount) allocates
+# several occurrence-sized temporaries per batch, which collide on the
+# host's first-touch fault path at high actor concurrency (BASELINE.md §8);
+# the kernel touches only the output rows.
+# ---------------------------------------------------------------------------
+
+_ANALYZE_SRC = r"""
+#include <stdint.h>
+
+/* total (doc,term-emission) rows the count pass will visit */
+int64_t analyze_total(const int32_t *occ_ids, int64_t n_occ,
+                      const int64_t *term_offsets) {
+    int64_t total = 0;
+    for (int64_t o = 0; o < n_occ; o++) {
+        int32_t c = occ_ids[o];
+        total += term_offsets[c + 1] - term_offsets[c];
+    }
+    return total;
+}
+
+/* Per doc: expand each chunk occurrence into its emitted terms, count tf per
+   term with first-occurrence ordering, drop docs with n_terms <= threshold
+   (rewind). last_doc must be -1 on entry for every term id; it is restored
+   to -1 before return. Returns rows written to out_term/out_tf. */
+int64_t analyze_count(const int32_t *occ_ids,
+                      const int32_t *n_per_doc, int64_t n_docs,
+                      const int64_t *term_offsets,
+                      const int64_t *chunk_term_ids,
+                      int64_t length_threshold,
+                      int64_t *last_doc, int64_t *slot,
+                      int64_t *out_term, int64_t *out_tf,
+                      int64_t *n_terms, int64_t *doc_len, uint8_t *keep) {
+    int64_t out_n = 0, o = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t start = out_n, len = 0;
+        int64_t stop = o + n_per_doc[d];
+        for (; o < stop; o++) {
+            int32_t c = occ_ids[o];
+            for (int64_t j = term_offsets[c]; j < term_offsets[c + 1]; j++) {
+                int64_t t = chunk_term_ids[j];
+                if (last_doc[t] != d) {
+                    last_doc[t] = d;
+                    slot[t] = out_n;
+                    out_term[out_n] = t;
+                    out_tf[out_n] = 1;
+                    out_n++;
+                } else {
+                    out_tf[slot[t]]++;
+                }
+                len++;
+            }
+        }
+        n_terms[d] = out_n - start;
+        doc_len[d] = len;
+        for (int64_t i = start; i < out_n; i++) last_doc[out_term[i]] = -1;
+        if (out_n - start > length_threshold) {
+            keep[d] = 1;
+        } else {
+            keep[d] = 0;
+            out_n = start;    /* rewind: rejected docs emit no rows */
+        }
+    }
+    return out_n;
+}
+"""
+
+_analyze_lib = None
+_analyze_tried = False
+
+
+def analyze_kernel():
+    global _analyze_lib, _analyze_tried
+    if not _analyze_tried:
+        _analyze_tried = True
+        lib = load("analyzecount", _ANALYZE_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i32, i64, u8 = ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8
+            lib.analyze_total.argtypes = [P(i32), i64, P(i64)]
+            lib.analyze_total.restype = i64
+            lib.analyze_count.argtypes = [
+                P(i32), P(i32), i64, P(i64), P(i64), i64,
+                P(i64), P(i64), P(i64), P(i64), P(i64), P(i64), P(u8)]
+            lib.analyze_count.restype = i64
+        _analyze_lib = lib
+    return _analyze_lib

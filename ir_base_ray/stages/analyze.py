@@ -65,11 +65,26 @@ class AnalyzerActor:
         # the Arrow-vectorized batch path applies whenever emission is
         # chunk-local (no cross-chunk n-grams): simple mode always, full mode
         # at ngram == 1 — the headline index-build configuration
-        self._vectorizable = spec.mode != "full" or spec.ngram == 1
+        # (IR_ANALYZE_VECTORIZED=0 forces the per-doc walk, for A/B profiling)
+        import os
+
+        self._vectorizable = (spec.mode != "full" or spec.ngram == 1) \
+            and os.environ.get("IR_ANALYZE_VECTORIZED", "1") != "0"
         # cache: whitespace chunk → tuple of EMITTED terms (legit, in-vocab),
         # the final per-chunk emission after every filter — one dict hit per
         # unique chunk per batch replaces all per-occurrence work
         self._chunk_terms_cache: dict[str, tuple] = {}
+        # grow-only scratch for the C expand-count kernel (BASELINE.md §8
+        # pattern: never materialize occurrence-sized fresh temporaries)
+        self._scr: dict[str, "np.ndarray"] = {}
+
+    def _scratch(self, name: str, n: int, dtype, fill=None) -> "np.ndarray":
+        buf = self._scr.get(name)
+        if buf is None or len(buf) < n:
+            cap = max(n, 1024, 0 if buf is None else len(buf) * 2)
+            buf = np.empty(cap, dtype) if fill is None else np.full(cap, fill, dtype)
+            self._scr[name] = buf
+        return buf
 
     def _chunk_terms(self, chunk: str) -> tuple:
         hit = self._chunk_terms_cache.get(chunk)
@@ -95,13 +110,9 @@ class AnalyzerActor:
         utf8_split_whitespace (verified token-equal to Python ``str.split``
         modulo empty edge chunks that emit nothing) → dictionary-encode the
         flat chunk column → analyze each batch-UNIQUE chunk once through the
-        cache → numpy segment expansion to (doc, term) occurrences →
-        ``pd.factorize`` + ``bincount`` for per-doc (term, tf). factorize
-        returns uniques in first-appearance order and doc occurrences are
-        contiguous, so within-doc term order is exactly the per-doc walk's
-        first-occurrence order; no Python list-of-lists is ever built."""
-        import pandas as pd
-
+        cache → expand-count to per-doc (term, tf) in first-occurrence order
+        via the C kernel over grow-only per-actor scratch (numpy
+        repeat/factorize twin kept as the no-compiler fallback)."""
         texts = batch.column(self.text_col)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -110,9 +121,11 @@ class AnalyzerActor:
             lists = lists.combine_chunks()
         ndocs = len(lists)
         n_per_doc = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        n_per_doc = n_per_doc.astype(np.int32, copy=False)
         flat = lists.flatten()
         enc = flat.dictionary_encode()
-        occ_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        occ_ids = enc.indices.to_numpy(zero_copy_only=False)
+        occ_ids = occ_ids.astype(np.int32, copy=False)
         uniq_chunks = enc.dictionary.to_pylist()
 
         # per-unique-chunk emissions, interned into per-batch local term ids
@@ -130,32 +143,18 @@ class AnalyzerActor:
                 chunk_term_ids.append(tid)
             term_offsets[i + 1] = len(chunk_term_ids)
         chunk_term_ids = np.asarray(chunk_term_ids, np.int64)
-        k_per_chunk = np.diff(term_offsets)
 
-        # expand chunk occurrences → term occurrences (segmented gather)
-        k_occ = k_per_chunk[occ_ids]
-        total = int(k_occ.sum())
-        doc_occ = np.repeat(np.arange(ndocs, dtype=np.int64), n_per_doc)
-        if total:
-            seg_end = np.cumsum(k_occ)
-            intra = np.arange(total, dtype=np.int64) - np.repeat(seg_end - k_occ, k_occ)
-            occ_terms = chunk_term_ids[np.repeat(term_offsets[:-1][occ_ids], k_occ) + intra]
-            doc_term = np.repeat(doc_occ, k_occ)
-            nt = len(local_terms)
-            codes, uniq_keys = pd.factorize(doc_term * nt + occ_terms)
-            tf = np.bincount(codes).astype(np.int64)
-            out_doc = uniq_keys // nt
-            out_term = uniq_keys % nt
+        from ir_base_ray.functions.ckernels import analyze_kernel
+
+        lib = analyze_kernel()
+        if lib is not None:
+            out_term_f, tf_f, keep, kept_n_terms, kept_doc_len = self._expand_c(
+                lib, occ_ids, n_per_doc, ndocs, term_offsets, chunk_term_ids,
+                len(local_terms))
         else:
-            tf = out_doc = out_term = np.empty(0, np.int64)
-
-        n_terms = np.bincount(out_doc, minlength=ndocs)
-        doc_len = np.bincount(out_doc, weights=tf, minlength=ndocs).astype(np.int64)
-        keep = n_terms > self.spec.length_threshold
-        row_keep = keep[out_doc] if total else np.empty(0, bool)
-        out_term_f = out_term[row_keep]
-        tf_f = tf[row_keep]
-        kept_n_terms = n_terms[keep]
+            out_term_f, tf_f, keep, kept_n_terms, kept_doc_len = self._expand_numpy(
+                occ_ids, n_per_doc, ndocs, term_offsets, chunk_term_ids,
+                len(local_terms))
         offs = np.zeros(len(kept_n_terms) + 1, np.int32)
         np.cumsum(kept_n_terms, out=offs[1:])
 
@@ -174,9 +173,72 @@ class AnalyzerActor:
                 cols[c] = batch.column(c).filter(mask)
         cols["terms"] = pa.ListArray.from_arrays(offs_arr, term_values)
         cols["tfs"] = pa.ListArray.from_arrays(offs_arr, pa.array(tf_f, pa.int64()))
-        cols["doc_len"] = pa.array(doc_len[keep], pa.int64())
-        cols["n_terms"] = pa.array(n_terms[keep], pa.int64())
+        cols["doc_len"] = pa.array(kept_doc_len, pa.int64())
+        cols["n_terms"] = pa.array(kept_n_terms, pa.int64())
         return pa.table(cols)
+
+    def _expand_c(self, lib, occ_ids, n_per_doc, ndocs, term_offsets,
+                  chunk_term_ids, n_local_terms):
+        """C expand-count over grow-only scratch: the only fresh allocation
+        per batch is the output tf copy. Returns fresh (non-scratch) arrays
+        except out_term, which the caller consumes immediately via take."""
+        import ctypes
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def p32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        total = int(lib.analyze_total(p32(occ_ids), len(occ_ids),
+                                      p64(term_offsets)))
+        last_doc = self._scratch("last_doc", n_local_terms, np.int64, fill=-1)
+        slot = self._scratch("slot", n_local_terms, np.int64)
+        out_term = self._scratch("out_term", total, np.int64)
+        out_tf = self._scratch("out_tf", total, np.int64)
+        n_terms = self._scratch("n_terms", ndocs, np.int64)
+        doc_len = self._scratch("doc_len", ndocs, np.int64)
+        keep_u8 = self._scratch("keep", ndocs, np.uint8)
+        out_n = int(lib.analyze_count(
+            p32(occ_ids), p32(n_per_doc), ndocs, p64(term_offsets),
+            p64(chunk_term_ids), int(self.spec.length_threshold),
+            p64(last_doc), p64(slot), p64(out_term), p64(out_tf),
+            p64(n_terms), p64(doc_len),
+            keep_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))))
+        keep = keep_u8[:ndocs].view(bool).copy()
+        return (out_term[:out_n], out_tf[:out_n].copy(), keep,
+                n_terms[:ndocs][keep], doc_len[:ndocs][keep])
+
+    def _expand_numpy(self, occ_ids, n_per_doc, ndocs, term_offsets,
+                      chunk_term_ids, n_local_terms):
+        """numpy twin of ``_expand_c`` (repeat → factorize → bincount);
+        first-appearance factorize order == the per-doc walk's order."""
+        import pandas as pd
+
+        k_per_chunk = np.diff(term_offsets)
+        k_occ = k_per_chunk[occ_ids]
+        total = int(k_occ.sum())
+        doc_occ = np.repeat(np.arange(ndocs, dtype=np.int64),
+                            n_per_doc.astype(np.int64))
+        if total:
+            seg_end = np.cumsum(k_occ)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(seg_end - k_occ, k_occ)
+            occ_terms = chunk_term_ids[np.repeat(term_offsets[:-1][occ_ids], k_occ) + intra]
+            doc_term = np.repeat(doc_occ, k_occ)
+            nt = max(n_local_terms, 1)
+            codes, uniq_keys = pd.factorize(doc_term * nt + occ_terms)
+            tf = np.bincount(codes).astype(np.int64)
+            out_doc = uniq_keys // nt
+            out_term = uniq_keys % nt
+        else:
+            tf = out_doc = out_term = np.empty(0, np.int64)
+
+        n_terms = np.bincount(out_doc, minlength=ndocs)
+        doc_len = np.bincount(out_doc, weights=tf, minlength=ndocs).astype(np.int64)
+        keep = n_terms > self.spec.length_threshold
+        row_keep = keep[out_doc] if total else np.empty(0, bool)
+        return (out_term[row_keep], tf[row_keep], keep,
+                n_terms[keep], doc_len[keep])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._vectorizable:

@@ -191,3 +191,37 @@ def test_vectorized_batch_path_bit_identical():
 
     # ngram > 1 must stay on the per-doc walk (n-grams cross chunks)
     assert not AnalyzerActor(AnalyzerSpec(ngram=2), keep_cols=("doc_id",))._vectorizable
+
+
+def test_expand_c_kernel_matches_numpy_twin():
+    """The C expand-count kernel and the numpy factorize twin must produce
+    identical (term, tf, keep, n_terms, doc_len) for random inputs."""
+    import numpy as np
+
+    from ir_base_ray.config import AnalyzerSpec
+    from ir_base_ray.functions.ckernels import analyze_kernel
+    from ir_base_ray.stages.analyze import AnalyzerActor
+
+    lib = analyze_kernel()
+    if lib is None:
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(7)
+    actor = AnalyzerActor(AnalyzerSpec(length_threshold=1), keep_cols=())
+    for _ in range(25):
+        n_chunks = int(rng.integers(1, 40))
+        nt = int(rng.integers(1, 25))
+        k = rng.integers(0, 4, n_chunks)
+        term_offsets = np.zeros(n_chunks + 1, np.int64)
+        np.cumsum(k, out=term_offsets[1:])
+        chunk_term_ids = rng.integers(0, nt, int(term_offsets[-1])).astype(np.int64)
+        ndocs = int(rng.integers(1, 12))
+        n_per_doc = rng.integers(0, 30, ndocs).astype(np.int32)
+        occ_ids = rng.integers(0, n_chunks, int(n_per_doc.sum())).astype(np.int32)
+        a = actor._expand_c(lib, occ_ids, n_per_doc, ndocs, term_offsets,
+                            chunk_term_ids, nt)
+        b = actor._expand_numpy(occ_ids, n_per_doc, ndocs, term_offsets,
+                                chunk_term_ids, nt)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
