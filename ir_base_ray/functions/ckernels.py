@@ -1191,3 +1191,121 @@ def analyze_kernel():
             lib.analyze_count.restype = i64
         _analyze_lib = lib
     return _analyze_lib
+
+
+# ---------------------------------------------------------------------------
+# Posting-partition encode: radix-sort by (term_id, doc_id), block-split at
+# (term_id, doc_id // block_doc_range) boundaries, per-block BM25 max-score
+# (bit-identical expression order to functions/scoring.bm25_weights_from_idf)
+# and delta+varbyte emission — one C call per partition over caller-provided
+# grow-only buffers. Replaces a ~15-fresh-numpy-temporaries chain that made
+# the encode stage allocation-bound (BASELINE.md §9: more encode workers
+# were strictly SLOWER past 8 on this host class).
+# ---------------------------------------------------------------------------
+
+_ENCODE_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* stable LSD radix sort of 64-bit keys with index payload: 4 x 16-bit
+   passes (even count, so the result lands back in key/ord). */
+static void radix_sort(uint64_t *key, int64_t *ord, uint64_t *key_tmp,
+                       int64_t *ord_tmp, int64_t *cnt, int64_t n) {
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = pass * 16;
+        memset(cnt, 0, 65536 * sizeof(int64_t));
+        for (int64_t i = 0; i < n; i++) cnt[(key[i] >> shift) & 0xFFFF]++;
+        int64_t sum = 0;
+        for (int64_t d = 0; d < 65536; d++) {
+            int64_t c = cnt[d]; cnt[d] = sum; sum += c;
+        }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t pos = cnt[(key[i] >> shift) & 0xFFFF]++;
+            key_tmp[pos] = key[i];
+            ord_tmp[pos] = ord[i];
+        }
+        uint64_t *tk = key; key = key_tmp; key_tmp = tk;
+        int64_t *to = ord; ord = ord_tmp; ord_tmp = to;
+    }
+}
+
+/* classic 7-bit little-endian varbyte, high bit marks the LAST byte —
+   byte-identical to functions/codec.varbyte_encode_with_lengths */
+static inline int64_t vb_emit(uint8_t *blob, int64_t pos, uint64_t v) {
+    while (v >= 128) { blob[pos++] = (uint8_t)(v & 0x7F); v >>= 7; }
+    blob[pos++] = (uint8_t)(v | 0x80);
+    return pos;
+}
+
+int64_t encode_partition(
+    const int64_t *tid, const int64_t *did, const int64_t *tf,
+    const int64_t *dl, const double *idf, int64_t n,
+    int64_t block_doc_range, double avgdl, double k1, double b,
+    uint64_t *key, uint64_t *key_tmp, int64_t *ord, int64_t *ord_tmp,
+    int64_t *cnt,
+    int64_t *o_term, int64_t *o_chunk, int64_t *o_count,
+    int64_t *o_mindoc, int64_t *o_maxdoc, double *o_maxscore,
+    int64_t *doc_bounds, int64_t *tf_bounds,
+    uint8_t *doc_blob, uint8_t *tf_blob,
+    int64_t *out_scalars /* [3]: doc_bytes, tf_bytes, distinct_terms */)
+{
+    for (int64_t i = 0; i < n; i++) {
+        key[i] = ((uint64_t)tid[i] << 32) | (uint64_t)did[i];
+        ord[i] = i;
+    }
+    radix_sort(key, ord, key_tmp, ord_tmp, cnt, n);
+    int64_t nb = -1, dpos = 0, tpos = 0, nterms = 0;
+    int64_t prev_tid = -1, prev_chunk = -1, prev_did = 0;
+    for (int64_t s = 0; s < n; s++) {
+        int64_t j = ord[s];
+        int64_t t = tid[j], d = did[j], f = tf[j], L = dl[j];
+        int64_t ch = d / block_doc_range;
+        double TF = (double)f;
+        /* W4: idf*TF*(k1+1) / (k1*(1-b+b*dl/avgdl)+TF), numpy's exact
+           left-assoc order — bit-identical to bm25_weights_from_idf */
+        double w = idf[j] * TF * (k1 + 1.0)
+                   / (k1 * (1.0 - b + b * ((double)L / avgdl)) + TF);
+        if (t != prev_tid || ch != prev_chunk) {
+            nb++;
+            o_term[nb] = t; o_chunk[nb] = ch; o_count[nb] = 0;
+            o_mindoc[nb] = d; o_maxscore[nb] = w;
+            doc_bounds[nb] = dpos; tf_bounds[nb] = tpos;
+            if (t != prev_tid) nterms++;
+            dpos = vb_emit(doc_blob, dpos, (uint64_t)d);
+        } else {
+            if (w > o_maxscore[nb]) o_maxscore[nb] = w;
+            dpos = vb_emit(doc_blob, dpos, (uint64_t)(d - prev_did));
+        }
+        tpos = vb_emit(tf_blob, tpos, (uint64_t)f);
+        o_count[nb]++;
+        o_maxdoc[nb] = d;
+        prev_tid = t; prev_chunk = ch; prev_did = d;
+    }
+    if (nb >= 0) { doc_bounds[nb + 1] = dpos; tf_bounds[nb + 1] = tpos; }
+    out_scalars[0] = dpos; out_scalars[1] = tpos; out_scalars[2] = nterms;
+    return nb + 1;
+}
+"""
+
+_encode_lib = None
+_encode_tried = False
+
+
+def encode_kernel():
+    global _encode_lib, _encode_tried
+    if not _encode_tried:
+        _encode_tried = True
+        lib = load("encodepart", _ENCODE_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, u64, u8, f64 = (ctypes.c_int64, ctypes.c_uint64,
+                                 ctypes.c_uint8, ctypes.c_double)
+            lib.encode_partition.argtypes = [
+                P(i64), P(i64), P(i64), P(i64), P(f64), i64,
+                i64, f64, f64, f64,
+                P(u64), P(u64), P(i64), P(i64), P(i64),
+                P(i64), P(i64), P(i64), P(i64), P(i64), P(f64),
+                P(i64), P(i64), P(u8), P(u8), P(i64)]
+            lib.encode_partition.restype = i64
+        _encode_lib = lib
+    return _encode_lib

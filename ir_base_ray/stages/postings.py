@@ -34,7 +34,7 @@ import ray
 import ray.data
 
 from ir_base_ray.functions.codec import varbyte_encode_with_lengths
-from ir_base_ray.functions.scoring import bm25_weights_from_idf
+from ir_base_ray.functions.scoring import BM25_B, BM25_K1, bm25_weights_from_idf
 
 
 _FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -150,6 +150,126 @@ def explode_postings_distributed(analyzed_ds, dict_ds, *, block_doc_range: int,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+# per-process grow-only scratch for the C encode kernel: a worker's first
+# partition faults the buffers in, the rest of its group reuses them
+# (BASELINE.md §8 pattern — encode was the allocation-bound stage)
+_ENC_SCR: dict = {}
+
+
+def _enc_scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _ENC_SCR.get(name)
+    if buf is None or len(buf) < n:
+        buf = np.empty(max(n, 1024, 0 if buf is None else 2 * len(buf)), dtype)
+        _ENC_SCR[name] = buf
+    return buf
+
+
+def _idf_per_posting(tid, df, idf_by_tid, N, out: np.ndarray) -> np.ndarray:
+    """Per-posting IDF, aligned with the (unsorted) input rows, written into
+    ``out``: broadcast-LUT gather on the driver-dictionary path, scalar-libm
+    per DISTINCT df on the distributed path (bit-identical both ways)."""
+    if df is not None:
+        from ir_base_ray.functions.scoring import bm25_idf_exact
+
+        uniq_df, inv = np.unique(df, return_inverse=True)
+        idf_lut = np.array([bm25_idf_exact(N, float(d)) for d in uniq_df],
+                           dtype=np.float64)
+        np.take(idf_lut, inv, out=out)
+    else:
+        np.take(idf_by_tid, tid, out=out)
+    return out
+
+
+def _encode_arrays_c(lib, part: int, tid, did, tf, dl, *, index_dir: str,
+                     block_doc_range: int, avgdl: float, idf_by_tid=None,
+                     df=None, N=None, t0: float) -> dict:
+    """C-kernel twin of the numpy ``_encode_arrays`` body (pinned
+    byte-identical by pytest): radix sort + block split + BM25 block max +
+    delta/varbyte emission in one call over per-process scratch. The output
+    table never escapes this function (written to parquet, then dropped), so
+    the binary columns can view the scratch blobs zero-copy."""
+    import ctypes
+
+    n = int(tid.size)
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    s_tid = _enc_scratch("tid", n, np.int64)
+    s_did = _enc_scratch("did", n, np.int64)
+    s_tf = _enc_scratch("tf", n, np.int64)
+    s_dl = _enc_scratch("dl", n, np.int64)
+    np.copyto(s_tid[:n], tid)
+    np.copyto(s_did[:n], did)
+    np.copyto(s_tf[:n], tf)
+    np.copyto(s_dl[:n], dl)
+    idf = _idf_per_posting(s_tid[:n], df, idf_by_tid, N,
+                           _enc_scratch("idf", n, np.float64)[:n])
+    key = _enc_scratch("key", n, np.uint64)
+    key_tmp = _enc_scratch("key_tmp", n, np.uint64)
+    ord_ = _enc_scratch("ord", n, np.int64)
+    ord_tmp = _enc_scratch("ord_tmp", n, np.int64)
+    cnt = _enc_scratch("cnt", 65536, np.int64)
+    o_term = _enc_scratch("o_term", n, np.int64)
+    o_chunk = _enc_scratch("o_chunk", n, np.int64)
+    o_count = _enc_scratch("o_count", n, np.int64)
+    o_mindoc = _enc_scratch("o_mindoc", n, np.int64)
+    o_maxdoc = _enc_scratch("o_maxdoc", n, np.int64)
+    o_maxscore = _enc_scratch("o_maxscore", n, np.float64)
+    doc_bounds = _enc_scratch("doc_bounds", n + 1, np.int64)
+    tf_bounds = _enc_scratch("tf_bounds", n + 1, np.int64)
+    doc_blob = _enc_scratch("doc_blob", 10 * n, np.uint8)
+    tf_blob = _enc_scratch("tf_blob", 10 * n, np.uint8)
+    scalars = np.zeros(3, np.int64)
+    nb = int(lib.encode_partition(
+        i64p(s_tid), i64p(s_did), i64p(s_tf), i64p(s_dl),
+        idf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        int(block_doc_range), float(avgdl), float(BM25_K1), float(BM25_B),
+        key.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        key_tmp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        i64p(ord_), i64p(ord_tmp), i64p(cnt),
+        i64p(o_term), i64p(o_chunk), i64p(o_count),
+        i64p(o_mindoc), i64p(o_maxdoc),
+        o_maxscore.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        i64p(doc_bounds), i64p(tf_bounds),
+        doc_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tf_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        i64p(scalars)))
+
+    def _binary_col(blob: np.ndarray, size: int, bounds: np.ndarray) -> pa.Array:
+        if size <= np.iinfo(np.int32).max:
+            return pa.Array.from_buffers(
+                pa.binary(), nb,
+                [None, pa.py_buffer(bounds[:nb + 1].astype(np.int32)),
+                 pa.py_buffer(blob[:size])])
+        return pa.Array.from_buffers(
+            pa.large_binary(), nb,
+            [None, pa.py_buffer(bounds[:nb + 1].copy()), pa.py_buffer(blob[:size])])
+
+    out = pa.table({
+        "term_id": pa.array(o_term[:nb], pa.int64()),
+        "chunk": pa.array(o_chunk[:nb], pa.int64()),
+        "count": pa.array(o_count[:nb], pa.int64()),
+        "min_doc": pa.array(o_mindoc[:nb], pa.int64()),
+        "max_doc": pa.array(o_maxdoc[:nb], pa.int64()),
+        "max_score": pa.array(o_maxscore[:nb], pa.float64()),
+        "doc_bytes": _binary_col(doc_blob, int(scalars[0]), doc_bounds),
+        "tf_bytes": _binary_col(tf_blob, int(scalars[1]), tf_bounds),
+    })
+    part_dir = os.path.join(index_dir, "postings", f"part={part}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, "blocks.parquet.tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(part_dir, "blocks.parquet"))
+
+    from ir_base_ray.state.manifest import content_hash_of, write_manifest
+
+    write_manifest(
+        index_dir, part,
+        rows=nb, terms=int(scalars[2]), postings=n,
+        content_hash=content_hash_of(out.column("doc_bytes").slice(0, 64).to_pylist()),
+        elapsed_s=time.time() - t0,
+    )
+    return {"part": part, "blocks": nb, "postings": n}
+
+
 def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
                    block_doc_range: int, avgdl: float, idf_by_tid=None,
                    df=None, N=None, t0: float) -> dict:
@@ -158,7 +278,19 @@ def _encode_arrays(part: int, tid, did, tf, dl, *, index_dir: str,
     the broadcast ``idf_by_tid`` lookup (driver-dictionary path) or is derived
     from the aligned per-posting ``df`` column (distributed-dictionary path) —
     scalar libm per distinct df, so both paths produce bit-identical
-    max_score."""
+    max_score. Dispatches to the C kernel (``_encode_arrays_c``) when ids fit
+    the fused 64-bit sort key; this numpy body is the fallback/parity twin."""
+    from ir_base_ray.functions.ckernels import encode_kernel
+
+    _lib = encode_kernel()
+    if (_lib is not None and tid.size
+            and not os.environ.get("IR_ENCODE_NUMPY")
+            and int(tid.max()) < (1 << 31) and int(did.max()) < (1 << 32)
+            and int(did.min()) >= 0):
+        return _encode_arrays_c(
+            _lib, part, tid, did, tf, dl, index_dir=index_dir,
+            block_doc_range=block_doc_range, avgdl=avgdl,
+            idf_by_tid=idf_by_tid, df=df, N=N, t0=t0)
     if (tid.size and int(tid.max()) < (1 << 31) and int(did.max()) < (1 << 32)
             and int(did.min()) >= 0):
         # single-key stable sort: one pass instead of lexsort's two (tid is

