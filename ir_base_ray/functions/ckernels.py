@@ -1309,3 +1309,50 @@ def encode_kernel():
             lib.encode_partition.restype = i64
         _encode_lib = lib
     return _encode_lib
+
+
+# ---------------------------------------------------------------------------
+# MinHash minwise reduce: per doc segment of shingle hashes, per permutation
+# p: min over (h * a[p] + b[p]) in uint64 wraparound — identical values to
+# the numpy per-doc scratch loop it replaces (stages/dedup.MinHashActor).
+# ---------------------------------------------------------------------------
+
+_MINHASH_SRC = r"""
+#include <stdint.h>
+
+void minhash_sigs(const uint64_t *h, const int64_t *bounds, int64_t ndocs,
+                  const uint64_t *a, const uint64_t *b, int64_t P,
+                  uint64_t *out) {
+    for (int64_t d = 0; d < ndocs; d++) {
+        uint64_t *row = out + d * P;
+        int64_t s = bounds[d], e = bounds[d + 1];
+        if (e <= s) continue;               /* caller pre-fills sentinel */
+        for (int64_t p = 0; p < P; p++) row[p] = h[s] * a[p] + b[p];
+        for (int64_t i = s + 1; i < e; i++) {
+            uint64_t x = h[i];
+            for (int64_t p = 0; p < P; p++) {
+                uint64_t v = x * a[p] + b[p];
+                if (v < row[p]) row[p] = v;
+            }
+        }
+    }
+}
+"""
+
+_minhash_lib = None
+_minhash_tried = False
+
+
+def minhash_kernel():
+    global _minhash_lib, _minhash_tried
+    if not _minhash_tried:
+        _minhash_tried = True
+        lib = load("minhashsigs", _MINHASH_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, u64 = ctypes.c_int64, ctypes.c_uint64
+            lib.minhash_sigs.argtypes = [
+                P(u64), P(i64), i64, P(u64), P(u64), i64, P(u64)]
+            lib.minhash_sigs.restype = None
+        _minhash_lib = lib
+    return _minhash_lib

@@ -127,45 +127,106 @@ class MinHashActor:
         self._scratch: np.ndarray | None = None  # grow-only per-actor buffer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """One C MD5 call + one chunked (perm × shingle) min-reduce per
-        BATCH: all docs' distinct shingles are concatenated (doc boundaries
-        kept), hashed in a single kernel pass, and the per-permutation
-        minwise reduction runs as ``np.minimum.reduceat`` over the doc
-        segments — same values as the old per-doc loop, ~10× less Python."""
-        from ir_base_ray.functions.ckernels import md5_prefix64_strings
+        """Fully vectorized signature pass, value-identical to the per-doc
+        ``_word_shingles`` walk: Arrow splits the batch to tokens once;
+        shingle STRINGS for docs with ≥ n tokens are built in Arrow C++ as
+        ``binary_join_element_wise`` over n shifted slices of the flat token
+        column (window duplicates don't move a minwise min, so the per-doc
+        set() dedup is dropped); docs with 1..n-1 tokens contribute their
+        single joined-tokens shingle (``_word_shingles`` short-doc rule);
+        one batched C MD5 call hashes everything; the per-permutation
+        minwise reduce runs in the C kernel over per-doc segments
+        (numpy scratch-loop fallback). Docs with no tokens keep the
+        ``_MERSENNE`` sentinel row."""
+        import pyarrow.compute as pc
 
-        texts = batch.column(self.text_col).to_pylist()
-        all_shingles: list[str] = []
-        bounds = [0]
-        for t in texts:
-            all_shingles.extend(_word_shingles((t or "").split(), self.shingle_n))
-            bounds.append(len(all_shingles))
-        n_docs = len(texts)
+        from ir_base_ray.functions.ckernels import (
+            md5_prefix64_strings,
+            minhash_kernel,
+        )
+
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_docs = len(lists)
         num_perm = self.a.size
+        n = self.shingle_n
+        cnt_raw = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_raw = lists.flatten()
+        # Python ``str.split()`` drops the empty EDGE chunks Arrow keeps
+        # (empty / leading / trailing whitespace): filter them and recount
+        nonempty = pc.not_equal(flat_raw, "")
+        flat = flat_raw.filter(nonempty)
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), cnt_raw)
+        cnt = np.bincount(doc_of_pos[ne], minlength=n_docs).astype(np.int64)
+        offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        F = len(flat)
+
         sigs = np.full((n_docs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
-        if all_shingles:
-            hashes = md5_prefix64_strings(pa.array(all_shingles, pa.string()))
-            # Per-doc (n_shingles × P) product into a persistent grow-only
-            # scratch buffer: never materializes the batch-wide (N × P)
-            # product (which at block-sized batches is a 100MB+ fresh
-            # allocation — first-touch page faults on this VM class cost
-            # ~ms/page, so large fresh temporaries dominate the stage), and
-            # np.minimum.reduceat is 100-1000× slower still (measured,
-            # per-segment ufunc dispatch). The doc loop itself is μs-scale.
-            max_seg = int(np.max(np.diff(np.asarray(bounds))))
-            if self._scratch is None or self._scratch.shape[0] < max_seg:
-                self._scratch = np.empty((max_seg, num_perm), dtype=np.uint64)
-            buf = self._scratch
-            for d in range(n_docs):
-                s, e = bounds[d], bounds[d + 1]
-                if e > s:
+
+        # docs with >= n tokens: all n-token windows of the flat column,
+        # then keep the within-doc ones (each doc owns windows
+        # [start, start + cnt - n]); cross-doc windows are dropped
+        big = cnt >= n
+        if F >= n and big.any():
+            slices = [flat.slice(k, F - n + 1) for k in range(n)]
+            windows = (pc.binary_join_element_wise(*slices, " ")
+                       if n > 1 else flat)
+            k_big = cnt[big] - n + 1
+            starts = offs[:-1][big]
+            total = int(k_big.sum())
+            # segmented arange: valid window indices, doc-major
+            seg_end = np.cumsum(k_big)
+            idx = np.arange(total, dtype=np.int64) - np.repeat(seg_end - k_big, k_big)
+            idx += np.repeat(starts, k_big)
+            shingles = pc.take(windows, pa.array(idx, pa.int64()))
+            hashes = md5_prefix64_strings(shingles)
+            bounds = np.zeros(len(k_big) + 1, np.int64)
+            np.cumsum(k_big, out=bounds[1:])
+            lib = minhash_kernel()
+            big_sigs = np.empty((len(k_big), num_perm), np.uint64)
+            if lib is not None:
+                import ctypes
+
+                u64p = lambda a_: a_.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+                lib.minhash_sigs(
+                    u64p(hashes),
+                    bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    len(k_big), u64p(self.a), u64p(self.b), num_perm,
+                    u64p(big_sigs))
+            else:
+                max_seg = int(k_big.max())
+                if self._scratch is None or self._scratch.shape[0] < max_seg:
+                    self._scratch = np.empty((max_seg, num_perm), dtype=np.uint64)
+                buf = self._scratch
+                for d in range(len(k_big)):
+                    s, e = bounds[d], bounds[d + 1]
                     v = buf[:e - s]
                     np.multiply(hashes[s:e, None], self.a[None, :], out=v)
-                    v += self.b[None, :]        # uint64 wraparound == mod 2^64
-                    sigs[d] = v.min(axis=0)
+                    v += self.b[None, :]    # uint64 wraparound == mod 2^64
+                    big_sigs[d] = v.min(axis=0)
+            sigs[big] = big_sigs
+
+        # docs with 1..n-1 tokens: ONE shingle = all tokens joined
+        short = (cnt > 0) & ~big
+        if short.any():
+            short_idx = np.flatnonzero(short)
+            joined = [" ".join(flat[offs[d]:offs[d + 1]].to_pylist())
+                      for d in short_idx]
+            h = md5_prefix64_strings(pa.array(joined, pa.string()))
+            sigs[short_idx] = (h[:, None] * self.a[None, :]) + self.b[None, :]
+
+        sig_offs = pa.array(np.arange(0, (n_docs + 1) * num_perm, num_perm,
+                                      dtype=np.int32), pa.int32())
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+            "sig": pa.ListArray.from_arrays(
+                sig_offs, pa.array(sigs.ravel(), pa.uint64())),
         })
 
 

@@ -651,3 +651,43 @@ def test_attribute_aware_lda(ray_session):
     out2 = train_attr_lda(ds, n_aspects=1, vocab_size=30, n_iters=6,
                           pr_start=2, seed=59)
     assert np.array_equal(tt, out2["topic_term"])
+
+
+def test_minhash_vectorized_sigs_match_per_doc_walk():
+    """The Arrow/C MinHash signature pass must be VALUE-identical to the
+    straightforward per-doc walk (_word_shingles distinct-set + minwise over
+    (a*h+b) mod 2^64), across long docs, short docs (<n tokens), empty and
+    whitespace-only docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ir_base_ray.stages.dedup import (
+        _MERSENNE,
+        MinHashActor,
+        _minhash_params,
+        _shingle_hashes,
+        _word_shingles,
+    )
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "x", "NUM", "ülm", "a-b"]
+    texts = []
+    for _ in range(200):
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(words, k)))
+    texts += ["", "   ", "one", "one two", "\tone\n two  three "]
+
+    actor = MinHashActor(num_perm=64, shingle_n=3, seed=7)
+    out = actor(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    got = np.asarray(out.column("sig").combine_chunks().flatten()
+                     .to_numpy(zero_copy_only=False)).reshape(len(texts), 64)
+
+    a, b = _minhash_params(64, 7)
+    for i, t in enumerate(texts):
+        sh = _word_shingles(t.split(), 3)
+        if not sh:
+            exp = np.full(64, np.uint64(_MERSENNE), np.uint64)
+        else:
+            h = _shingle_hashes(sh)
+            exp = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        assert np.array_equal(got[i].astype(np.uint64), exp), (i, t)
