@@ -832,16 +832,23 @@ def sql_minhash_lsh(num_perm: int = 64, num_bands: int = 16,
     Recomputes the exact pipeline: distinct 3-word shingles → md5-prefix
     64-bit shingle hash → per-permutation min of (h*a + b) mod 2^64 (HUGEINT
     intermediate: h < 2^64, a < 2^61 ⇒ product < 2^125 < HUGEINT max; numpy's
-    uint64 wraparound IS mod 2^64) → band rows keyed by the joined decimal
-    band values (value equality ≡ band-hash equality) → distinct candidate
-    pairs → exact distinct-shingle Jaccard ≥ threshold. Permutation constants
-    come from the same seeded generator as stages/dedup._minhash_params."""
-    from ir_base_ray.stages.dedup import _minhash_params
+    uint64 wraparound IS mod 2^64) → band rows keyed by the SAME K-polynomial
+    fold as stages/dedup.band_keys, Σ_j v_j·K^(p mod width) mod 2^64
+    (v < 2^64, K^(width-1) ≈ 2^46 ⇒ product < 2^110 < HUGEINT max, so both
+    engines produce identical key values and identical bucketing) → distinct
+    candidate pairs → exact distinct-shingle Jaccard ≥ threshold. Permutation
+    constants come from the same seeded generator as
+    stages/dedup._minhash_params."""
+    from ir_base_ray.stages.dedup import _BAND_K, _minhash_params
 
     a, b = _minhash_params(num_perm, seed)
     width = num_perm // num_bands
     perm_vals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
                           for p in range(num_perm))
+    m64 = 1 << 64
+    pow_case = ("CASE p % {w} " + " ".join(
+        f"WHEN {j} THEN {int(_BAND_K) ** j}::HUGEINT"
+        for j in range(width)) + " END").format(w=width)
     return rf"""
 WITH raw AS (
   SELECT doc_id,
@@ -873,7 +880,7 @@ sig AS (
   FROM hashed JOIN perms ON true GROUP BY doc_id, p),
 bands AS (
   SELECT doc_id, p // {width} AS band_id,
-         string_agg(v, '-' ORDER BY p) AS band_key
+         sum((v * ({pow_case})) % {m64}::HUGEINT) % {m64}::HUGEINT AS band_key
   FROM sig GROUP BY doc_id, band_id),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -230,36 +230,44 @@ class MinHashActor:
         })
 
 
+# Band-key polynomial base: key = Σ_j v_j · K^j (mod 2^64) over the band's
+# signature values. K^(width-1)·2^64 must fit signed int128 so the DuckDB
+# oracle can mirror the fold exactly in HUGEINT (K^4 ≈ 2^61.3 still safe);
+# both engines compute identical key values, so bucketing — including any
+# astronomically-unlikely collision — is identical. Replaces the '-'-joined
+# decimal-string key: same bucket equivalence, ~10× smaller shuffle rows and
+# a fixed-width groupby key.
+_BAND_K = np.uint64(40503)
+
+
+def band_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures → (n_docs, num_bands) uint64
+    band keys via the K-polynomial fold in uint64 wraparound (== mod 2^64)."""
+    n, num_perm = sigs.shape
+    rows_per = num_perm // num_bands
+    pows = np.power(_BAND_K, np.arange(rows_per, dtype=np.uint64))
+    return (sigs.reshape(n, num_bands, rows_per) * pows[None, None, :]) \
+        .sum(axis=2, dtype=np.uint64)
+
+
 def minhash_bands(sig_ds, *, num_bands: int, id_col: str = "doc_id"):
     """signatures → exploded (band_id, band_hash, doc_id) rows for the LSH
     bucket groupby."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        # Band key = the '-'-joined decimal band VALUES (the same device as
-        # the SQL oracle's band_key): exact value equality, zero hash calls,
-        # fully vectorized in Arrow C++ (cast + binary_join_element_wise).
-        # Replaces a per-doc-per-band blake2b Python loop.
         ids = np.asarray(batch.column(id_col).to_numpy())
         sig_col = batch.column("sig")
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
         flat = sig_col.flatten().to_numpy(zero_copy_only=False)
         sigs = np.ascontiguousarray(flat.astype(np.uint64)).reshape(len(ids), -1)
-        num_perm = sigs.shape[1]
-        rows_per = num_perm // num_bands
-        str_cols = [pc.cast(pa.array(sigs[:, p]), pa.string())
-                    for p in range(num_perm)]
-        out_ids, out_band, out_hash = [], [], []
-        for bnd in range(num_bands):
-            key = pc.binary_join_element_wise(
-                *str_cols[bnd * rows_per:(bnd + 1) * rows_per], "-")
-            out_ids.append(ids)
-            out_band.append(np.full(ids.shape, bnd, dtype=np.int64))
-            out_hash.append(key)
+        keys = band_keys(sigs, num_bands)
+        n = len(ids)
         return pa.table({
-            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
-            "band_id": pa.array(np.concatenate(out_band), pa.int64()),
-            "band_hash": pa.concat_arrays(out_hash),
+            id_col: pa.array(np.repeat(ids, num_bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int64), n),
+                                pa.int64()),
+            "band_hash": pa.array(keys.ravel().view(np.int64), pa.int64()),
         })
 
     return sig_ds.map_batches(explode, batch_format="pyarrow")
@@ -288,16 +296,33 @@ def minhash_candidate_pairs(band_ds, id_col: str = "doc_id",
         lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
         batch_format="pyarrow").to_pandas()
     if 0 < len(hot) <= hot_bucket_broadcast_max:
-        hot_ref = ray.put(set(zip(hot["band_id"], hot["band_hash"])))
+        # vectorized membership on a combined (hash, band) key: a collision
+        # in the combined key can only KEEP extra rows (superset filter) —
+        # the exact (band_id, band_hash) groupby below still produces
+        # singleton groups for them, so no false pairs are possible
+        if np.issubdtype(hot["band_hash"].dtype, np.number):
+            hot_keys = (hot["band_hash"].to_numpy().view(np.uint64)
+                        + hot["band_id"].to_numpy().view(np.uint64))
+        else:  # string band keys (legacy callers): hash to u64 first
+            hot_keys = (pd.util.hash_array(hot["band_hash"].to_numpy())
+                        + hot["band_id"].to_numpy().view(np.uint64))
+        hot_ref = ray.put(np.sort(hot_keys))
 
         def keep_hot(batch: pa.Table) -> pa.Table:
-            hot_set = ray.get(hot_ref)
-            mask = [
-                (b, h) in hot_set
-                for b, h in zip(batch.column("band_id").to_pylist(),
-                                batch.column("band_hash").to_pylist())
-            ]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            keys = ray.get(hot_ref)
+            bid = batch.column("band_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            bh = batch.column("band_hash")
+            if pa.types.is_integer(bh.type):
+                comb = bh.to_numpy(zero_copy_only=False).astype(np.int64) \
+                    .view(np.uint64) + bid
+            else:
+                comb = pd.util.hash_array(
+                    bh.to_numpy(zero_copy_only=False)) + bid
+            idx = np.searchsorted(keys, comb)
+            idx[idx >= keys.size] = 0
+            mask = keys[idx] == comb
+            return batch.filter(pa.array(mask))
 
         band_ds = band_ds.map_batches(keep_hot, batch_format="pyarrow")
     elif len(hot) == 0:
