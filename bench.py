@@ -226,7 +226,12 @@ def run_scaling():
     §3-4 for the microbenchmark evidence."""
     out = {}
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-    for ncpu in (4, 16, 32):
+    # GRAFT_SCALING_LEVELS overrides the ladder (comma list, e.g. "2,8" to
+    # measure the N→4N pair in the low-concurrency region where the box's
+    # shared DRAM/fault path is not yet the binding constraint)
+    levels = tuple(int(x) for x in os.environ.get(
+        "GRAFT_SCALING_LEVELS", "4,16,32").split(","))
+    for ncpu in levels:
         best = None
         for _ in range(reps):
             # run isolation: flush dirty writeback from the previous build and
@@ -247,18 +252,19 @@ def run_scaling():
                 best = r  # best-of-N: the VM's fault-path noise is strictly additive
         out[ncpu] = best
     thr = {n: out[n]["docs_per_sec"] for n in out}
-    print(json.dumps({
-        "metric": "indexing throughput scaling (N→4N at 4→16 cpus; 16→32 shown too)",
-        "docs_per_sec_4": thr[4],
-        "docs_per_sec_16": thr[16],
-        "docs_per_sec_32": thr[32],
-        "sec_4": out[4]["queries"]["index_build"],
-        "sec_16": out[16]["queries"]["index_build"],
-        "sec_32": out[32]["queries"]["index_build"],
-        "scaling_efficiency": round((thr[16] / thr[4]) / 4, 3),
-        "scaling_efficiency_16_32": round((thr[32] / thr[16]) / 2, 3),
+    result = {
+        "metric": "indexing throughput scaling (N→4N pairs across the ladder)",
         "sf": SF_DIR,
-    }))
+    }
+    for n in levels:
+        result[f"docs_per_sec_{n}"] = thr[n]
+        result[f"sec_{n}"] = out[n]["queries"]["index_build"]
+    for lo, hi in zip(levels, levels[1:]):
+        eff = round((thr[hi] / thr[lo]) / (hi / lo), 3)
+        key = ("scaling_efficiency" if (lo, hi) == (4, 16)
+               else f"scaling_efficiency_{lo}_{hi}")
+        result[key] = eff
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -65,20 +65,36 @@ def train_naive_bayes(ds, *, label_col: str, text_col: str, tokenizer,
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        acc: Counter = Counter()
-        doc_counts: Counter = Counter()
+        # tokenization is per-doc (the tokenizer mirrors the SQL oracle); the
+        # (label, term) merge is batched — flat label/term/tf arrays, one
+        # pandas factorize + bincount instead of a Python Counter over tuples
+        labs: list[str] = []
+        terms: list[str] = []
+        tfs: list[float] = []
         for lab, t in zip(batch.column(label_col).to_pylist(),
                           batch.column(text_col).to_pylist()):
-            doc_counts[lab] += 1
-            for term, tf in tokenizer(t or "").items():
-                acc[(lab, term)] += 1 if presence else tf
-        keys = sorted(acc)
+            counts = tokenizer(t or "")
+            lab = str(lab)
+            labs.extend([lab] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        if not terms:
+            return pa.table({"label": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf_part": pa.array([], pa.float64())})
+        import numpy as np
+        import pandas as pd
+
+        key = pd.MultiIndex.from_arrays([labs, terms])
+        codes, uniq = pd.factorize(key, sort=True)
+        w = (np.ones(len(tfs)) if presence
+             else np.asarray(tfs, dtype=np.float64))
+        sums = np.bincount(codes, weights=w, minlength=len(uniq))
         return pa.table({
-            "label": pa.array([str(k[0]) for k in keys], pa.string()),
-            "term": pa.array([k[1] for k in keys], pa.string()),
-            "tf_part": pa.array([acc[k] for k in keys], pa.float64()),
-            # doc-count partials ride along with term='' sentinel rows
-        }).select(["label", "term", "tf_part"])
+            "label": pa.array(uniq.get_level_values(0), pa.string()),
+            "term": pa.array(uniq.get_level_values(1), pa.string()),
+            "tf_part": pa.array(sums, pa.float64()),
+        })
 
     stats = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -612,6 +612,10 @@ def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text", concurre
     )
 
 
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
     """Banded simhash lookup: split 64 bits into (max_hamming+1) bands — any
     pair within the distance budget shares ≥1 exact band (pigeonhole);
@@ -639,17 +643,19 @@ def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
     bands = sim_ds.map_batches(explode, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[[id_col, "simhash_i"]].drop_duplicates().sort_values(id_col).to_numpy()
+        g = group[[id_col, "simhash_i"]].drop_duplicates().sort_values(id_col)
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        a, b, hd = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                x = np.uint64(g[i][1]) ^ np.uint64(g[j][1])
-                d = bin(int(x)).count("1")
-                if d <= max_hamming:
-                    a.append(g[i][0]); b.append(g[j][0]); hd.append(d)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": hd})
+        ids = g[id_col].to_numpy()
+        sh = g["simhash_i"].to_numpy().view(np.uint64)
+        # all i<j pairs vectorized: xor outer product, popcount via the
+        # byte-LUT view (numpy<2 has no bitwise_count)
+        iu, ju = np.triu_indices(len(sh), k=1)
+        x = sh[iu] ^ sh[ju]
+        d = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        keep = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "hamming": d[keep].astype(np.int64)})
 
     from ray.data.aggregate import Min
 
