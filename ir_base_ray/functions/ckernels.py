@@ -1356,3 +1356,334 @@ def minhash_kernel():
             lib.minhash_sigs.restype = None
         _minhash_lib = lib
     return _minhash_lib
+
+
+# ---------------------------------------------------------------------------
+# Posting decode: concatenated varbyte buffers (7-bit little-endian groups,
+# high bit on the LAST byte) → delta-decoded doc ids with a reset at each
+# block boundary + tf values + per-block counts. Bit-identical to
+# functions/codec.decode_postings_concat (the numpy fallback). One pass per
+# stream; block membership tracked against the caller's byte-end offsets.
+# ---------------------------------------------------------------------------
+
+_DECODE_SRC = r"""
+#include <stdint.h>
+
+/* decode varbyte stream; for the doc stream (ends != 0) also apply the
+   per-block delta reset and count values per block. Returns n values. */
+int64_t vb_decode_blocks(const uint8_t *buf, int64_t nbytes,
+                         const int64_t *ends, int64_t nbufs,
+                         int64_t *out, int64_t *counts)
+{
+    int64_t n = 0, blk = 0;
+    int64_t prev = 0;      /* running doc id within the current block */
+    uint64_t v = 0;
+    int shift = 0;
+    if (counts) for (int64_t i = 0; i < nbufs; i++) counts[i] = 0;
+    for (int64_t i = 0; i < nbytes; i++) {
+        if (ends) {
+            while (blk < nbufs && i >= ends[blk]) { blk++; prev = 0; }
+        }
+        uint8_t byte = buf[i];
+        v |= ((uint64_t)(byte & 0x7F)) << shift;
+        shift += 7;
+        if (byte & 0x80) {
+            if (ends) {              /* doc stream: delta with block reset */
+                prev += (int64_t)v;
+                out[n++] = prev;
+                counts[blk]++;
+            } else {
+                out[n++] = (int64_t)v;
+            }
+            v = 0; shift = 0;
+        }
+    }
+    return n;
+}
+"""
+
+_decode_lib = None
+_decode_tried = False
+
+
+def decode_kernel():
+    global _decode_lib, _decode_tried
+    if not _decode_tried:
+        _decode_tried = True
+        lib = load("vbdecode", _DECODE_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, u8 = ctypes.c_int64, ctypes.c_uint8
+            lib.vb_decode_blocks.argtypes = [P(u8), i64, P(i64), i64,
+                                             P(i64), P(i64)]
+            lib.vb_decode_blocks.restype = i64
+        _decode_lib = lib
+    return _decode_lib
+
+
+# ---------------------------------------------------------------------------
+# Fused posting decode + BM25 unit-weight: decode tf and delta-reset doc
+# streams, then w[i] = ((idf * tf) * (k1+1)) / (norm[doc-off] + tf) in the
+# EXACT float64 op/association order of query_engine._term_postings' numpy
+# expression — bit-identical scores, none of the intermediate temporaries.
+# ---------------------------------------------------------------------------
+
+_DECODE_W_SRC = r"""
+#include <stdint.h>
+
+int64_t decode_weighted(const uint8_t *doc_buf, int64_t doc_nbytes,
+                        const int64_t *ends, int64_t nbufs,
+                        const uint8_t *tf_buf, int64_t tf_nbytes,
+                        double idf, double k1p1,
+                        const double *norm, int64_t doc_off,
+                        int64_t *out_docs, double *out_w, int64_t *counts)
+{
+    /* doc stream: varbyte + per-block delta reset */
+    int64_t n = 0, blk = 0, prev = 0;
+    uint64_t v = 0; int shift = 0;
+    for (int64_t i = 0; i < nbufs; i++) counts[i] = 0;
+    for (int64_t i = 0; i < doc_nbytes; i++) {
+        while (blk < nbufs && i >= ends[blk]) { blk++; prev = 0; }
+        uint8_t byte = doc_buf[i];
+        v |= ((uint64_t)(byte & 0x7F)) << shift;
+        shift += 7;
+        if (byte & 0x80) {
+            prev += (int64_t)v;
+            out_docs[n++] = prev;
+            counts[blk]++;
+            v = 0; shift = 0;
+        }
+    }
+    /* tf stream decoded in lockstep into the weight formula */
+    int64_t m = 0;
+    v = 0; shift = 0;
+    for (int64_t i = 0; i < tf_nbytes; i++) {
+        uint8_t byte = tf_buf[i];
+        v |= ((uint64_t)(byte & 0x7F)) << shift;
+        shift += 7;
+        if (byte & 0x80) {
+            double tf = (double)(int64_t)v;
+            out_w[m] = ((idf * tf) * k1p1)
+                       / (norm[out_docs[m] - doc_off] + tf);
+            m++;
+            v = 0; shift = 0;
+        }
+    }
+    return n == m ? n : -1;
+}
+"""
+
+_decode_w_lib = None
+_decode_w_tried = False
+
+
+def decode_weighted_kernel():
+    global _decode_w_lib, _decode_w_tried
+    if not _decode_w_tried:
+        _decode_w_tried = True
+        lib = load("vbdecodew", _DECODE_W_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, u8, f64 = ctypes.c_int64, ctypes.c_uint8, ctypes.c_double
+            lib.decode_weighted.argtypes = [
+                P(u8), i64, P(i64), i64, P(u8), i64,
+                f64, f64, P(f64), i64, P(i64), P(f64), P(i64)]
+            lib.decode_weighted.restype = i64
+        _decode_w_lib = lib
+    return _decode_w_lib
+
+
+# ---------------------------------------------------------------------------
+# Fused candidate merge + bounded top-k: the candidates arrive as
+# ascending-doc runs (one per (chunk, term), chunk ranges disjoint), so a
+# T-way run merge replaces the Python path's stable argsort entirely; equal
+# docs sum their contributions in part (= tid) order — the same float64 add
+# sequence as np.add.reduceat over the stable argsort — then flow through
+# the reference's exact MyPriorityQueue admission/insert semantics
+# (functions/topk.BoundedTopK — incumbent-wins ties, mid-probe equal
+# insertion). Bit- and tie-identical to the Python path by construction;
+# pinned by pytest.
+# ---------------------------------------------------------------------------
+
+_SCORE_SRC = r"""
+#include <stdint.h>
+
+/* MyPriorityQueue.add on descending (qs, qi); returns new length.
+   qs/qi must have capacity k+1. */
+static inline int64_t q_add(double *qs, int64_t *qi, int64_t len, int64_t k,
+                            double s, int64_t d) {
+    if (len >= k && qs[len - 1] >= s) return len;  /* incumbent wins ties */
+    int64_t start = 0, end = len;
+    while (start != end) {
+        int64_t mid = (start + end) / 2;
+        double pivot = qs[mid];
+        if (s > pivot) end = mid;
+        else if (s == pivot) { start = mid; break; }
+        else start = mid + 1;
+    }
+    for (int64_t i = len; i > start; i--) { qs[i] = qs[i-1]; qi[i] = qi[i-1]; }
+    qs[start] = s; qi[start] = d;
+    len++;
+    return len > k ? k : len;  /* drop the shifted-out minimum */
+}
+
+/* Candidates arrive as ascending-doc runs: parts[p] = (doc ptr, w ptr, len),
+   grouped by grp[p] (non-decreasing; one group per chunk, chunk doc ranges
+   disjoint ascending). Per group: T-way merge of the runs, contributions for
+   equal docs summed in part order (= tid order, matching the stable-argsort
+   + reduceat Python path), each (doc, sum) fed through q_add. */
+int64_t merge_score_topk(const int64_t *const *doc_ptrs,
+                         const double *const *w_ptrs,
+                         const int64_t *lens, const int64_t *grp,
+                         int64_t nparts, int64_t *pos,
+                         int64_t k, double *qs, int64_t *qi, int64_t q_len)
+{
+    int64_t g0 = 0;
+    while (g0 < nparts) {
+        int64_t g1 = g0;
+        while (g1 < nparts && grp[g1] == grp[g0]) g1++;
+        for (int64_t p = g0; p < g1; p++) pos[p] = 0;
+        for (;;) {
+            /* min head doc across the group's runs */
+            int64_t best = -1; int64_t bd = 0;
+            for (int64_t p = g0; p < g1; p++) {
+                if (pos[p] < lens[p]) {
+                    int64_t d = doc_ptrs[p][pos[p]];
+                    if (best < 0 || d < bd) { best = p; bd = d; }
+                }
+            }
+            if (best < 0) break;
+            double sum = 0.0;
+            for (int64_t p = g0; p < g1; p++) {      /* part order = tid order */
+                if (pos[p] < lens[p] && doc_ptrs[p][pos[p]] == bd) {
+                    sum += w_ptrs[p][pos[p]];
+                    pos[p]++;
+                }
+            }
+            q_len = q_add(qs, qi, q_len, k, sum, bd);
+        }
+        g0 = g1;
+    }
+    return q_len;
+}
+"""
+
+_score_lib = None
+_score_tried = False
+
+
+def score_kernel():
+    global _score_lib, _score_tried
+    if not _score_tried:
+        _score_tried = True
+        lib = load("mergescore", _SCORE_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, u64, f64 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_double
+            lib.merge_score_topk.argtypes = [
+                P(P(i64)), P(P(f64)), P(i64), P(i64), i64, P(i64),
+                i64, P(f64), P(i64), i64]
+            lib.merge_score_topk.restype = i64
+        _score_lib = lib
+    return _score_lib
+
+
+# ---------------------------------------------------------------------------
+# Whole-query block-max WAND loop: one C call per query replaces the Python
+# prune-group loop. Chunks ascend; per-term advancing block cursors locate
+# each chunk's posting run (no binary search); the admission threshold is
+# re-checked per CHUNK (finer than the Python path's per-group check — a
+# skipped chunk's upper bound ≤ threshold can only contain docs add() would
+# reject, so results are bit- and tie-identical; the proof is the same
+# sound-upper-bound + strict-> admission + non-decreasing-threshold argument
+# as query_engine.topk's docstring). Within a chunk, runs merge in term
+# order with sequential float64 adds — the reduceat order.
+# ---------------------------------------------------------------------------
+
+_WAND_SRC = r"""
+#include <stdint.h>
+
+static inline int64_t q_add(double *qs, int64_t *qi, int64_t len, int64_t k,
+                            double s, int64_t d) {
+    if (len >= k && qs[len - 1] >= s) return len;  /* incumbent wins ties */
+    int64_t start = 0, end = len;
+    while (start != end) {
+        int64_t mid = (start + end) / 2;
+        double pivot = qs[mid];
+        if (s > pivot) end = mid;
+        else if (s == pivot) { start = mid; break; }
+        else start = mid + 1;
+    }
+    for (int64_t i = len; i > start; i--) { qs[i] = qs[i-1]; qi[i] = qi[i-1]; }
+    qs[start] = s; qi[start] = d;
+    len++;
+    return len > k ? k : len;
+}
+
+int64_t wand_topk(const int64_t *const *doc_ptrs,
+                  const double *const *w_ptrs,
+                  const int64_t *const *chk_ptrs,
+                  const int64_t *const *off_ptrs,
+                  const int64_t *nblocks, int64_t nterms,
+                  const int64_t *uchunks, const double *chunk_ub,
+                  int64_t nchunks, int64_t k,
+                  double *qs, int64_t *qi, int64_t q_len,
+                  int64_t *bc /* scratch: 3*nterms (block cursor, run pos, run end) */)
+{
+    int64_t *pos = bc + nterms, *re = bc + 2 * nterms;
+    for (int64_t t = 0; t < nterms; t++) bc[t] = 0;
+    for (int64_t j = 0; j < nchunks; j++) {
+        if (q_len >= k && chunk_ub[j] <= qs[k - 1]) continue;
+        int64_t c = uchunks[j];
+        for (int64_t t = 0; t < nterms; t++) {
+            const int64_t *chk = chk_ptrs[t];
+            int64_t b = bc[t], nb = nblocks[t];
+            while (b < nb && chk[b] < c) b++;
+            int64_t lo = b;
+            while (b < nb && chk[b] == c) b++;
+            bc[t] = b;
+            pos[t] = off_ptrs[t][lo];
+            re[t] = off_ptrs[t][b];
+        }
+        for (;;) {
+            int64_t best = -1, bd = 0;
+            for (int64_t t = 0; t < nterms; t++) {
+                if (pos[t] < re[t]) {
+                    int64_t d = doc_ptrs[t][pos[t]];
+                    if (best < 0 || d < bd) { best = t; bd = d; }
+                }
+            }
+            if (best < 0) break;
+            double sum = 0.0;
+            for (int64_t t = 0; t < nterms; t++) {   /* term order = tid order */
+                if (pos[t] < re[t] && doc_ptrs[t][pos[t]] == bd) {
+                    sum += w_ptrs[t][pos[t]];
+                    pos[t]++;
+                }
+            }
+            q_len = q_add(qs, qi, q_len, k, sum, bd);
+        }
+    }
+    return q_len;
+}
+"""
+
+_wand_lib = None
+_wand_tried = False
+
+
+def wand_kernel():
+    global _wand_lib, _wand_tried
+    if not _wand_tried:
+        _wand_tried = True
+        lib = load("wandtopk", _WAND_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            lib.wand_topk.argtypes = [
+                P(P(i64)), P(P(f64)), P(P(i64)), P(P(i64)),
+                P(i64), i64, P(i64), P(f64), i64, i64,
+                P(f64), P(i64), i64, P(i64)]
+            lib.wand_topk.restype = i64
+        _wand_lib = lib
+    return _wand_lib

@@ -104,7 +104,34 @@ def decode_postings_concat(
     doc_bufs: list[bytes], tf_bufs: list[bytes]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch-decode many posting blocks → (doc_ids, tfs, counts-per-block).
-    Bit-identical to per-block ``decode_postings`` concatenated."""
+    Bit-identical to per-block ``decode_postings`` concatenated. Hot path is
+    one C pass per stream (``ckernels.decode_kernel``: varbyte + per-block
+    delta reset fused); numpy fallback below is pinned bit-equal by pytest."""
+    from ir_base_ray.functions.ckernels import decode_kernel
+
+    lib = decode_kernel()
+    if lib is not None:
+        import ctypes
+
+        doc_joined = doc_bufs[0] if len(doc_bufs) == 1 else b"".join(doc_bufs)
+        tf_joined = tf_bufs[0] if len(tf_bufs) == 1 else b"".join(tf_bufs)
+        doc_raw = np.frombuffer(doc_joined, dtype=np.uint8)
+        tf_raw = np.frombuffer(tf_joined, dtype=np.uint8)
+        n_docs = int(np.count_nonzero(doc_raw & 0x80))
+        n_tfs = int(np.count_nonzero(tf_raw & 0x80))
+        ends = np.cumsum(np.fromiter((len(b) for b in doc_bufs),
+                                     dtype=np.int64, count=len(doc_bufs)))
+        docs = np.empty(n_docs, dtype=np.int64)
+        tfs = np.empty(n_tfs, dtype=np.int64)
+        counts = np.empty(len(doc_bufs), dtype=np.int64)
+        P = ctypes.POINTER
+        u8p = lambda a: a.ctypes.data_as(P(ctypes.c_uint8))  # noqa: E731
+        i64p = lambda a: a.ctypes.data_as(P(ctypes.c_int64))  # noqa: E731
+        lib.vb_decode_blocks(u8p(doc_raw), doc_raw.size, i64p(ends),
+                             len(doc_bufs), i64p(docs), i64p(counts))
+        lib.vb_decode_blocks(u8p(tf_raw), tf_raw.size, None, 0,
+                             i64p(tfs), None)
+        return docs, tfs, counts
     gaps, counts = varbyte_decode_concat(doc_bufs)
     tfs, _ = varbyte_decode_concat(tf_bufs)
     return delta_decode_blocks(gaps, counts), tfs.astype(np.int64), counts

@@ -51,6 +51,60 @@ from ir_base_ray.functions.topk import BoundedTopK
 from ir_base_ray.sources.stopwords import load_stopwords
 
 
+class _CTopK:
+    """Queue facade over ckernels.merge_score_topk: same .full/.threshold/
+    .result() surface as BoundedTopK, but insertion happens in one C call
+    per candidate batch (stable radix merge + sequential float64 segment
+    sums + exact MyPriorityQueue tie semantics)."""
+
+    __slots__ = ("k", "qs", "qi", "qlen", "_lib", "_seg")
+
+    def __init__(self, k: int, lib, seg):
+        self.k = k
+        self.qs = np.empty(k + 1, np.float64)
+        self.qi = np.empty(k + 1, np.int64)
+        self.qlen = 0
+        self._lib = lib
+        self._seg = seg
+
+    @property
+    def full(self) -> bool:
+        return self.qlen >= self.k
+
+    @property
+    def threshold(self) -> float:
+        return float(self.qs[self.qlen - 1]) if self.qlen >= self.k else float("-inf")
+
+    def insert_parts(self, parts_d: list, parts_w: list,
+                     parts_g: list | None = None) -> None:
+        import ctypes
+
+        n = len(parts_d)
+        if n == 0:
+            return
+        addr_d, addr_w, lens, grp, pos = self._seg._score_scratch(n)
+        for i in range(n):
+            addr_d[i] = parts_d[i].ctypes.data
+            addr_w[i] = parts_w[i].ctypes.data
+            lens[i] = parts_d[i].size
+        if parts_g is None:
+            grp[:n] = 0
+        else:
+            grp[:n] = parts_g
+        P = ctypes.POINTER
+        i64 = ctypes.c_int64
+        self.qlen = int(self._lib.merge_score_topk(
+            addr_d.ctypes.data_as(P(P(i64))),
+            addr_w.ctypes.data_as(P(P(ctypes.c_double))),
+            lens.ctypes.data_as(P(i64)), grp.ctypes.data_as(P(i64)),
+            n, pos.ctypes.data_as(P(i64)), self.k,
+            self.qs.ctypes.data_as(P(ctypes.c_double)),
+            self.qi.ctypes.data_as(P(i64)), self.qlen))
+
+    def result(self) -> list[tuple[float, int]]:
+        return [(float(self.qs[i]), int(self.qi[i])) for i in range(self.qlen)]
+
+
 class IndexSegment:
     """In-memory view of one built index (dictionary + doclens + postings).
 
@@ -164,14 +218,51 @@ class IndexSegment:
         if rng is None:
             return None
         s, e = rng
-        docs, tfs, counts = decode_postings_concat(
-            self._blk_doc_bytes[s:e], self._blk_tf_bytes[s:e])
         # W4 with the denominator's doc-length norm precomputed per segment:
         # idf*TF*(k1+1) / (k1*(1-b+b*n) + TF) — identical op/association
         # order to scoring.bm25_weights_from_idf, so bit-identical float64.
-        TF = tfs.astype(np.float64)
-        rel = docs - self._doc_off if self._doc_off else docs
-        w = self.idf_by_tid[tid] * TF * (self.k1 + 1) / (self._bm25_norm[rel] + TF)
+        # Hot path fuses decode + weight in one C call (decode_weighted_kernel,
+        # same float64 op order — pinned bit-equal by pytest).
+        from ir_base_ray.functions.ckernels import decode_weighted_kernel
+
+        lib = decode_weighted_kernel()
+        if lib is not None:
+            import ctypes
+
+            doc_bufs = self._blk_doc_bytes[s:e]
+            tf_bufs = self._blk_tf_bytes[s:e]
+            doc_raw = np.frombuffer(
+                doc_bufs[0] if len(doc_bufs) == 1 else b"".join(doc_bufs),
+                dtype=np.uint8)
+            tf_raw = np.frombuffer(
+                tf_bufs[0] if len(tf_bufs) == 1 else b"".join(tf_bufs),
+                dtype=np.uint8)
+            n_vals = int(np.count_nonzero(doc_raw & 0x80))
+            ends_b = np.cumsum(np.fromiter((len(x) for x in doc_bufs),
+                                           dtype=np.int64, count=len(doc_bufs)))
+            docs = np.empty(n_vals, dtype=np.int64)
+            w = np.empty(n_vals, dtype=np.float64)
+            counts = np.empty(len(doc_bufs), dtype=np.int64)
+            P = ctypes.POINTER
+            rc = lib.decode_weighted(
+                doc_raw.ctypes.data_as(P(ctypes.c_uint8)), doc_raw.size,
+                ends_b.ctypes.data_as(P(ctypes.c_int64)), len(doc_bufs),
+                tf_raw.ctypes.data_as(P(ctypes.c_uint8)), tf_raw.size,
+                float(self.idf_by_tid[tid]), self.k1 + 1,
+                self._bm25_norm.ctypes.data_as(P(ctypes.c_double)),
+                self._doc_off,
+                docs.ctypes.data_as(P(ctypes.c_int64)),
+                w.ctypes.data_as(P(ctypes.c_double)),
+                counts.ctypes.data_as(P(ctypes.c_int64)))
+            if rc != n_vals:
+                raise ValueError("malformed posting stream")
+        else:
+            docs, tfs, counts = decode_postings_concat(
+                self._blk_doc_bytes[s:e], self._blk_tf_bytes[s:e])
+            TF = tfs.astype(np.float64)
+            rel = docs - self._doc_off if self._doc_off else docs
+            w = (self.idf_by_tid[tid] * TF * (self.k1 + 1)
+                 / (self._bm25_norm[rel] + TF))
         offsets = np.concatenate(([0], np.cumsum(counts)))
         entry = (docs, w, self._blk_chunk[s:e], offsets, self._blk_max[s:e])
         if self._terms_postings + docs.size <= self._terms_cap:
@@ -226,6 +317,30 @@ class IndexSegment:
         return self._merge_terms([tp[0] for _, tp in terms],
                                  [qtf * tp[1] for qtf, tp in terms])
 
+    def _make_queue(self, k: int):
+        """C-fused queue when the kernel is available (one call does stable
+        merge + segment sum + exact MyPriorityQueue admission — see
+        ckernels.score_kernel; pinned tie-identical by pytest), else the
+        Python BoundedTopK."""
+        from ir_base_ray.functions.ckernels import score_kernel
+
+        lib = score_kernel()
+        return _CTopK(k, lib, self) if lib is not None else BoundedTopK(k)
+
+    def _score_scratch(self, nparts: int):
+        """Grow-only per-segment scratch for the fused merge kernel: part
+        address/len/group arrays + the merge's per-run cursor array."""
+        cur = getattr(self, "_sc_addr_d", None)
+        if cur is None or cur.size < nparts:
+            cap = max(nparts, 256)
+            self._sc_addr_d = np.empty(cap, np.uint64)
+            self._sc_addr_w = np.empty(cap, np.uint64)
+            self._sc_lens = np.empty(cap, np.int64)
+            self._sc_grp = np.empty(cap, np.int64)
+            self._sc_pos = np.empty(cap, np.int64)
+        return (self._sc_addr_d, self._sc_addr_w, self._sc_lens,
+                self._sc_grp, self._sc_pos)
+
     @staticmethod
     def _queue_insert(queue: BoundedTopK, uniq: np.ndarray, scores: np.ndarray):
         """Feed (docs asc, scores) into the bounded queue. Once the queue is
@@ -261,11 +376,16 @@ class IndexSegment:
         terms = self._query_terms(text)
         if not terms:
             return []
-        queue = BoundedTopK(k)
+        queue = self._make_queue(k)
+        fused = isinstance(queue, _CTopK)
         if not prune:
-            uniq, scores = self._merge_terms([tp[0] for _, tp in terms],
-                                             [qtf * tp[1] for qtf, tp in terms])
-            self._queue_insert(queue, uniq, scores)
+            parts_d = [tp[0] for _, tp in terms]
+            parts_w = [qtf * tp[1] for qtf, tp in terms]
+            if fused:
+                queue.insert_parts(parts_d, parts_w)
+            else:
+                uniq, scores = self._merge_terms(parts_d, parts_w)
+                self._queue_insert(queue, uniq, scores)
             return [(doc, score) for score, doc in queue.result()]
         # per-query weighted posting arrays (one vectorized multiply per term)
         wq = [qtf * tp[1] for qtf, tp in terms]
@@ -277,6 +397,43 @@ class IndexSegment:
         starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
         uchunks = sc[starts]
         chunk_ub = np.add.reduceat(all_ub[order], starts)
+        from ir_base_ray.functions.ckernels import wand_kernel
+
+        wlib = wand_kernel()
+        if wlib is not None:
+            # entire chunk loop in one C call (ckernels.wand_topk): per-term
+            # advancing block cursors + per-CHUNK threshold re-check — finer
+            # pruning than the per-group check below, result-identical by the
+            # same sound-upper-bound argument; pinned by pytest.
+            import ctypes
+
+            T = len(terms)
+            addr_d, addr_w, lens, grp, pos3 = self._score_scratch(max(3 * T, 2 * T + 2))
+            addr_c = np.empty(T, np.uint64)
+            addr_o = np.empty(T, np.uint64)
+            for t, ((_, tp), w) in enumerate(zip(terms, wq)):
+                addr_d[t] = tp[0].ctypes.data
+                addr_w[t] = w.ctypes.data
+                addr_c[t] = tp[2].ctypes.data
+                addr_o[t] = tp[3].ctypes.data
+                lens[t] = tp[2].size
+            if not uchunks.flags.c_contiguous:
+                uchunks = np.ascontiguousarray(uchunks)
+            qs = np.empty(k + 1, np.float64)
+            qi = np.empty(k + 1, np.int64)
+            P = ctypes.POINTER
+            i64, f64 = ctypes.c_int64, ctypes.c_double
+            qlen = int(wlib.wand_topk(
+                addr_d.ctypes.data_as(P(P(i64))),
+                addr_w.ctypes.data_as(P(P(f64))),
+                addr_c.ctypes.data_as(P(P(i64))),
+                addr_o.ctypes.data_as(P(P(i64))),
+                lens.ctypes.data_as(P(i64)), T,
+                uchunks.ctypes.data_as(P(i64)),
+                chunk_ub.ctypes.data_as(P(f64)), uchunks.size, k,
+                qs.ctypes.data_as(P(f64)), qi.ctypes.data_as(P(i64)), 0,
+                pos3.ctypes.data_as(P(i64))))
+            return [(int(qi[i]), float(qs[i])) for i in range(qlen)]
         G = self._prune_group
         for g0 in range(0, uchunks.size, G):
             cs = uchunks[g0:g0 + G]
@@ -288,7 +445,7 @@ class IndexSegment:
             # vectorized per-term block ranges for the surviving chunks
             bounds = [(np.searchsorted(tp[2], cs), np.searchsorted(tp[2], cs, "right"))
                       for _, tp in terms]
-            parts_d, parts_w = [], []
+            parts_d, parts_w, parts_g = [], [], []
             for j in range(cs.size):  # chunk ascending; terms tid-ascending
                 for (_, tp), w, (lo, hi) in zip(terms, wq, bounds):
                     b0, b1 = lo[j], hi[j]
@@ -296,8 +453,14 @@ class IndexSegment:
                         s_, e_ = tp[3][b0], tp[3][b1]
                         parts_d.append(tp[0][s_:e_])
                         parts_w.append(w[s_:e_])
-            uniq, scores = self._merge_terms(parts_d, parts_w)
-            self._queue_insert(queue, uniq, scores)
+                        parts_g.append(j)
+            if not parts_d:
+                continue
+            if fused:
+                queue.insert_parts(parts_d, parts_w, parts_g)
+            else:
+                uniq, scores = self._merge_terms(parts_d, parts_w)
+                self._queue_insert(queue, uniq, scores)
         return [(doc, score) for score, doc in queue.result()]
 
 

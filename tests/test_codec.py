@@ -121,3 +121,38 @@ def test_encode_partition_c_kernel_matches_numpy(tmp_path):
             for col in a.column_names:
                 assert a.column(col).cast(b.column(col).type).equals(
                     b.column(col)), (trial, mode, col)
+
+
+def test_decode_kernel_matches_numpy_fallback():
+    """decode_postings_concat's C path is bit-identical to the numpy body
+    (varbyte + per-block delta reset), across empty buffers, single blocks,
+    multi-byte varints and random block layouts."""
+    import numpy as np
+
+    from ir_base_ray.functions import codec
+    from ir_base_ray.functions.ckernels import decode_kernel
+
+    if decode_kernel() is None:
+        import pytest
+
+        pytest.skip("no compiler on host")
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        nblocks = int(rng.integers(1, 12))
+        doc_bufs, tf_bufs = [], []
+        for _ in range(nblocks):
+            n = int(rng.integers(0, 40))
+            docs = np.sort(rng.choice(1 << int(rng.integers(6, 40)), size=n,
+                                      replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 1 << 20, n).astype(np.int64)
+            db, tb = codec.encode_postings(docs, tfs)
+            doc_bufs.append(db)
+            tf_bufs.append(tb)
+        got = codec.decode_postings_concat(doc_bufs, tf_bufs)
+        gaps, counts = codec.varbyte_decode_concat(doc_bufs)
+        tfs_np, _ = codec.varbyte_decode_concat(tf_bufs)
+        want = (codec.delta_decode_blocks(gaps, counts),
+                tfs_np.astype(np.int64), counts)
+        for g, w in zip(got, want):
+            assert g.dtype == w.dtype or g.dtype == np.int64
+            assert np.array_equal(g, w), trial

@@ -252,3 +252,32 @@ def test_distributed_dict_path_matches_driver_path(
     for text, k in zip(queries.column("text").to_pylist(),
                        queries.column("k").to_pylist()):
         assert seg_a.topk(text, int(k)) == seg_b.topk(text, int(k))
+
+
+def test_query_ckernels_match_python_fallbacks(built_index, corpus_table):
+    """The three query-path C kernels (fused decode+BM25 weight, fused
+    merge+topk queue, whole-query WAND loop) are bit- and tie-identical to
+    the numpy/Python fallbacks on the same segment, both prune modes."""
+    import ir_base_ray.functions.ckernels as ck
+
+    if ck.decode_kernel() is None:
+        pytest.skip("no compiler on host")
+    out, _ = built_index
+    queries = synth_queries(corpus_table, n_queries=40, seed=11)
+    seg_c = IndexSegment(out)
+    saved = {}
+    for name in ("_decode_lib", "_decode_tried", "_decode_w_lib",
+                 "_decode_w_tried", "_score_lib", "_score_tried",
+                 "_wand_lib", "_wand_tried"):
+        saved[name] = getattr(ck, name)
+        setattr(ck, name, None if name.endswith("lib") else True)
+    try:
+        seg_py = IndexSegment(out)
+        for text, k in zip(queries.column("text").to_pylist(),
+                           queries.column("k").to_pylist()):
+            for prune in (False, True):
+                assert seg_c.topk(text, int(k), prune=prune) == \
+                    seg_py.topk(text, int(k), prune=prune)
+    finally:
+        for name, v in saved.items():
+            setattr(ck, name, v)
