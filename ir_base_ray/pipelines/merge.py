@@ -34,7 +34,6 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ir_base_ray.functions.codec import varbyte_decode
 from ir_base_ray.stages.postings import _hash_part
 
 
@@ -60,18 +59,20 @@ def _scatter_segment_part(part_file: str, old_terms, new_index_ref, doc_offset: 
     tid_map = new_index.get_indexer(old_terms)  # old tid -> new tid
     doc_len = doc_len_ref
 
-    tids_out, dids_out, tfs_out = [], [], []
-    for i in range(tbl.num_rows):
-        gaps = varbyte_decode(tbl.column("doc_bytes")[i].as_py(), int(counts[i]))
-        dids = np.cumsum(gaps.astype(np.int64))  # gaps[0] is the absolute base
-        tfs = varbyte_decode(tbl.column("tf_bytes")[i].as_py(), int(counts[i]))
-        tids_out.append(np.full(int(counts[i]), tid_map[old_tid[i]], dtype=np.int64))
-        dids_out.append(dids + doc_offset)
-        tfs_out.append(tfs.astype(np.int64))
+    # batch decode: all blocks in one pass (C kernel via
+    # decode_postings_concat — varbyte + per-block delta reset fused);
+    # equivalent to the old per-block varbyte_decode + cumsum loop
+    from ir_base_ray.functions.codec import decode_postings_concat
 
-    tid = np.concatenate(tids_out) if tids_out else np.empty(0, np.int64)
-    did = np.concatenate(dids_out) if dids_out else np.empty(0, np.int64)
-    tf = np.concatenate(tfs_out) if tfs_out else np.empty(0, np.int64)
+    doc_bufs = tbl.column("doc_bytes").to_pylist()
+    tf_bufs = tbl.column("tf_bytes").to_pylist()
+    if tbl.num_rows:
+        did, tf, dec_counts = decode_postings_concat(doc_bufs, tf_bufs)
+        assert np.array_equal(dec_counts, counts.astype(np.int64))
+        tid = np.repeat(tid_map[old_tid], counts.astype(np.int64))
+        did = did + doc_offset
+    else:
+        tid = did = tf = np.empty(0, np.int64)
     dl = doc_len[did]
     chunk = did // block_doc_range
     part = _hash_part(tid, chunk, num_parts)
