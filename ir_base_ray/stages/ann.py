@@ -47,11 +47,33 @@ class BruteForceScorer:
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        # grow-only per-actor scratch (BASELINE.md §8: fresh batch-sized
+        # anonymous allocations pay the host fault wall under concurrency)
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def _scr(self, name: str, shape: tuple) -> np.ndarray:
+        need = 1
+        for s in shape:
+            need *= int(s)
+        buf = self._bufs.get(name)
+        if buf is None or buf.size < need:
+            buf = np.empty(max(need, 1024), np.float64)
+            self._bufs[name] = buf
+        return buf[:need].reshape(shape)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
-        m = _normalize_rows(_batch_matrix(batch, self.vec_col))
-        sims = self.q @ m.T  # (n_queries, batch)
+        raw = _batch_matrix(batch, self.vec_col)
+        m = self._scr("m", raw.shape)
+        np.copyto(m, raw)
+        sq = self._scr("sq", raw.shape)
+        np.multiply(m, m, out=sq)
+        # same pairwise-summation reduction as _normalize_rows (bit-exact)
+        norms = np.sqrt(sq.sum(axis=1, keepdims=True))
+        norms[norms == 0] = 1.0
+        m /= norms
+        sims = self._scr("sims", (self.q.shape[0], m.shape[0]))
+        np.matmul(self.q, m.T, out=sims)  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
