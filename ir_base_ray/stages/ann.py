@@ -328,11 +328,29 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *, k: int = 10,
             # inverted probe lists: cell -> indices of queries probing it
             self.queries_of = [np.nonzero((probe_tbl == c).any(axis=1))[0]
                                for c in range(n_cells)]
+            self._bufs: dict[str, np.ndarray] = {}
+
+        def _scr(self, name: str, shape: tuple) -> np.ndarray:
+            need = 1
+            for s in shape:
+                need *= int(s)
+            buf = self._bufs.get(name)
+            if buf is None or buf.size < need:
+                buf = np.empty(max(need, 1024), np.float64)
+                self._bufs[name] = buf
+            return buf[:need].reshape(shape)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy()
             cl = batch.column("ivf_cluster").to_numpy(zero_copy_only=False)
-            m = _normalize_rows(_batch_matrix(batch, vec_col))
+            raw = _batch_matrix(batch, vec_col)
+            m = self._scr("m", raw.shape)
+            np.copyto(m, raw)
+            sq = self._scr("sq", raw.shape)
+            np.multiply(m, m, out=sq)
+            norms = np.sqrt(sq.sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            m /= norms
             order = np.argsort(cl, kind="stable")
             cl_sorted = cl[order]
             cells, starts = np.unique(cl_sorted, return_index=True)
