@@ -281,3 +281,48 @@ def test_query_ckernels_match_python_fallbacks(built_index, corpus_table):
     finally:
         for name, v in saved.items():
             setattr(ck, name, v)
+
+
+def test_topk_edge_cases_c_vs_python(ray_session, tmp_path):
+    """Adversarial queue/WAND edges: a term in >half the docs (negative BM25
+    IDF weights through the admission path), duplicate docs (score ties),
+    k=1 and k far above the candidate count — C kernels vs Python fallbacks
+    AND vs the full-scan oracle, all prune modes."""
+    import ir_base_ray.functions.ckernels as ck
+
+    if ck.decode_kernel() is None:
+        pytest.skip("no compiler on host")
+    rows = []
+    for i in range(60):
+        # 'common' appears in 80% of docs -> df > N/2 -> negative idf
+        base = "common " if i % 5 else "scarce "
+        # docs 10..19 are byte-identical -> exact BM25 score ties
+        body = "alpha beta gamma" if 10 <= i < 20 else f"word{i} tail{i%7}"
+        rows.append({"url": f"u{i:03d}", "text": base + body})
+    tbl = pa.Table.from_pylist(rows)
+    out = str(tmp_path / "edge_idx")
+    cfg = IndexConfig(out_dir=out, block_doc_range=8, num_partitions=4,
+                      analyzer_concurrency=2, analyzer_batch_size=16,
+                      analyzer=AnalyzerSpec(ngram=1))
+    build_index(ray.data.from_arrow(tbl).select_columns(["url", "text"]), cfg)
+    oracle = oracle_build(tbl, AnalyzerSpec(ngram=1))
+    seg_c = IndexSegment(out)
+    saved = {}
+    for name in ("_decode_lib", "_decode_tried", "_decode_w_lib",
+                 "_decode_w_tried", "_score_lib", "_score_tried",
+                 "_wand_lib", "_wand_tried"):
+        saved[name] = getattr(ck, name)
+        setattr(ck, name, None if name.endswith("lib") else True)
+    try:
+        seg_py = IndexSegment(out)
+        for text in ("common", "scarce", "alpha beta", "common alpha",
+                     "common scarce word3 tail3"):
+            for k in (1, 5, 500):
+                expected = oracle_topk(oracle, text, k)
+                for prune in (False, True):
+                    got_c = seg_c.topk(text, k, prune=prune)
+                    got_py = seg_py.topk(text, k, prune=prune)
+                    assert got_c == got_py == expected, (text, k, prune)
+    finally:
+        for name, v in saved.items():
+            setattr(ck, name, v)
