@@ -54,8 +54,8 @@ from ir_base_ray.sources.stopwords import load_stopwords
 class _CTopK:
     """Queue facade over ckernels.merge_score_topk: same .full/.threshold/
     .result() surface as BoundedTopK, but insertion happens in one C call
-    per candidate batch (stable radix merge + sequential float64 segment
-    sums + exact MyPriorityQueue tie semantics)."""
+    per candidate batch (T-way ascending-run merge + sequential float64
+    segment sums + exact MyPriorityQueue tie semantics)."""
 
     __slots__ = ("k", "qs", "qi", "qlen", "_lib", "_seg")
 
