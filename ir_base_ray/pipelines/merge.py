@@ -68,7 +68,12 @@ def _scatter_segment_part(part_file: str, old_terms, new_index_ref, doc_offset: 
     tf_bufs = tbl.column("tf_bytes").to_pylist()
     if tbl.num_rows:
         did, tf, dec_counts = decode_postings_concat(doc_bufs, tf_bufs)
-        assert np.array_equal(dec_counts, counts.astype(np.int64))
+        if not np.array_equal(dec_counts, counts.astype(np.int64)):
+            # explicit raise (not assert): this guards against corrupt
+            # posting decodes and must survive `python -O`
+            raise ValueError(
+                f"posting decode count mismatch in {part_file}: "
+                f"decoded {dec_counts.sum()} vs recorded {counts.sum()}")
         tid = np.repeat(tid_map[old_tid], counts.astype(np.int64))
         did = did + doc_offset
     else:
@@ -100,10 +105,10 @@ def merge_segments(segment_dirs: list[str], out_dir: str, *, num_parts: int = 32
     index at ``out_dir``. Returns the merged meta dict."""
     metas = [_load_meta(d) for d in segment_dirs]
     rng0 = metas[0]["block_doc_range"]
-    assert all(m["block_doc_range"] == rng0 for m in metas), \
-        "segments must share block_doc_range"
-    assert all(m["analyzer"] == metas[0]["analyzer"] for m in metas), \
-        "segments must share the analyzer spec"
+    if not all(m["block_doc_range"] == rng0 for m in metas):
+        raise ValueError("segments must share block_doc_range")
+    if not all(m["analyzer"] == metas[0]["analyzer"] for m in metas):
+        raise ValueError("segments must share the analyzer spec")
 
     raw_done = os.path.join(out_dir, "postings_raw", "_DONE")
     resuming = os.path.exists(raw_done)

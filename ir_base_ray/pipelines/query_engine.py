@@ -15,7 +15,7 @@ Scoring path (rank-identical to the conformance oracle, FIXTURES.md §5.3):
   ``BoundedTopK`` (MyPriorityQueue tie semantics, Q1).
 - block-max pruning: posting blocks are chunk-ALIGNED across terms
   (chunk = doc_id // block_doc_range), so whole chunks are skipped when the
-  queue is full and Σ_t qtf·block_max(t, chunk) ≤ the current admission
+  queue is full and Σ_t max(qtf·block_max(t, chunk), 0) ≤ the current admission
   threshold. A skipped chunk can only contain docs whose add() would have been
   rejected (sound upper bound + strict > admission), so pruning preserves the
   EXACT insertion sequence — WAND-pruned results are bit- and tie-identical
@@ -389,9 +389,17 @@ class IndexSegment:
             return [(doc, score) for score, doc in queue.result()]
         # per-query weighted posting arrays (one vectorized multiply per term)
         wq = [qtf * tp[1] for qtf, tp in terms]
-        # chunk upper bounds: Σ_t qtf · block_max(t, chunk)
+        # chunk upper bounds: Σ_t max(qtf · block_max(t, chunk), 0). The clamp
+        # at zero is required for soundness: a term with df > N/2 has negative
+        # IDF (bm25_idf_exact is unclamped, mirroring the reference), so its
+        # block-max is negative — but a doc ABSENT from that term contributes
+        # exactly 0, not block_max, so summing the raw (negative) block-max
+        # understates the chunk bound and prunes chunks holding true top-k
+        # docs. max(·, 0) bounds both the present (≤ qtf·block_max ≤ 0 ≤ 0
+        # when negative) and absent (= 0) cases.
         all_chunks = np.concatenate([tp[2] for _, tp in terms])
-        all_ub = np.concatenate([qtf * tp[4] for qtf, tp in terms])
+        all_ub = np.concatenate(
+            [np.maximum(qtf * tp[4], 0.0) for qtf, tp in terms])
         order = np.argsort(all_chunks, kind="stable")
         sc = all_chunks[order]
         starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))

@@ -648,14 +648,29 @@ def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         ids = g[id_col].to_numpy()
         sh = g["simhash_i"].to_numpy().view(np.uint64)
-        # all i<j pairs vectorized: xor outer product, popcount via the
-        # byte-LUT view (numpy<2 has no bitwise_count)
-        iu, ju = np.triu_indices(len(sh), k=1)
-        x = sh[iu] ^ sh[ju]
-        d = _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        keep = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                             "hamming": d[keep].astype(np.int64)})
+        # all i<j pairs, vectorized in fixed-size i-blocks: a skewed band
+        # (many docs sharing a value — e.g. near-empty texts) would make a
+        # single triu_indices allocation O(n²) int64s; blocking keeps peak
+        # memory O(block · n) while output stays O(matches). xor + popcount
+        # via the byte-LUT view (numpy<2 has no bitwise_count).
+        n = len(sh)
+        blk = max(1, min(n, (1 << 22) // max(n, 1)))  # ≤ ~32 MB per xor tile
+        oa, ob, od = [], [], []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n - 1)
+            x = sh[i0:i1, None] ^ sh[None, :]          # (i1-i0, n)
+            d = _POPCOUNT8[x.view(np.uint8).reshape(i1 - i0, n, 8)].sum(axis=2)
+            iu, ju = np.nonzero(d <= max_hamming)
+            keep = i0 + iu < ju                        # strict i<j only
+            if keep.any():
+                oa.append(ids[i0 + iu[keep]])
+                ob.append(ids[ju[keep]])
+                od.append(d[iu[keep], ju[keep]].astype(np.int64))
+        if not oa:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.DataFrame({"id_a": np.concatenate(oa),
+                             "id_b": np.concatenate(ob),
+                             "hamming": np.concatenate(od)})
 
     from ray.data.aggregate import Min
 

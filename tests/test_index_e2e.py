@@ -264,7 +264,19 @@ def test_query_ckernels_match_python_fallbacks(built_index, corpus_table):
         pytest.skip("no compiler on host")
     out, _ = built_index
     queries = synth_queries(corpus_table, n_queries=40, seed=11)
+    # Kernel lookup is lazy at QUERY time, so the C-side results must be
+    # recorded while the kernels are still enabled — disabling first would
+    # compare Python against Python (vacuous).
+    from ir_base_ray.pipelines.query_engine import _CTopK
+
     seg_c = IndexSegment(out)
+    assert isinstance(seg_c._make_queue(1), _CTopK), "C queue not engaged"
+    assert ck.wand_kernel() is not None, "WAND kernel not engaged"
+    cases = [(text, int(k), prune)
+             for text, k in zip(queries.column("text").to_pylist(),
+                                queries.column("k").to_pylist())
+             for prune in (False, True)]
+    c_results = [seg_c.topk(text, k, prune=prune) for text, k, prune in cases]
     saved = {}
     for name in ("_decode_lib", "_decode_tried", "_decode_w_lib",
                  "_decode_w_tried", "_score_lib", "_score_tried",
@@ -273,11 +285,10 @@ def test_query_ckernels_match_python_fallbacks(built_index, corpus_table):
         setattr(ck, name, None if name.endswith("lib") else True)
     try:
         seg_py = IndexSegment(out)
-        for text, k in zip(queries.column("text").to_pylist(),
-                           queries.column("k").to_pylist()):
-            for prune in (False, True):
-                assert seg_c.topk(text, int(k), prune=prune) == \
-                    seg_py.topk(text, int(k), prune=prune)
+        assert not isinstance(seg_py._make_queue(1), _CTopK)
+        for (text, k, prune), got_c in zip(cases, c_results):
+            assert got_c == seg_py.topk(text, k, prune=prune), \
+                (text, k, prune)
     finally:
         for name, v in saved.items():
             setattr(ck, name, v)
@@ -306,7 +317,19 @@ def test_topk_edge_cases_c_vs_python(ray_session, tmp_path):
                       analyzer=AnalyzerSpec(ngram=1))
     build_index(ray.data.from_arrow(tbl).select_columns(["url", "text"]), cfg)
     oracle = oracle_build(tbl, AnalyzerSpec(ngram=1))
+    # Record C-kernel results BEFORE disabling (lazy kernel lookup at query
+    # time means disable-first compares Python vs Python — vacuous).
+    from ir_base_ray.pipelines.query_engine import _CTopK
+
     seg_c = IndexSegment(out)
+    assert isinstance(seg_c._make_queue(1), _CTopK), "C queue not engaged"
+    assert ck.wand_kernel() is not None, "WAND kernel not engaged"
+    cases = [(text, k, prune)
+             for text in ("common", "scarce", "alpha beta", "common alpha",
+                          "common scarce word3 tail3")
+             for k in (1, 5, 500)
+             for prune in (False, True)]
+    c_results = [seg_c.topk(text, k, prune=prune) for text, k, prune in cases]
     saved = {}
     for name in ("_decode_lib", "_decode_tried", "_decode_w_lib",
                  "_decode_w_tried", "_score_lib", "_score_tried",
@@ -315,14 +338,11 @@ def test_topk_edge_cases_c_vs_python(ray_session, tmp_path):
         setattr(ck, name, None if name.endswith("lib") else True)
     try:
         seg_py = IndexSegment(out)
-        for text in ("common", "scarce", "alpha beta", "common alpha",
-                     "common scarce word3 tail3"):
-            for k in (1, 5, 500):
-                expected = oracle_topk(oracle, text, k)
-                for prune in (False, True):
-                    got_c = seg_c.topk(text, k, prune=prune)
-                    got_py = seg_py.topk(text, k, prune=prune)
-                    assert got_c == got_py == expected, (text, k, prune)
+        assert not isinstance(seg_py._make_queue(1), _CTopK)
+        for (text, k, prune), got_c in zip(cases, c_results):
+            expected = oracle_topk(oracle, text, k)
+            got_py = seg_py.topk(text, k, prune=prune)
+            assert got_c == got_py == expected, (text, k, prune)
     finally:
         for name, v in saved.items():
             setattr(ck, name, v)
