@@ -193,6 +193,43 @@ _SIMPLE_STRIP = re.compile(r"[^a-zA-Z0-9_]+")
 _SIMPLE_DIGITS = re.compile(r"\d+\Z", re.ASCII)
 
 
+def analyze_simple_flat(texts):
+    """Vectorized ``analyze_simple`` over a whole Arrow string column.
+
+    Returns ``(flat_tokens, counts)``: one flat ``pa.StringArray`` of every
+    surviving token in doc-major order, plus a per-doc ``np.int64`` token
+    count — value-identical to ``[analyze_simple(t or "") for t in col]``
+    (pinned by a hypothesis property test). All steps are Arrow C++ / RE2:
+    ``utf8_split_whitespace`` (same whitespace set as Python ``str.split()``,
+    see pipelines/ops.py), per-chunk ``[^a-zA-Z0-9_]+`` strip, ASCII lower
+    (post-strip chunks are pure ASCII), all-digit → ``NUM`` fold, and the
+    drop-empty filter (which also removes the empty EDGE chunks Arrow keeps
+    where Python's ``split()`` drops them)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    n_docs = len(lists)
+    cnt_raw = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    stripped = pc.replace_substring_regex(
+        flat, pattern=_SIMPLE_STRIP.pattern, replacement="")
+    lowered = pc.ascii_lower(stripped)
+    toks = pc.if_else(
+        pc.match_substring_regex(lowered, r"^[0-9]+$"), "NUM", lowered)
+    keep = pc.not_equal(toks, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), cnt_raw)
+    counts = np.bincount(doc_of[keep_np], minlength=n_docs).astype(np.int64)
+    return toks.filter(keep), counts
+
+
 def analyze_simple(text: str) -> list[str]:
     """The SQL-expressible 'simple mode' used for DuckDB cross-checks:
     whitespace-split → per-token ASCII \\W-strip → lower → NUM-fold → drop
@@ -214,4 +251,5 @@ __all__ = [
     "normalize",
     "stem",
     "analyze_simple",
+    "analyze_simple_flat",
 ]

@@ -680,6 +680,46 @@ def simhash_near_pairs(sim_ds, *, max_hamming: int = 3, id_col: str = "doc_id"):
 
 # ------------------------------------------------ exact-substring dedup
 
+# per-worker-process cache of the broadcast duplicated-shingle hash index
+# (key = object-ref hex): built once per process, probed per batch
+_dup_index_cache: dict[str, pd.Index] = {}
+
+
+def _simple_windows(texts, window: int):
+    """Vectorized sliding ``window``-token shingle builder over a text
+    column in simple-analyzer mode. Returns ``(windows, doc_of_w,
+    n_windows)``: the shingle strings (doc-major, ``pa.StringArray``), each
+    shingle's batch-local doc position (``np.int64``), and the per-doc
+    window count ``max(0, n_tokens - window + 1)``.
+
+    Same device as ``MinHashActor.__call__``: one Arrow tokenize of the
+    whole batch (``analyze_simple_flat``), window strings built in Arrow
+    C++ as ``binary_join_element_wise`` over ``window`` shifted slices of
+    the flat token column, then a segmented arange keeps only within-doc
+    windows (cross-doc windows of the flat column are dropped)."""
+    from ir_base_ray.functions.analyzer import analyze_simple_flat
+
+    flat, cnt = analyze_simple_flat(texts)
+    n_docs = cnt.size
+    nw = np.maximum(cnt - window + 1, 0)
+    F = len(flat)
+    total = int(nw.sum())
+    if F < window or total == 0:
+        return (pa.array([], pa.string()), np.empty(0, np.int64),
+                nw.astype(np.int64))
+    slices = [flat.slice(k, F - window + 1) for k in range(window)]
+    windows_all = (pc.binary_join_element_wise(*slices, " ")
+                   if window > 1 else slices[0])
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    seg_end = np.cumsum(nw)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(seg_end - nw, nw)
+    idx += np.repeat(offs[:-1], nw)
+    windows = pc.take(windows_all, pa.array(idx, pa.int64()))
+    doc_of_w = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+    return windows, doc_of_w, nw.astype(np.int64)
+
+
 def substring_dup_stats(docs_ds, *, window: int = 8,
                         dup_broadcast_max: int = 5_000_000,
                         num_partitions: int = 32):
@@ -714,20 +754,21 @@ def substring_dup_stats(docs_ds, *, window: int = 8,
 
     The shingle key is the literal space-joined token text (no hash) so
     the DuckDB mirror is exact. Both dispatch arms produce identical rows
-    (pinned by tests/test_textstats.py)."""
+    (pinned by tests/test_textstats.py).
+
+    All three corpus passes are fully vectorized (no per-row Python): the
+    Arrow ``analyze_simple_flat`` tokenizer + the shifted-slice
+    ``binary_join_element_wise`` window device MinHashActor uses, with
+    per-doc distinct / occurrence-count done by Arrow ``group_by``."""
     from ray.data.aggregate import Count, Sum
 
-    from ir_base_ray.functions.analyzer import analyze_simple
-
     def distinct_shingles(batch: pa.Table) -> pa.Table:
-        shs = []
-        for t in batch.column("text").to_pylist():
-            toks = analyze_simple(t or "")
-            seen = set()
-            for i in range(len(toks) - window + 1):
-                seen.add(" ".join(toks[i: i + window]))
-            shs.extend(seen)
-        return pa.table({"shingle": pa.array(shs, pa.string())})
+        windows, doc_of_w, _ = _simple_windows(batch.column("text"), window)
+        if len(windows) == 0:
+            return pa.table({"shingle": pa.array([], pa.string())})
+        # per-doc distinct: group_by([]) over (doc, shingle) = unique pairs
+        t = pa.table({"d": pa.array(doc_of_w, pa.int64()), "shingle": windows})
+        return t.group_by(["d", "shingle"]).aggregate([]).select(["shingle"])
 
     def keep_dups(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater_equal(batch.column("n"), 2))
@@ -743,48 +784,55 @@ def substring_dup_stats(docs_ds, *, window: int = 8,
     n_dup_shingles = dups.count()
 
     if n_dup_shingles <= dup_broadcast_max:
-        dup_set = (set(dups.to_pandas()["shingle"]) if n_dup_shingles else set())
-        dup_ref = ray.put(dup_set)
+        dup_arr = (dups.to_pandas()["shingle"].to_numpy()
+                   if n_dup_shingles else np.empty(0, object))
+        dup_ref = ray.put(dup_arr)
 
         def per_doc(batch: pa.Table) -> pa.Table:
-            dup_lookup = ray.get(dup_ref)
-            ids, nw, dw = [], [], []
-            for did, t in zip(batch.column("doc_id").to_pylist(),
-                              batch.column("text").to_pylist()):
-                toks = analyze_simple(t or "")
-                n = max(0, len(toks) - window + 1)
-                d = 0
-                for i in range(n):
-                    if " ".join(toks[i: i + window]) in dup_lookup:
-                        d += 1
-                ids.append(did)
-                nw.append(n)
-                dw.append(d)
-            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+            # pd.Index = one C hash table per worker PROCESS (cached below),
+            # probed vectorized per batch via get_indexer — the doc-id-map
+            # device from build_index/merge
+            idx = _dup_index_cache.get(dup_ref.hex())
+            if idx is None:
+                idx = pd.Index(ray.get(dup_ref))
+                _dup_index_cache[dup_ref.hex()] = idx
+            windows, doc_of_w, nw = _simple_windows(batch.column("text"),
+                                                    window)
+            if len(windows) and len(idx):
+                hit = idx.get_indexer(
+                    windows.to_numpy(zero_copy_only=False)) >= 0
+                dw = np.bincount(doc_of_w[hit], minlength=len(batch))
+            else:
+                dw = np.zeros(len(batch), np.int64)
+            return pa.table({"doc_id": batch.column("doc_id"),
                              "n_windows": pa.array(nw, pa.int64()),
-                             "dup_windows": pa.array(dw, pa.int64())})
+                             "dup_windows": pa.array(
+                                 dw.astype(np.int64), pa.int64())})
 
         return docs_ds.map_batches(per_doc, batch_format="pyarrow")
 
     # --- semi-join arm: duplicated-shingle table exceeds the broadcast bound
     def occurrence_rows(batch: pa.Table) -> pa.Table:
-        shs, dids, occ = [], [], []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            toks = analyze_simple(t or "")
-            per_doc_occ: dict[str, int] = {}
-            for i in range(len(toks) - window + 1):
-                s = " ".join(toks[i: i + window])
-                per_doc_occ[s] = per_doc_occ.get(s, 0) + 1
-            shs.extend(per_doc_occ)
-            occ.extend(per_doc_occ.values())
-            dids.extend([did] * len(per_doc_occ))
-            shs.append("")      # sentinel: keeps zero-window docs in the agg
-            occ.append(0)
-            dids.append(did)
-        return pa.table({"shingle": pa.array(shs, pa.string()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "n_occ": pa.array(occ, pa.int64())})
+        windows, doc_of_w, _ = _simple_windows(batch.column("text"), window)
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        if len(windows):
+            t = pa.table({"doc_id": pa.array(dids[doc_of_w], pa.int64()),
+                          "shingle": windows})
+            agg = t.group_by(["doc_id", "shingle"]).aggregate(
+                [("shingle", "count")])
+            parts.append(pa.table({
+                "shingle": agg.column("shingle"),
+                "doc_id": agg.column("doc_id"),
+                "n_occ": agg.column("shingle_count").cast(pa.int64()),
+            }))
+        # sentinel row per doc: keeps zero-window docs in the aggregate
+        parts.append(pa.table({
+            "shingle": pa.array([""] * len(dids), pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_occ": pa.array(np.zeros(len(dids), np.int64), pa.int64()),
+        }))
+        return pa.concat_tables(parts).combine_chunks()
 
     rows = docs_ds.map_batches(occurrence_rows, batch_format="pyarrow")
     joined = rows.join(dups, "left_outer", num_partitions, on=("shingle",))

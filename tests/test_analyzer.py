@@ -96,6 +96,61 @@ def test_analyze_simple():
     ]
 
 
+def test_analyze_simple_flat_property():
+    """Vectorized analyze_simple_flat is value-identical to the per-doc
+    analyze_simple loop on arbitrary unicode text (whitespace edges, NBSP,
+    digits, punctuation runs, empty/None docs)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ir_base_ray.functions.analyzer import analyze_simple_flat
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "S", "Z", "C")),
+            max_size=60)), max_size=12))
+    def prop(texts):
+        flat, cnt = analyze_simple_flat(pa.array(texts, pa.string()))
+        assert cnt.size == len(texts)
+        got, i = [], 0
+        for c in cnt:
+            got.append(flat.slice(i, int(c)).to_pylist())
+            i += int(c)
+        assert got == [analyze_simple(t or "") for t in texts]
+
+    prop()
+
+
+def test_simple_windows_matches_loop():
+    """_simple_windows (Arrow shifted-slice window builder) matches the
+    per-doc ' '.join sliding-window loop, including short and empty docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ir_base_ray.stages.dedup import _simple_windows
+
+    texts = ["a b c d e f", "one two", "", None, "x " * 30,
+             "Tok1 tok2 tok3 tok4", "!!! ??? ..."]
+    for window in (1, 2, 4, 8):
+        windows, doc_of_w, nw = _simple_windows(
+            pa.array(texts, pa.string()), window)
+        exp_w, exp_d, exp_n = [], [], []
+        for d, t in enumerate(texts):
+            toks = analyze_simple(t or "")
+            n = max(0, len(toks) - window + 1)
+            exp_n.append(n)
+            for i in range(n):
+                exp_w.append(" ".join(toks[i:i + window]))
+                exp_d.append(d)
+        assert windows.to_pylist() == exp_w, window
+        assert doc_of_w.tolist() == exp_d
+        assert nw.tolist() == exp_n
+        assert nw.dtype == np.int64
+
+
 def test_extract_text_byte_identical_per_url(ray_session):
     """input_hint invariant: text extracted from the html payload is
     byte-identical per url to the corpus text column (the synthetic html
