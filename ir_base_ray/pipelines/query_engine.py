@@ -115,11 +115,17 @@ class IndexSegment:
     cache is capped by total cached postings (``term_cache_postings``,
     default 32M ≈ 0.5 GB) — cold terms beyond the cap are built transiently.
     At multi-node scale each segment actor holds one doc-range partition, so
-    the cap bounds per-actor memory regardless of corpus size."""
+    the cap bounds per-actor memory regardless of corpus size.
+
+    ``prefetch_postings`` (default 8M) eagerly fills that cache with the
+    top-DF terms at init, killing the cold-actor first-touch decode spike:
+    measured on the sf0.1 index (1M docs), cold p95 drops 22.5 → 8.1 ms for
+    ~0.2 s extra init. Set 0 to disable (lazy-only)."""
 
     def __init__(self, index_dir: str, term_cache_postings: int = 32_000_000,
                  prune_group_chunks: int = 64,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 prefetch_postings: int = 8_000_000):
         """``doc_range=(lo, hi)`` (chunk-aligned, i.e. multiples of
         block_doc_range) loads ONLY that doc-id slice of the index — the
         multi-node shape where each query actor holds one range shard and a
@@ -191,6 +197,22 @@ class IndexSegment:
         self._terms_postings = 0
         self._terms_cap = term_cache_postings
         self._prune_group = prune_group_chunks
+        # Cold-tail prefetch: decode+weight the top-DF terms at init so the
+        # first query touching a frequent term skips the decode spike (df ==
+        # posting count, so descending df fills the budget with exactly the
+        # terms whose cold first-touch is most expensive AND most likely to
+        # appear in a query). Budget is bounded by both prefetch_postings
+        # and the cache cap; per-term entries land in the same hot-term
+        # cache the lazy path uses, so scoring is unchanged.
+        if prefetch_postings and self._tid_starts:
+            budget = min(int(prefetch_postings), self._terms_cap)
+            present = np.fromiter(self._tid_starts.keys(), dtype=np.int64,
+                                  count=len(self._tid_starts))
+            dfs = self.df_by_tid[present]
+            for i in np.argsort(-dfs, kind="stable"):
+                if self._terms_postings + int(dfs[i]) > budget:
+                    break
+                self._term_postings(int(present[i]))
 
         spec = self.meta.get("analyzer", {})
         self.mode = spec.get("mode", "full")

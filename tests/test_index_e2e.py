@@ -254,6 +254,24 @@ def test_distributed_dict_path_matches_driver_path(
         assert seg_a.topk(text, int(k)) == seg_b.topk(text, int(k))
 
 
+def test_prefetch_results_identical_and_budget_respected(built_index,
+                                                         corpus_table):
+    """Top-DF prefetch only pre-warms the hot-term cache: results are
+    identical to a lazy-only segment, and the budget bounds what's cached
+    at init."""
+    out, _ = built_index
+    lazy = IndexSegment(out, prefetch_postings=0)
+    assert lazy._terms_postings == 0
+    warm = IndexSegment(out)  # default prefetch
+    assert warm._terms_postings > 0
+    tiny = IndexSegment(out, prefetch_postings=5)
+    assert tiny._terms_postings <= 5
+    queries = synth_queries(corpus_table, n_queries=25, seed=21)
+    for text, k in zip(queries.column("text").to_pylist(),
+                       queries.column("k").to_pylist()):
+        assert warm.topk(text, int(k)) == lazy.topk(text, int(k))
+
+
 def test_query_ckernels_match_python_fallbacks(built_index, corpus_table):
     """The three query-path C kernels (fused decode+BM25 weight, fused
     merge+topk queue, whole-query WAND loop) are bit- and tie-identical to
