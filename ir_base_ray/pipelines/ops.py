@@ -602,7 +602,8 @@ FROM grid WHERE df > 5 GROUP BY term HAVING min(a) > 0
 def top_ttf_terms(sf_dir: str):
     """F6/Q7: top-20 terms by TTF (sort+limit with pinned tie-break)."""
     stats = _term_stats_ds(sf_dir)
-    pdf = stats.to_pandas().sort_values(["ttf", "term"], ascending=[False, True]).head(20)
+    pdf = (stats.sort(["ttf", "term"], descending=[True, False])
+           .limit(20).to_pandas())
     return pdf[["term", "ttf"]].reset_index(drop=True)
 
 
@@ -1750,7 +1751,7 @@ def tuir_profiles(sf_dir: str):
     from ir_base_ray.pipelines.tuir import train_tuir
 
     ds, vocab, _classes = _doc_vectors(sf_dir, label_col="source")
-    pdf = ds.to_pandas().sort_values("doc_id").head(240)
+    pdf = ds.sort("doc_id").limit(240).to_pandas()
     src = _read(sf_dir, "documents", ["doc_id", "source"]).to_pandas()
     src_by_id = dict(zip(src["doc_id"], src["source"]))
     reviews = []
@@ -1785,7 +1786,7 @@ def ctm_topics(sf_dir: str):
     from ir_base_ray.pipelines.ctm import train_ctm
 
     ds, vocab = _doc_vectors(sf_dir)
-    pdf = ds.to_pandas().sort_values("doc_id").head(300)
+    pdf = ds.sort("doc_id").limit(300).to_pandas()
     docs = [(np.asarray(r.tids, dtype=np.int64),
              np.asarray(r.vals, dtype=np.float64))
             for r in pdf.itertuples()]
@@ -2138,7 +2139,7 @@ def dcmlda_topics(sf_dir: str):
     from ir_base_ray.pipelines.dcmlda import train_dcmlda
 
     ds, vocab = _doc_vectors(sf_dir)
-    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    pdf = ds.sort("doc_id").limit(200).to_pandas()
     docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
     out = train_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
                        n_em_iters=3, inner_iters=4, seed=41)
@@ -2897,7 +2898,7 @@ def sparse_dcmlda_topics(sf_dir: str):
     from ir_base_ray.pipelines.sparsedcmlda import train_sparse_dcmlda
 
     ds, vocab = _doc_vectors(sf_dir)
-    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    pdf = ds.sort("doc_id").limit(200).to_pandas()
     docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
     out = train_sparse_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
                               n_em_iters=3, inner_iters=4, seed=43)
@@ -2944,7 +2945,7 @@ def sparse_cluster_dcmlda_topics(sf_dir: str):
     from ir_base_ray.pipelines.sparsedcmlda import train_sparse_cluster_dcmlda
 
     ds, vocab = _doc_vectors(sf_dir)
-    pdf = ds.to_pandas().sort_values("doc_id").head(200)
+    pdf = ds.sort("doc_id").limit(200).to_pandas()
     docs = [(list(r["tids"]), list(r["vals"])) for _, r in pdf.iterrows()]
     out = train_sparse_cluster_dcmlda(docs, n_topics=5, vocab_size=len(vocab),
                                       n_clusters=3, n_em_iters=3,
@@ -3167,7 +3168,7 @@ def l2r_rank_training(sf_dir: str):
     from ir_base_ray.pipelines.ranknet import train_ranknet, train_ranksvm
 
     vec_ds, _vocab, _classes = _doc_vectors(sf_dir, label_col="lang")
-    pdf = vec_ds.to_pandas().sort_values("doc_id").head(100)
+    pdf = vec_ds.sort("doc_id").limit(100).to_pandas()
     langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
     lang_by_id = dict(zip(langs["doc_id"], langs["lang"]))
     docs = []
