@@ -330,6 +330,39 @@ def test_media_features(ray_session):
         out2.sort_values("media_id")["feature"].map(tuple).tolist()
 
 
+def test_media_decode_resolver_both_paths():
+    """resolve_decode_fn picks the PIL-backed real decode when PIL is
+    importable and the deterministic stub otherwise; both produce the same
+    output contract (8x8 float32 in [0,1]), so the pipeline schema is
+    decode-implementation-independent."""
+    from ir_base_ray.stages import multimodal as mm
+
+    fn = mm.resolve_decode_fn()
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert fn is mm.pil_decode
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 16), (10, 200, 30)).save(buf, "PNG")
+        out = fn(buf.getvalue(), 32, 16)
+    else:
+        assert fn is mm.deterministic_fake_decode
+        out = fn(b"\x07" * 256, 32, 16)
+    assert out.shape == (8, 8)
+    assert out.dtype == np.float32
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # the actor resolves decode_fn=None through the same guard
+    assert mm.MediaFeatureActor(decode_fn=None).decode is fn
+
+
 def test_near_dup_lsh_subset_of_exact(ray_session):
     """Multi-table LSH near-dup pairs are a subset of the exact all-pairs
     result, with deterministic recall at fixed seeds/params."""
