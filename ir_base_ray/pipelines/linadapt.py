@@ -119,6 +119,30 @@ def train_linadapt(vec_ds, g_w: np.ndarray, *, user_col: str = "user",
                                                batch_format="pandas")
 
 
+def train_linadapt_transforms(vec_ds, g_w: np.ndarray, *,
+                              user_col: str = "user",
+                              eta1: float = 0.5, eta2: float = 0.5):
+    """Same distributed per-user L-BFGS as :func:`train_linadapt` but emits
+    each user's learned transform ``a‖b`` instead of per-doc predictions —
+    the persistence surface (``state.models.save_user_transforms``).
+    Returns a Dataset of (user, transform list<double>)."""
+    g_ref = ray.put(np.asarray(g_w, dtype=np.float64))
+
+    def fit_group(group: pd.DataFrame) -> pd.DataFrame:
+        gw = ray.get(g_ref)
+        docs = [(np.asarray(list(r.tids), dtype=np.int64),
+                 np.asarray(list(r.vals), dtype=np.float64), int(r.label))
+                for r in group.itertuples()]
+        a, b, _f = adapt_user(docs, gw, eta1=eta1, eta2=eta2)
+        return pd.DataFrame({
+            "user": [group[user_col].iloc[0]],
+            "transform": [np.concatenate([a, b]).tolist()],
+        })
+
+    return vec_ds.groupby(user_col).map_groups(fit_group,
+                                               batch_format="pandas")
+
+
 # ------------------------------------------------------------------ CoLinAdapt
 
 def _bow_profile(docs, F1):

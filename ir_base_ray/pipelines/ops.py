@@ -2889,6 +2889,63 @@ def colinadapt_classify(sf_dir: str):
             .reset_index(drop=True))
 
 
+def colinadapt_saved_classify(sf_dir: str):
+    """Adaptation-tier persistence round-trip (the ``lr_saved`` pattern for
+    the modelAdaptation family, ``ModelAdaptation.java:381`` saveModel):
+    CoLinAdapt trains, its per-user TRANSFORMS (sharedA rows ``a‖b``) plus
+    the global weights are SAVED (``state.models.save_user_transforms``),
+    RELOADED, and the suite row is served entirely from the loaded
+    transforms via ``w_u = a∘w_g + b`` — proving per-user adaptation
+    survives persistence without retraining. Bit-equality is pinned by
+    tests/test_model_persistence.py."""
+    import tempfile
+
+    from ir_base_ray.pipelines.linadapt import (personalized_weights,
+                                                train_colinadapt)
+    from ir_base_ray.pipelines.linear import train_logistic_regression
+    from ir_base_ray.state.models import (load_user_transforms,
+                                          save_user_transforms)
+
+    ds, vocab, classes = _doc_vectors(sf_dir, label_col="lang")
+    en = classes.index("en") if "en" in classes else 0
+
+    def binarize(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy()
+        return batch.set_column(batch.schema.get_field_index("label"),
+                                "label",
+                                pa.array((lab == en).astype(np.int64)))
+
+    bds = ds.map_batches(binarize, batch_format="pyarrow").materialize()
+    beta, _f, _it = train_logistic_regression(
+        bds, n_classes=2, n_features=len(vocab), lam=1.0, max_iter=60)
+    g_w = beta[1] - beta[0]
+    pdf = bds.to_pandas().sort_values("doc_id")
+    user_docs: dict[str, list] = {}
+    doc_of_user: dict[str, list] = {}
+    for r in pdf.itertuples():
+        u = f"u{int(r.doc_id) % 8}"
+        user_docs.setdefault(u, []).append(
+            (np.asarray(list(r.tids), dtype=np.int64),
+             np.asarray(list(r.vals), dtype=np.float64), int(r.label)))
+        doc_of_user.setdefault(u, []).append(int(r.doc_id))
+    out = train_colinadapt(user_docs, g_w, topk=3)
+    with tempfile.TemporaryDirectory(prefix="colinadapt_model_") as tmp:
+        save_user_transforms(tmp, out["users"], out["A"], g_w,
+                             kind="colinadapt", params={"topk": 3})
+        transforms, g_w2 = load_user_transforms(tmp)
+    dim = g_w2.size
+    rows = []
+    for u in out["users"]:
+        t = transforms[u]
+        pw = personalized_weights(t[:dim], t[dim:], g_w2)
+        for did, (tids, vals, _y) in zip(doc_of_user[u], user_docs[u]):
+            f = pw[0] + float((pw[tids + 1] * vals).sum())
+            rows.append({"doc_id": did,
+                         "pred_lang": "en" if f > 0 else "non-en"})
+    return (pd.DataFrame(rows).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def sparse_dcmlda_topics(sf_dir: str):
     """R7 tail: sparseDCMLDA (``topicmodels/DCM/sparseDCMLDA.java``) —
     DCM-LDA plus per-doc Beta(s,t)-prior topic on/off indicators; the
@@ -3698,7 +3755,10 @@ def classify_suite(sf_dir: str):
                           ("knn_lsh",
                            globals().get("knn_lsh_classify_op"),
                            "pred_lang"),
-                          ("lr_saved", lr_saved_classify, "pred_lang")):
+                          ("lr_saved", lr_saved_classify, "pred_lang"),
+                          ("colinadapt_saved",
+                           globals().get("colinadapt_saved_classify"),
+                           "pred_lang")):
         if fn is None:
             continue
         df = fn(sf_dir)

@@ -267,3 +267,47 @@ def load_user_weights(path: str) -> dict:
     return {u: np.array(w, dtype=np.float64)
             for u, w in zip(tbl.column("user_id").to_pylist(),
                             tbl.column("weights").to_pylist())}
+
+
+# -------------------------------------------- per-user adaptation transforms
+
+def save_user_transforms(path: str, users: list, A: np.ndarray,
+                         g_w: np.ndarray, *, kind: str = "colinadapt",
+                         params: dict | None = None) -> None:
+    """Persist the LinAdapt/CoLinAdapt family's per-user TRANSFORMS
+    (``_CoLinAdaptStruct`` sharedA rows: each user's ``a‖b`` with
+    ``w_u = a∘w_g + b``) plus the global weight vector — richer than the
+    reference's personalized-weights-only ``ModelAdaptation.saveModel``
+    (:381): personalized weights are recomputable from (A, g_w), and a
+    re-trained global model can be re-personalized without re-adapting.
+    One user-sorted ``(user_id, transform list<double>)`` parquet plus a
+    ``global_weights`` parquet (same scale rationale as
+    :func:`save_user_weights`)."""
+    A = np.asarray(A, dtype=np.float64)
+    order = sorted(range(len(users)), key=lambda i: str(users[i]))
+    _write_meta(path, "user_transforms", {
+        "model_kind": kind,
+        "n_users": len(users),
+        "transform_dim": int(A.shape[1]) if len(users) else 0,
+        "n_features": int(np.asarray(g_w).size),
+        "params": params or {},
+    })
+    pq.write_table(pa.table({
+        "user_id": pa.array([str(users[i]) for i in order], pa.string()),
+        "transform": pa.array([A[i].tolist() for i in order],
+                              pa.list_(pa.float64())),
+    }), os.path.join(path, "user_transforms.parquet"))
+    pq.write_table(pa.table({
+        "g_w": pa.array(np.asarray(g_w, dtype=np.float64), pa.float64()),
+    }), os.path.join(path, "global_weights.parquet"))
+
+
+def load_user_transforms(path: str):
+    """→ (dict[user_id(str)] -> transform np.ndarray(float64), g_w) —
+    bit-exact inverse of :func:`save_user_transforms`."""
+    tbl = pq.read_table(os.path.join(path, "user_transforms.parquet"))
+    gw = pq.read_table(os.path.join(path, "global_weights.parquet"))
+    transforms = {u: np.array(t, dtype=np.float64)
+                  for u, t in zip(tbl.column("user_id").to_pylist(),
+                                  tbl.column("transform").to_pylist())}
+    return transforms, gw.column("g_w").to_numpy().astype(np.float64)

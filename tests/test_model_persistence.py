@@ -137,6 +137,112 @@ def test_user_weights_roundtrip(tmp_path):
         assert np.array_equal(w[u], w2[u])
 
 
+def _user_vec_ds(n=60, f=10, seed=11):
+    """Binary-labeled user-grouped sparse vectors for adaptation tests."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "tids": [], "vals": [], "label": [], "user": []}
+    for i in range(n):
+        y = i % 2
+        base = 0 if y else 5
+        k = int(rng.integers(2, 5))
+        f_ids = np.sort(rng.choice(np.arange(base, base + 5), size=k,
+                                   replace=False))
+        rows["doc_id"].append(i)
+        rows["tids"].append(f_ids.tolist())
+        rows["vals"].append(rng.integers(1, 4, size=k).astype(
+            np.float64).tolist())
+        rows["label"].append(y)
+        rows["user"].append(f"u{i % 5}")
+    tbl = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "tids": pa.array(rows["tids"], pa.list_(pa.int64())),
+        "vals": pa.array(rows["vals"], pa.list_(pa.float64())),
+        "label": pa.array(rows["label"], pa.int64()),
+        "user": pa.array(rows["user"], pa.string()),
+    })
+    return ray.data.from_arrow(tbl), f
+
+
+def test_linadapt_transforms_save_load_predict_bitequal(ray_session,
+                                                        tmp_path):
+    """LinAdapt train → save transforms → load → predict is bit-equal to
+    the in-memory distributed path (train_linadapt predictions)."""
+    from ir_base_ray.pipelines.linadapt import (personalized_weights,
+                                                train_linadapt,
+                                                train_linadapt_transforms)
+    from ir_base_ray.state.models import (load_user_transforms,
+                                          save_user_transforms)
+
+    ds, F = _user_vec_ds()
+    rng = np.random.default_rng(2)
+    g_w = rng.normal(size=F + 1)          # bias at [0], like the LR layout
+    preds = train_linadapt(ds, g_w).to_pandas().sort_values("doc_id")
+
+    tdf = train_linadapt_transforms(ds, g_w).to_pandas()
+    users = tdf["user"].tolist()
+    A = np.stack([np.asarray(t, dtype=np.float64) for t in tdf["transform"]])
+    path = str(tmp_path / "linadapt_model")
+    save_user_transforms(path, users, A, g_w, kind="linadapt",
+                         params={"eta1": 0.5, "eta2": 0.5})
+    transforms, g_w2 = load_user_transforms(path)
+
+    assert np.array_equal(g_w, g_w2)
+    assert set(transforms) == set(users)
+    for u, row in zip(users, A):
+        assert np.array_equal(transforms[u], row)       # bit-exact
+
+    # serve predictions entirely from the LOADED transforms
+    dim = g_w2.size
+    pdf = ds.to_pandas()
+    got = {}
+    for r in pdf.itertuples():
+        t = transforms[r.user]
+        pw = personalized_weights(t[:dim], t[dim:], g_w2)
+        tids = np.asarray(list(r.tids), dtype=np.int64)
+        vals = np.asarray(list(r.vals), dtype=np.float64)
+        f = pw[0] + float((pw[tids + 1] * vals).sum())
+        got[int(r.doc_id)] = 1 if 1.0 / (1.0 + np.exp(-f)) > 0.5 else 0
+    want = dict(zip(preds["doc_id"].astype(int), preds["pred"].astype(int)))
+    assert got == want
+
+
+def test_colinadapt_transforms_save_load_predict_bitequal(ray_session,
+                                                          tmp_path):
+    """CoLinAdapt train → save A-matrix → load → rebuild personalized
+    weights is bit-equal to the in-memory result."""
+    from ir_base_ray.pipelines.linadapt import (personalized_weights,
+                                                train_colinadapt)
+    from ir_base_ray.state.models import (load_user_transforms, read_meta,
+                                          save_user_transforms)
+
+    ds, F = _user_vec_ds(seed=17)
+    rng = np.random.default_rng(4)
+    g_w = rng.normal(size=F + 1)
+    pdf = ds.to_pandas()
+    user_docs = {}
+    for r in pdf.itertuples():
+        user_docs.setdefault(r.user, []).append(
+            (np.asarray(list(r.tids), dtype=np.int64),
+             np.asarray(list(r.vals), dtype=np.float64), int(r.label)))
+    out = train_colinadapt(user_docs, g_w, topk=2)
+
+    path = str(tmp_path / "colinadapt_model")
+    save_user_transforms(path, out["users"], out["A"], g_w,
+                         kind="colinadapt", params={"topk": 2})
+    transforms, g_w2 = load_user_transforms(path)
+    assert read_meta(path)["model_kind"] == "colinadapt"
+    assert np.array_equal(g_w, g_w2)
+
+    dim = g_w2.size
+    for u, pw_mem in zip(out["users"], out["personalized"]):
+        t = transforms[u]
+        pw_loaded = personalized_weights(t[:dim], t[dim:], g_w2)
+        assert np.array_equal(pw_mem, pw_loaded), u     # bit-exact
+
+
 def test_top_words_table(tmp_path):
     import pyarrow.parquet as pq
 
