@@ -1687,3 +1687,46 @@ def wand_kernel():
             lib.wand_topk.restype = i64
         _wand_lib = lib
     return _wand_lib
+
+
+# ---------------------------------------------------------------------------
+# Kasai LCP array (suffix-array exact-substring dedup, stages/suffix_dedup):
+# lcp[r] = longest common prefix of suffixes sa[r-1] and sa[r]. The h-decay
+# walk is inherently sequential (amortized O(n)), so it lives in C; the
+# Python fallback is the same loop.
+# ---------------------------------------------------------------------------
+
+_KASAI_SRC = r"""
+#include <stdint.h>
+
+void kasai_lcp(const int64_t *seq, const int64_t *sa, const int64_t *rank,
+               int64_t n, int64_t *lcp)
+{
+    int64_t h = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rank[i];
+        if (r == 0) { lcp[0] = 0; h = 0; continue; }
+        int64_t j = sa[r - 1];
+        while (i + h < n && j + h < n && seq[i + h] == seq[j + h]) h++;
+        lcp[r] = h;
+        if (h > 0) h--;
+    }
+}
+"""
+
+_kasai_lib = None
+_kasai_tried = False
+
+
+def kasai_kernel():
+    global _kasai_lib, _kasai_tried
+    if not _kasai_tried:
+        _kasai_tried = True
+        lib = load("kasailcp", _KASAI_SRC)
+        if lib is not None:
+            P = ctypes.POINTER
+            i64 = ctypes.c_int64
+            lib.kasai_lcp.argtypes = [P(i64), P(i64), P(i64), i64, P(i64)]
+            lib.kasai_lcp.restype = None
+        _kasai_lib = lib
+    return _kasai_lib
