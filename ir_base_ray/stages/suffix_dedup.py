@@ -326,3 +326,335 @@ def suffix_dup_stats(docs_ds, *, min_len: int = 50, num_shards: int = 1,
             "n_tokens": pa.array([], pa.int64()),
             "dup_tokens": pa.array([], pa.int64())}))
     return ray.data.from_arrow(pa.concat_tables([t for _, t in outs]))
+
+
+# ---------------------------------------------------------------------------
+# Global (cross-shard-exact) duplicated spans via rolling window hashes.
+#
+# The suffix-array path above finds duplicates WITHIN a shard; the global
+# path here has no shard assumption at all — it is a pure Ray Data shuffle
+# (map_batches → multi-key groupby count → size-dispatched probe/join), so a
+# duplicate whose two occurrences live on opposite ends of a 10¹²-token
+# corpus is still found.
+#
+# Why it is the SAME output: a position p lies inside some duplicated
+# substring of length ≥ L  ⇔  some EXACTLY-length-L token window containing
+# p occurs ≥2 times in the corpus (⇐ immediate; ⇒ every length-L window of
+# the duplicated span is itself duplicated, and one of them contains p).
+# Coverage masks are therefore identical, so the maximal-run span output and
+# the (n_tokens, dup_tokens) stats match the suffix-array path exactly —
+# pinned by tests/test_suffix_dedup.py against single-shard suffix_dup_spans
+# / suffix_dup_stats on planted fixtures (including intra-doc repeats).
+#
+# Window identity is a 128-bit key: two INDEPENDENT 64-bit wraparound
+# polynomial hashes over the 64-bit MD5-prefix token ids (collision bound
+# 2⁻¹²⁸ per pair; the token-id birthday bound in the module docstring still
+# applies). Keys are position-independent via the mod-2⁶⁴ inverse of the
+# multiplier: key(p) = (P[p+L] − P[p]) · M⁻ᵖ where P is the prefix sum of
+# t[j]·Mʲ — one cumsum + one cumprod per batch, no per-window loop.
+
+_WMUL1 = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+_WMUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _inv_u64(m: np.uint64) -> np.uint64:
+    """2-adic Newton inverse of an odd multiplier mod 2^64 (x·m ≡ 1):
+    x ← x(2 − mx) doubles correct low bits each round; m·m ≡ 1 (mod 8)
+    seeds 3 bits, 6 rounds ≥ 64."""
+    x = np.uint64(m)
+    two = np.uint64(2)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            x = x * (two - m * x)
+    return x
+
+
+_WINV1 = _inv_u64(_WMUL1)
+_WINV2 = _inv_u64(_WMUL2)
+
+
+def _unpack_hashed(batch: pa.Table, id_col: str):
+    """(doc_ids, per-doc token counts, flat doc-major token-hash array)
+    from a ``_hash_tokens_stage`` output batch."""
+    lists = batch.column("hashes").combine_chunks()
+    cnt = np.asarray(
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
+    flat = np.ascontiguousarray(
+        lists.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+    return batch.column(id_col).to_numpy(), cnt, flat
+
+
+def _window_keys(flat: np.ndarray, cnt: np.ndarray, L: int):
+    """Rolling 128-bit keys for every length-``L`` token window that lies
+    wholly inside one doc. Returns (k1, k2, doc_of_w, pos_in_doc), all
+    aligned; k1/k2 are int64 bit-views of the u64 keys."""
+    n = flat.size
+    n_docs = cnt.size
+    wcnt = np.maximum(cnt - L + 1, 0)
+    total = int(wcnt.sum())
+    empty = np.empty(0, np.int64)
+    if total == 0:
+        return empty, empty, empty, empty
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    wstarts = np.zeros(n_docs, np.int64)
+    np.cumsum(wcnt[:-1], out=wstarts[1:])
+    doc_of_w = np.repeat(np.arange(n_docs, dtype=np.int64), wcnt)
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(wstarts, wcnt)
+    p = starts[doc_of_w] + pos_in_doc
+    t = flat.view(np.uint64)
+    keys = []
+    with np.errstate(over="ignore"):
+        for mul, inv in ((_WMUL1, _WINV1), (_WMUL2, _WINV2)):
+            pw = np.empty(n, np.uint64)
+            pw[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, mul, np.uint64), out=pw[1:])
+            pref = np.zeros(n + 1, np.uint64)
+            np.cumsum(t * pw, out=pref[1:])
+            ipw = np.empty(n, np.uint64)
+            ipw[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, inv, np.uint64), out=ipw[1:])
+            keys.append(((pref[p + L] - pref[p]) * ipw[p]).view(np.int64))
+    return keys[0], keys[1], doc_of_w, pos_in_doc
+
+
+def _probe_sorted_pairs(q1, q2, k1s, k2s):
+    """Vectorized membership of (q1, q2) pairs in the lexsorted key arrays
+    (k1s primary, k2s secondary; u64 order). Equal-k1 runs longer than one
+    (64-bit collisions between distinct duplicated windows) fall back to a
+    tiny per-hit binary search."""
+    q1 = q1.view(np.uint64)
+    q2 = q2.view(np.uint64)
+    hit = np.zeros(q1.size, bool)
+    if k1s.size == 0 or q1.size == 0:
+        return hit
+    lo = np.searchsorted(k1s, q1, side="left")
+    hi = np.searchsorted(k1s, q1, side="right")
+    one = hi - lo == 1
+    hit[one] = k2s[lo[one]] == q2[one]
+    for i in np.flatnonzero(hi - lo > 1):
+        seg = k2s[lo[i]:hi[i]]
+        j = np.searchsorted(seg, q2[i])
+        hit[i] = j < seg.size and seg[j] == q2[i]
+    return hit
+
+
+def _runs_stats_from_hits(doc_ids, cnt, doc_of_hit, pos_of_hit, L, id_col):
+    """Coverage → (spans table, stats table) for one hashed batch. Uses the
+    separator-padded position layout (one never-covered gap id between
+    docs) so maximal runs cannot cross doc boundaries."""
+    n_docs = cnt.size
+    pad_starts = np.zeros(n_docs, np.int64)
+    if n_docs > 1:
+        np.cumsum(cnt[:-1] + 1, out=pad_starts[1:])
+    pad_len = int(cnt.sum()) + max(n_docs - 1, 0)
+    diff = np.zeros(pad_len + 1, np.int64)
+    hp = pad_starts[doc_of_hit] + pos_of_hit
+    np.add.at(diff, hp, 1)
+    np.add.at(diff, hp + L, -1)
+    cov = np.cumsum(diff[:pad_len]) > 0
+    cov_idx = np.flatnonzero(cov)
+    doc_of_cov = np.searchsorted(pad_starts, cov_idx, side="right") - 1
+    dup_tok = np.bincount(doc_of_cov, minlength=n_docs).astype(np.int64)
+    stats = pa.table({id_col: pa.array(doc_ids, pa.int64()),
+                      "n_tokens": pa.array(cnt, pa.int64()),
+                      "dup_tokens": pa.array(dup_tok, pa.int64())})
+    if cov_idx.size == 0:
+        spans = pa.table({id_col: pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_end": pa.array([], pa.int64())})
+        return spans, stats
+    dm = np.diff(cov.astype(np.int8))
+    run_s = np.flatnonzero(dm == 1) + 1
+    run_e = np.flatnonzero(dm == -1) + 1
+    if cov[0]:
+        run_s = np.concatenate(([0], run_s))
+    if cov[-1]:
+        run_e = np.concatenate((run_e, [cov.size]))
+    doc_of_run = np.searchsorted(pad_starts, run_s, side="right") - 1
+    spans = pa.table({
+        id_col: pa.array(doc_ids[doc_of_run], pa.int64()),
+        "span_start": pa.array(run_s - pad_starts[doc_of_run], pa.int64()),
+        "span_end": pa.array(run_e - pad_starts[doc_of_run], pa.int64()),
+    })
+    return spans, stats
+
+
+def _global_dup_keys(hashed, min_len: int, id_col: str):
+    """Materialized Dataset of the (k1, k2) window keys occurring ≥2 times
+    corpus-wide: per-batch partial counts (lexsort run-length — head
+    windows cost #batches rows in the shuffle, not #occurrences) → one
+    multi-key groupby-sum → filter."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, cnt, flat = _unpack_hashed(batch, id_col)
+        k1, k2, _, _ = _window_keys(flat, cnt, min_len)
+        if k1.size == 0:
+            return pa.table({"k1": pa.array([], pa.int64()),
+                             "k2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((k2.view(np.uint64), k1.view(np.uint64)))
+        k1s, k2s = k1[order], k2[order]
+        new = np.empty(k1s.size, bool)
+        new[0] = True
+        new[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        idx = np.flatnonzero(new)
+        n = np.diff(np.append(idx, k1s.size))
+        return pa.table({"k1": pa.array(k1s[idx], pa.int64()),
+                         "k2": pa.array(k2s[idx], pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        return (batch.filter(pc.greater_equal(batch.column("n_total"), 2))
+                .select(["k1", "k2"]))
+
+    return (hashed.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(["k1", "k2"])
+            .aggregate(Sum("n", alias_name="n_total"))
+            .map_batches(keep_dups, batch_format="pyarrow")
+            .materialize())
+
+
+def _global_outputs(docs_ds, *, min_len: int, id_col: str, text_col: str,
+                    dup_broadcast_max: int, num_partitions: int, want: str):
+    hashed = docs_ds.map_batches(_hash_tokens_stage(text_col, id_col),
+                                 batch_format="pyarrow").materialize()
+    dups = _global_dup_keys(hashed, min_len, id_col)
+    n_dup = dups.count()
+
+    empty_spans = pa.table({id_col: pa.array([], pa.int64()),
+                            "span_start": pa.array([], pa.int64()),
+                            "span_end": pa.array([], pa.int64())})
+
+    if n_dup == 0:
+        if want == "spans":
+            return ray.data.from_arrow(empty_spans)
+
+        def zero_stats(batch: pa.Table) -> pa.Table:
+            doc_ids, cnt, _ = _unpack_hashed(batch, id_col)
+            return pa.table({
+                id_col: pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "dup_tokens": pa.array(np.zeros(cnt.size, np.int64),
+                                       pa.int64())})
+
+        return hashed.map_batches(zero_stats, batch_format="pyarrow")
+
+    if n_dup <= dup_broadcast_max:
+        # broadcast arm: lexsorted key arrays shipped once (ray.put),
+        # probed vectorized inside map_batches — no second shuffle.
+        dup_df = dups.to_pandas()
+        k1s = dup_df["k1"].to_numpy().view(np.uint64)
+        k2s = dup_df["k2"].to_numpy().view(np.uint64)
+        order = np.lexsort((k2s, k1s))
+        keys_ref = ray.put((np.ascontiguousarray(k1s[order]),
+                            np.ascontiguousarray(k2s[order])))
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            doc_ids, cnt, flat = _unpack_hashed(batch, id_col)
+            k1, k2, doc_of_w, pos = _window_keys(flat, cnt, min_len)
+            sk1, sk2 = ray.get(keys_ref)
+            hit = _probe_sorted_pairs(k1, k2, sk1, sk2)
+            spans, stats = _runs_stats_from_hits(
+                doc_ids, cnt, doc_of_w[hit], pos[hit], min_len, id_col)
+            return spans if want == "spans" else stats
+
+        return hashed.map_batches(per_batch, batch_format="pyarrow")
+
+    # distributed arm: emit (doc_id, pos, k1, k2) window rows and inner-join
+    # on the duplicated keys (shuffle keyed by the 128-bit window key — no
+    # driver gather of anything corpus-sized), then per-doc coverage via
+    # groupby(doc_id).map_groups.
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        doc_ids, cnt, flat = _unpack_hashed(batch, id_col)
+        k1, k2, doc_of_w, pos = _window_keys(flat, cnt, min_len)
+        return pa.table({id_col: pa.array(doc_ids[doc_of_w], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "k1": pa.array(k1, pa.int64()),
+                         "k2": pa.array(k2, pa.int64())})
+
+    matched = (hashed.map_batches(emit_windows, batch_format="pyarrow")
+               .join(dups, "inner", num_partitions, on=("k1", "k2")))
+
+    import pandas as pd
+
+    def runs_of_doc(df: pd.DataFrame) -> pd.DataFrame:
+        doc = int(df[id_col].iloc[0])
+        pos = np.sort(df["pos"].to_numpy())
+        length = int(pos[-1]) + min_len
+        diff = np.zeros(length + 1, np.int64)
+        np.add.at(diff, pos, 1)
+        np.add.at(diff, pos + min_len, -1)
+        cov = np.cumsum(diff[:length]) > 0
+        dm = np.diff(cov.astype(np.int8))
+        run_s = np.flatnonzero(dm == 1) + 1
+        run_e = np.flatnonzero(dm == -1) + 1
+        if cov[0]:
+            run_s = np.concatenate(([0], run_s))
+        if cov[-1]:
+            run_e = np.concatenate((run_e, [cov.size]))
+        return pd.DataFrame({id_col: np.full(run_s.size, doc, np.int64),
+                             "span_start": run_s.astype(np.int64),
+                             "span_end": run_e.astype(np.int64)})
+
+    spans = matched.groupby(id_col).map_groups(runs_of_doc,
+                                               batch_format="pandas")
+    if want == "spans":
+        return spans
+
+    # stats without a second join: union (doc_id, n_tokens, 0) rows with
+    # (doc_id, 0, span_length) rows, then one groupby-sum — every doc
+    # appears via the token side, dup-less docs sum to 0.
+    from ray.data.aggregate import Sum
+
+    def span_lengths(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "dup_tokens": pc.cast(pc.subtract(batch.column("span_end"),
+                                              batch.column("span_start")),
+                                  pa.int64())})
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        doc_ids, cnt, _ = _unpack_hashed(batch, id_col)
+        return pa.table({id_col: pa.array(doc_ids, pa.int64()),
+                         "n_tokens": pa.array(cnt, pa.int64()),
+                         "dup_tokens": pa.array(np.zeros(cnt.size, np.int64),
+                                                pa.int64())})
+
+    return (hashed.map_batches(doc_tokens, batch_format="pyarrow")
+            .union(spans.map_batches(span_lengths, batch_format="pyarrow"))
+            .groupby(id_col)
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("dup_tokens", alias_name="dup_tokens")))
+
+
+def global_dup_spans(docs_ds, *, min_len: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_broadcast_max: int = 5_000_000,
+                     num_partitions: int = 32):
+    """→ Dataset of (doc_id, span_start, span_end): SAME contract as
+    ``suffix_dup_spans`` but computed globally — duplicates are found across
+    the whole corpus with no shard assumption, via the window-coverage
+    equivalence documented above."""
+    return _global_outputs(docs_ds, min_len=min_len, id_col=id_col,
+                           text_col=text_col,
+                           dup_broadcast_max=dup_broadcast_max,
+                           num_partitions=num_partitions, want="spans")
+
+
+def global_dup_stats(docs_ds, *, min_len: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_broadcast_max: int = 5_000_000,
+                     num_partitions: int = 32):
+    """→ Dataset of (doc_id, n_tokens, dup_tokens): SAME contract as
+    ``suffix_dup_stats`` but computed globally (see ``global_dup_spans``)."""
+    return _global_outputs(docs_ds, min_len=min_len, id_col=id_col,
+                           text_col=text_col,
+                           dup_broadcast_max=dup_broadcast_max,
+                           num_partitions=num_partitions, want="stats")

@@ -191,3 +191,94 @@ def test_sharded_equals_single_when_dups_within_shards(ray_session):
     two = (suffix_dup_stats(ds, min_len=10, num_shards=2).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert one.to_dict("records") == two.to_dict("records")
+
+
+# --- global window-coverage path -------------------------------------------
+
+def _spans_df(ds_out):
+    return (ds_out.to_pandas()
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+
+def _stats_df(ds_out):
+    return (ds_out.to_pandas().astype({"dup_tokens": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _intra_doc_fixture():
+    """Cross-doc planted span PLUS an intra-doc repeat (same 9-token span
+    twice inside doc 5) — exercises the paper's any-two-occurrences rule
+    both paths share."""
+    tbl = _mk_docs([(1, 3, 6, 10, 14, "A")], n_docs=8, filler=40)
+    words = tbl.column("text").to_pylist()[5].split(" ")
+    span = [f"intraXtok{j}" for j in range(9)]
+    words[2:11] = span
+    words[25:34] = span
+    texts = tbl.column("text").to_pylist()
+    texts[5] = " ".join(words)
+    return pa.table({"doc_id": tbl.column("doc_id"),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_global_matches_suffix_single_shard(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.suffix_dedup import (global_dup_spans,
+                                                 global_dup_stats)
+
+    tbl = _intra_doc_fixture()
+    ds = ray.data.from_arrow(tbl)
+    for min_len in (8, 9, 10):
+        sa_spans = _spans_df(suffix_dup_spans(ds, min_len=min_len))
+        gl_spans = _spans_df(global_dup_spans(ds, min_len=min_len))
+        assert sa_spans.to_dict("records") == gl_spans.to_dict("records"), \
+            min_len
+        sa_stats = _stats_df(suffix_dup_stats(ds, min_len=min_len))
+        gl_stats = _stats_df(global_dup_stats(ds, min_len=min_len))
+        assert sa_stats.to_dict("records") == gl_stats.to_dict("records"), \
+            min_len
+    # sanity on the intra-doc doc: both of its repeated 9-token spans count
+    st = _stats_df(global_dup_stats(ds, min_len=9))
+    assert int(st.loc[st["doc_id"] == 5, "dup_tokens"].iloc[0]) == 18
+
+
+def test_global_join_arm_matches_broadcast(ray_session):
+    import ray.data
+
+    from ir_base_ray.stages.suffix_dedup import (global_dup_spans,
+                                                 global_dup_stats)
+
+    tbl = _intra_doc_fixture()
+    ds = ray.data.from_arrow(tbl)
+    bc_spans = _spans_df(global_dup_spans(ds, min_len=9))
+    jn_spans = _spans_df(global_dup_spans(ds, min_len=9,
+                                          dup_broadcast_max=0,
+                                          num_partitions=4))
+    assert bc_spans.to_dict("records") == jn_spans.to_dict("records")
+    bc_stats = _stats_df(global_dup_stats(ds, min_len=9))
+    jn_stats = _stats_df(global_dup_stats(ds, min_len=9,
+                                          dup_broadcast_max=0,
+                                          num_partitions=4))
+    assert bc_stats.to_dict("records") == jn_stats.to_dict("records")
+
+
+def test_global_finds_cross_shard_dups_suffix_misses(ray_session):
+    """The gap the global path closes: a duplicate whose occurrences land
+    in DIFFERENT doc_id shards is invisible to per-shard suffix arrays but
+    found by the global window shuffle."""
+    import ray.data
+
+    from ir_base_ray.stages.suffix_dedup import global_dup_stats
+
+    planted = [(0, 4, 9, 12, 13, "X")]   # docs 0 and 9: opposite shards
+    tbl = _mk_docs(planted, n_docs=10, filler=30)
+    ds = ray.data.from_arrow(tbl)
+    sharded = _stats_df(suffix_dup_stats(ds, min_len=10, num_shards=2))
+    assert sharded["dup_tokens"].sum() == 0          # per-shard SA misses it
+    gl = _stats_df(global_dup_stats(ds, min_len=10))
+    dup = dict(zip(gl["doc_id"], gl["dup_tokens"]))
+    assert dup[0] == 13 and dup[9] == 13
+    assert sum(dup.values()) == 26
+    # and the single-shard SA agrees with the global result
+    single = _stats_df(suffix_dup_stats(ds, min_len=10, num_shards=1))
+    assert single.to_dict("records") == gl.to_dict("records")
