@@ -242,23 +242,59 @@ def run_scaling():
     # shared DRAM/fault path is not yet the binding constraint)
     levels = tuple(int(x) for x in os.environ.get(
         "GRAFT_SCALING_LEVELS", "4,16,32").split(","))
+
+    def one_build(ncpu: int) -> dict:
+        # run isolation: flush dirty writeback from the previous build and
+        # let it settle (leftover async flush measurably slows the next
+        # run's compute on this VM) — same treatment at every level
+        subprocess.run(["sync"], check=False)
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("1")
+        except OSError:
+            pass
+        time.sleep(3)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BUILD_ONLY="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    if os.environ.get("GRAFT_SCALING_INTERLEAVED") and len(levels) == 2:
+        # Interleaved adjacent-pair protocol (BASELINE.md §9-10): this VM's
+        # fault-path throughput oscillates on a minute scale, so sequential
+        # per-level best-of-N pairs runs from DIFFERENT windows. Alternating
+        # lo,hi and pairing adjacent runs keeps each pair inside one window;
+        # a pair only counts as fair if its lo (baseline) level is at its
+        # stable value — a collapsed baseline inflates the ratio the same
+        # way a collapsed hi level deflates it, and both are artifacts.
+        lo, hi = levels
+        rounds = []
+        for _ in range(reps):
+            rl, rh = one_build(lo), one_build(hi)
+            rounds.append((rl["docs_per_sec"], rh["docs_per_sec"]))
+        lo_max = max(r[0] for r in rounds)
+        pairs = [{"docs_per_sec_lo": a, "docs_per_sec_hi": b,
+                  "eff": round((b / a) / (hi / lo), 3),
+                  "fair": a >= 0.85 * lo_max} for a, b in rounds]
+        fair = [p for p in pairs if p["fair"]]
+        best = max(fair, key=lambda p: p["eff"]) if fair else None
+        print(json.dumps({
+            "metric": ("indexing throughput scaling "
+                       f"(interleaved {lo}→{hi} adjacent pairs)"),
+            "sf": SF_DIR,
+            "levels": [lo, hi],
+            "rounds": pairs,
+            f"docs_per_sec_{lo}": max(r[0] for r in rounds),
+            f"docs_per_sec_{hi}": max(r[1] for r in rounds),
+            "scaling_efficiency": best["eff"] if best else None,
+        }))
+        return
+
     for ncpu in levels:
         best = None
         for _ in range(reps):
-            # run isolation: flush dirty writeback from the previous build and
-            # let it settle (leftover async flush measurably slows the next
-            # run's compute on this VM) — same treatment at every level
-            subprocess.run(["sync"], check=False)
-            try:
-                with open("/proc/sys/vm/drop_caches", "w") as f:
-                    f.write("1")
-            except OSError:
-                pass
-            time.sleep(3)
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BUILD_ONLY="1")
-            proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                                  capture_output=True, text=True, check=True)
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r = one_build(ncpu)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r  # best-of-N: the VM's fault-path noise is strictly additive
         out[ncpu] = best
