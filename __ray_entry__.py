@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": ops.dedup_exact,
         "dedup_near_pairs": ops.dedup_near_pairs,        # MinHash-LSH + ngram-Jaccard folded
         "dedup_substring": ops.dedup_substring,          # exact-substring spans (Lee et al. 2021)
+        "dedup_suffix_stats": ops.dedup_suffix_stats,    # suffix-array arbitrary-length spans
+        "dedup_global_stats": ops.dedup_global_stats,    # cross-shard rolling-hash path
+        "dedup_global_spans": ops.dedup_global_spans,    # maximal duplicated spans
         "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
         "ann_topk": ops.ann_topk,                        # brute + IVF-Flat folded (variant col)
         "lm_ppl_filter": ops.lm_ppl_filter,              # bigram-LM quality filter (CCNet-style)
@@ -152,6 +155,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ops.SQL_DEDUP_EXACT,
         "dedup_near_pairs": ops.sql_dedup_near_pairs(),
         "dedup_substring": ops.SQL_DEDUP_SUBSTRING,
+        "dedup_suffix_stats": ops.SQL_DEDUP_COVERAGE_STATS,
+        "dedup_global_stats": ops.SQL_DEDUP_COVERAGE_STATS,
+        "dedup_global_spans": ops.SQL_DEDUP_COVERAGE_SPANS,
         "dedup_simhash": ops.SQL_SIMHASH,
         "doc_fingerprints": ops.sql_fingerprints(),
         "ann_topk": ops.SQL_ANN_TOPK,

@@ -4212,6 +4212,111 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_suffix_stats(sf_dir: str):
+    """Arbitrary-length exact-substring dedup (the real Lee et al. 2021
+    suffix-array engine, ``stages/suffix_dedup.suffix_dup_stats``): per doc
+    the token count and the count of tokens lying inside SOME duplicated
+    substring of ≥8 tokens. SQL-oracled through the window-coverage
+    equivalence (suffix_dedup.py module comment): position p is inside a
+    duplicated ≥L-token substring ⇔ some exactly-length-L window containing
+    p repeats corpus-wide, so the DuckDB mirror counts coverage by
+    duplicated 8-windows."""
+    from ir_base_ray.stages.suffix_dedup import suffix_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = suffix_dup_stats(docs, min_len=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_global_stats(sf_dir: str):
+    """Global (cross-shard-exact) variant of :func:`dedup_suffix_stats` —
+    the pure-shuffle rolling-window-hash path
+    (``stages/suffix_dedup.global_dup_stats``), no shard assumption; same
+    output contract, same DuckDB coverage mirror."""
+    from ir_base_ray.stages.suffix_dedup import global_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = global_dup_stats(docs, min_len=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_global_spans(sf_dir: str):
+    """Maximal duplicated spans (doc_id, span_start, span_end) from the
+    global path (``stages/suffix_dedup.global_dup_spans``) — the per-doc
+    token-index runs covered by duplicated ≥8-token substrings. DuckDB
+    mirror: coverage islands (gaps-and-islands over covered positions)."""
+    from ir_base_ray.stages.suffix_dedup import global_dup_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = global_dup_spans(docs, min_len=8).to_pandas()
+    return (out.sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True))
+
+
+# Shared CTE prefix: the analyze_simple tokenizer mirror + duplicated
+# 8-token-window coverage (ALL occurrences count, incl. intra-doc — the
+# suffix-array semantics, unlike SQL_DEDUP_SUBSTRING's distinct-docs rule).
+_SQL_COVERAGE_PREFIX = r"""
+WITH raw AS (
+  SELECT doc_id, string_split_regex(text, '[\x09-\x0d\x1c-\x1f \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+') AS arr FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM raw
+), strip AS (
+  SELECT doc_id, i,
+         lower(regexp_replace(arr[i], '[^a-zA-Z0-9_]+', '', 'g')) AS s
+  FROM pos
+), tok AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+         CASE WHEN regexp_matches(s, '^[0-9]+$') THEN 'NUM' ELSE s END
+             AS term
+  FROM strip WHERE s <> ''
+), win AS (
+  SELECT doc_id, j,
+         string_agg(term, ' ') OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS shingle,
+         count(*) OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM tok
+), w8 AS (
+  SELECT doc_id, j, shingle FROM win WHERE w = 8
+), dup AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS n FROM w8 GROUP BY shingle) WHERE n >= 2
+), hits AS (
+  SELECT a.doc_id, a.j FROM w8 a JOIN dup d ON a.shingle = d.shingle
+), cov AS (
+  SELECT DISTINCT h.doc_id, h.j + r.k AS tokpos
+  FROM hits h CROSS JOIN (SELECT unnest(range(0, 8)) AS k) r
+)"""
+
+SQL_DEDUP_COVERAGE_STATS = _SQL_COVERAGE_PREFIX + r""",
+ntok AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+), dt AS (
+  SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n.n_tokens, 0) AS n_tokens,
+       coalesce(c.dup_tokens, 0) AS dup_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN ntok n ON d.doc_id = n.doc_id
+LEFT JOIN dt c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+SQL_DEDUP_COVERAGE_SPANS = _SQL_COVERAGE_PREFIX + r""",
+isl AS (
+  SELECT doc_id, tokpos,
+         tokpos - row_number() OVER (PARTITION BY doc_id ORDER BY tokpos)
+             AS grp
+  FROM cov
+)
+SELECT doc_id, min(tokpos) - 1 AS span_start, max(tokpos) AS span_end
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def sql_dedup_near_pairs():
     """UNION of the MinHash-LSH and n-gram-Jaccard mirrors under a variant
     column (schemas already identical)."""
