@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_suffix_stats": ops.dedup_suffix_stats,    # suffix-array arbitrary-length spans
         "dedup_global_stats": ops.dedup_global_stats,    # cross-shard rolling-hash path
         "dedup_global_spans": ops.dedup_global_spans,    # maximal duplicated spans
+        "dedup_global_cut": ops.dedup_global_cut,        # the cut applied (cleaned corpus)
         "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
         "ann_topk": ops.ann_topk,                        # brute + IVF-Flat folded (variant col)
         "lm_ppl_filter": ops.lm_ppl_filter,              # bigram-LM quality filter (CCNet-style)
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_suffix_stats": ops.SQL_DEDUP_COVERAGE_STATS,
         "dedup_global_stats": ops.SQL_DEDUP_COVERAGE_STATS,
         "dedup_global_spans": ops.SQL_DEDUP_COVERAGE_SPANS,
+        "dedup_global_cut": ops.SQL_DEDUP_GLOBAL_CUT,
         "dedup_simhash": ops.SQL_SIMHASH,
         "doc_fingerprints": ops.sql_fingerprints(),
         "ann_topk": ops.SQL_ANN_TOPK,

@@ -4304,6 +4304,33 @@ LEFT JOIN dt c ON d.doc_id = c.doc_id
 ORDER BY d.doc_id
 """
 
+def dedup_global_cut(sf_dir: str):
+    """The cut step APPLIED (``stages/suffix_dedup.global_dup_cut``): per
+    doc the simple-mode tokens outside duplicated ≥8-token coverage,
+    space-joined — the token-space cleaned corpus of Lee et al. 2021.
+    Every doc appears; fully-duplicated docs come back empty."""
+    from ir_base_ray.stages.suffix_dedup import global_dup_cut
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = global_dup_cut(docs, min_len=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_GLOBAL_CUT = _SQL_COVERAGE_PREFIX + r""",
+kept AS (
+  SELECT t.doc_id, t.j, t.term
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.tokpos
+  WHERE c.tokpos IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
 SQL_DEDUP_COVERAGE_SPANS = _SQL_COVERAGE_PREFIX + r""",
 isl AS (
   SELECT doc_id, tokpos,

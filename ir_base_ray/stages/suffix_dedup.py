@@ -262,6 +262,12 @@ def _sa_shard_task(block_refs: list, lo: int, hi: int, min_len: int,
 
 
 @ray.remote
+def _nrows_task(block):
+    b = ray.get(block) if isinstance(block, ray.ObjectRef) else block
+    return b.num_rows if hasattr(b, "num_rows") else len(b)
+
+
+@ray.remote
 def _id_range_task(block, id_col: str):
     b = ray.get(block) if isinstance(block, ray.ObjectRef) else block
     if b.num_rows == 0:
@@ -658,3 +664,156 @@ def global_dup_stats(docs_ds, *, min_len: int = 50, id_col: str = "doc_id",
                            text_col=text_col,
                            dup_broadcast_max=dup_broadcast_max,
                            num_partitions=num_partitions, want="stats")
+
+
+def _cut_batch(texts, doc_ids, run_s_flat, run_e_flat, id_col: str):
+    """Vectorized cut of one batch: tokenize (Arrow), mark the [run_s,
+    run_e) token intervals covered, space-join the survivors. ``run_s/e``
+    are flat np arrays of per-doc span bounds aligned with ``doc_of_run``
+    offsets into the batch (see callers)."""
+    from ir_base_ray.functions.analyzer import analyze_simple_flat
+
+    flat, cnt = analyze_simple_flat(texts)
+    n = len(flat)
+    n_docs = cnt.size
+    starts = np.zeros(n_docs, np.int64)
+    if n_docs > 1:
+        np.cumsum(cnt[:-1], out=starts[1:])
+    diff = np.zeros(n + 1, np.int64)
+    if run_s_flat.size:
+        np.add.at(diff, run_s_flat, 1)
+        np.add.at(diff, run_e_flat, -1)
+    keep = np.cumsum(diff[:n]) == 0
+    kept_cnt = (np.bincount(
+        np.repeat(np.arange(n_docs, dtype=np.int64), cnt),
+        weights=keep, minlength=n_docs).astype(np.int64)
+        if n else np.zeros(n_docs, np.int64))
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(kept_cnt, out=offs[1:])
+    kept = flat.filter(pa.array(keep)) if n else flat
+    lists = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), pa.int32()), kept)
+    return pa.table({id_col: pa.array(doc_ids, pa.int64()),
+                     "clean_text": pc.binary_join(
+                         lists.cast(pa.list_(pa.string())), " ")})
+
+
+def global_dup_cut(docs_ds, *, min_len: int = 50, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   dup_broadcast_max: int = 5_000_000,
+                   num_partitions: int = 32):
+    """The Lee et al. 2021 CUT step applied: → Dataset of
+    (doc_id, clean_text) where ``clean_text`` is the doc's simple-mode
+    tokens OUTSIDE duplicated ≥ ``min_len`` coverage, space-joined (the
+    token-space cleaned corpus; every doc appears, fully-duplicated docs
+    come back empty).
+
+    Dispatch mirrors ``global_dup_stats``: under ``dup_broadcast_max``
+    duplicated window keys the cut is a single extra ``map_batches`` over
+    the raw corpus probing the broadcast key arrays; above it, the span
+    Dataset from ``global_dup_spans`` is packed per doc (tiny groups, dup
+    docs only) and hash-joined back to the corpus on ``doc_id`` — the text
+    shuffles at most once, keyed. Both arms are pinned row-identical by
+    tests/test_suffix_dedup.py."""
+    hashed = docs_ds.map_batches(_hash_tokens_stage(text_col, id_col),
+                                 batch_format="pyarrow").materialize()
+    dups = _global_dup_keys(hashed, min_len, id_col)
+    n_dup = dups.count()
+
+    if n_dup == 0:
+        def clean_all(batch: pa.Table) -> pa.Table:
+            return _cut_batch(batch.column(text_col),
+                              batch.column(id_col).to_numpy(),
+                              np.empty(0, np.int64), np.empty(0, np.int64),
+                              id_col)
+
+        return docs_ds.map_batches(clean_all, batch_format="pyarrow")
+
+    if n_dup <= dup_broadcast_max:
+        dup_df = dups.to_pandas()
+        k1s = dup_df["k1"].to_numpy().view(np.uint64)
+        k2s = dup_df["k2"].to_numpy().view(np.uint64)
+        order = np.lexsort((k2s, k1s))
+        keys_ref = ray.put((np.ascontiguousarray(k1s[order]),
+                            np.ascontiguousarray(k2s[order])))
+
+        def cut_broadcast(batch: pa.Table) -> pa.Table:
+            from ir_base_ray.functions.analyzer import analyze_simple_flat
+            from ir_base_ray.functions.ckernels import md5_prefix64_strings
+
+            flat, cnt = analyze_simple_flat(batch.column(text_col))
+            hashes = md5_prefix64_strings(flat).view(np.int64)
+            k1, k2, doc_of_w, pos = _window_keys(hashes, cnt, min_len)
+            sk1, sk2 = ray.get(keys_ref)
+            hit = _probe_sorted_pairs(k1, k2, sk1, sk2)
+            n_docs = cnt.size
+            starts = np.zeros(n_docs, np.int64)
+            if n_docs > 1:
+                np.cumsum(cnt[:-1], out=starts[1:])
+            hs = starts[doc_of_w[hit]] + pos[hit]
+            return _cut_batch(batch.column(text_col),
+                              batch.column(id_col).to_numpy(),
+                              hs, hs + min_len, id_col)
+
+        return docs_ds.map_batches(cut_broadcast, batch_format="pyarrow")
+
+    # distributed arm: per-doc span lists (dup docs only — each map_groups
+    # group is one doc's handful of span rows) left_outer-joined to the
+    # corpus on doc_id, then one vectorized cut pass per batch.
+    import pandas as pd
+
+    spans = global_dup_spans(docs_ds, min_len=min_len, id_col=id_col,
+                             text_col=text_col,
+                             dup_broadcast_max=dup_broadcast_max,
+                             num_partitions=num_partitions)
+
+    def pack_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # span bounds ride the join as ONE binary value per doc (Acero
+        # joins reject nested/tensor payload columns): int64 starts then
+        # ends, row-major
+        order = np.argsort(df["span_start"].to_numpy())
+        s = df["span_start"].to_numpy()[order].astype(np.int64)
+        e = df["span_end"].to_numpy()[order].astype(np.int64)
+        return pd.DataFrame({id_col: [int(df[id_col].iloc[0])],
+                             "span_blob": [np.stack([s, e]).tobytes()]})
+
+    # map_groups emits SCHEMA-LESS empty pandas blocks for group-free
+    # shuffle partitions; Acero then fails the downstream join with
+    # "No match ... FieldRef.Name(doc_id) on right side". Drop the empty
+    # blocks by ref (num_rows probed remotely — blocks never reach the
+    # driver; packed is the small side, one blob row per dup doc).
+    packed_refs = (spans.groupby(id_col)
+                   .map_groups(pack_doc, batch_format="pandas")
+                   .to_arrow_refs())
+    sizes = ray.get([_nrows_task.remote(r) for r in packed_refs])
+    keep_refs = [r for r, n in zip(packed_refs, sizes) if n]
+    packed = ray.data.from_arrow_refs(keep_refs)
+    joined = docs_ds.select_columns([id_col, text_col]).join(
+        packed, "left_outer", num_partitions, on=(id_col,))
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        doc_ids = batch.column(id_col).to_numpy()
+        n_docs = len(batch)
+        from ir_base_ray.functions.analyzer import analyze_simple_flat
+
+        # doc offsets must come from THIS batch's tokenization
+        _, cnt = analyze_simple_flat(texts)
+        starts = np.zeros(n_docs, np.int64)
+        if n_docs > 1:
+            np.cumsum(cnt[:-1], out=starts[1:])
+        # per-doc METADATA unpack (zero-copy frombuffer per dup doc — not a
+        # token-level loop; clean docs are null and skipped)
+        rs_parts, re_parts = [], []
+        for i, b in enumerate(batch.column("span_blob").to_pylist()):
+            if b:
+                arr = np.frombuffer(b, np.int64).reshape(2, -1)
+                rs_parts.append(arr[0] + starts[i])
+                re_parts.append(arr[1] + starts[i])
+        rs = (np.concatenate(rs_parts) if rs_parts
+              else np.empty(0, np.int64))
+        re_ = (np.concatenate(re_parts) if re_parts
+               else np.empty(0, np.int64))
+        return _cut_batch(texts, doc_ids, rs, re_, id_col)
+
+    return joined.map_batches(cut_joined, batch_format="pyarrow")

@@ -282,3 +282,44 @@ def test_global_finds_cross_shard_dups_suffix_misses(ray_session):
     # and the single-shard SA agrees with the global result
     single = _stats_df(suffix_dup_stats(ds, min_len=10, num_shards=1))
     assert single.to_dict("records") == gl.to_dict("records")
+
+
+def test_global_cut_both_arms_and_token_accounting(ray_session):
+    """global_dup_cut: (a) join arm == broadcast arm row-for-row; (b) the
+    cleaned text's token count equals n_tokens - dup_tokens from
+    global_dup_stats (the cut removes exactly the covered tokens); (c) the
+    kept tokens are the original token sequence with covered positions
+    deleted (order preserved)."""
+    import ray.data
+
+    from ir_base_ray.functions.analyzer import analyze_simple
+    from ir_base_ray.stages.suffix_dedup import (global_dup_cut,
+                                                 global_dup_spans,
+                                                 global_dup_stats)
+
+    tbl = _intra_doc_fixture()
+    ds = ray.data.from_arrow(tbl)
+    bc = (global_dup_cut(ds, min_len=9).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    jn = (global_dup_cut(ds, min_len=9, dup_broadcast_max=0,
+                         num_partitions=4).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert bc.to_dict("records") == jn.to_dict("records")
+
+    stats = (global_dup_stats(ds, min_len=9).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    spans = global_dup_spans(ds, min_len=9).to_pandas()
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    assert list(bc["doc_id"]) == list(stats["doc_id"])
+    for _, row in stats.iterrows():
+        doc = int(row["doc_id"])
+        clean = bc.loc[bc["doc_id"] == doc, "clean_text"].iloc[0]
+        kept = clean.split() if clean else []
+        assert len(kept) == int(row["n_tokens"]) - int(row["dup_tokens"])
+        toks = analyze_simple(texts[doc])
+        covered = set()
+        for _, s in spans[spans["doc_id"] == doc].iterrows():
+            covered.update(range(int(s["span_start"]), int(s["span_end"])))
+        expect = [t for i, t in enumerate(toks) if i not in covered]
+        assert kept == expect
