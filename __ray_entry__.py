@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_global_stats": ops.dedup_global_stats,    # cross-shard rolling-hash path
         "dedup_global_spans": ops.dedup_global_spans,    # maximal duplicated spans
         "dedup_global_cut": ops.dedup_global_cut,        # the cut applied (cleaned corpus)
+        "dedup_clusters": ops.dedup_clusters,            # pair graph → connected components
         "dedup_simhash": ops.dedup_simhash,              # SQL-mirrored simhash
         "ann_topk": ops.ann_topk,                        # brute + IVF-Flat folded (variant col)
         "lm_ppl_filter": ops.lm_ppl_filter,              # bigram-LM quality filter (CCNet-style)
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_global_stats": ops.SQL_DEDUP_COVERAGE_STATS,
         "dedup_global_spans": ops.SQL_DEDUP_COVERAGE_SPANS,
         "dedup_global_cut": ops.SQL_DEDUP_GLOBAL_CUT,
+        "dedup_clusters": ops.sql_dedup_clusters(),
         "dedup_simhash": ops.SQL_SIMHASH,
         "doc_fingerprints": ops.sql_fingerprints(),
         "ann_topk": ops.SQL_ANN_TOPK,

@@ -4344,6 +4344,37 @@ ORDER BY doc_id, span_start
 """
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup pair graph → connected components → (doc_id, cluster_id)
+    — the dedup DECISION step (keep one doc per cluster) downstream of the
+    MinHash-LSH pair emitter (``stages/dedup.connected_components``).
+    cluster_id = min doc_id in the component; only paired docs appear."""
+    from ir_base_ray.stages.dedup import (connected_components,
+                                          minhash_lsh_dedup)
+
+    pairs = minhash_lsh_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_perm=64, num_bands=16, shingle_n=3, threshold=0.5)
+    out = connected_components(pairs).to_pandas()
+    if len(out) == 0:  # empty Dataset loses its schema through to_pandas
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_dedup_clusters():
+    """Recursive-CTE mirror: transitive closure of the undirected
+    MinHash-LSH pair graph, component id = min reachable doc_id."""
+    return (
+        "WITH RECURSIVE pairs AS (" + sql_minhash_lsh() + "),\n"
+        "und AS (SELECT id_a AS a, id_b AS b FROM pairs\n"
+        "        UNION SELECT id_b, id_a FROM pairs),\n"
+        "reach(a, b) AS (SELECT a, b FROM und\n"
+        "  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),\n"
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id\n"
+        "         FROM reach GROUP BY a)\n"
+        "SELECT doc_id, cluster_id FROM comp ORDER BY doc_id")
+
+
 def sql_dedup_near_pairs():
     """UNION of the MinHash-LSH and n-gram-Jaccard mirrors under a variant
     column (schemas already identical)."""

@@ -852,3 +852,110 @@ def substring_dup_stats(docs_ds, *, window: int = 8,
             .groupby("doc_id")
             .aggregate(Sum("n_occ", alias_name="n_windows"),
                        Sum("dup_occ", alias_name="dup_windows")))
+
+
+# ------------------------------------------------ near-dup clustering
+
+def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                         edge_broadcast_max: int = 5_000_000,
+                         num_partitions: int = 32, max_rounds: int = 64):
+    """→ Dataset of (doc_id, cluster_id): connected components of the
+    undirected near-dup pair graph, ``cluster_id`` = min doc_id in the
+    component — the missing link between pair emitters (MinHash-LSH /
+    SimHash / embedding near-dup) and the actual dedup decision (keep one
+    doc per cluster). Only nodes appearing in pairs are emitted; docs
+    without a pair are trivially their own singleton cluster and never
+    enter the shuffle.
+
+    Size dispatch (the repo's standard device): with ≤
+    ``edge_broadcast_max`` edges the edge list gathers ONCE to the driver
+    and converges by vectorized min-label propagation with pointer jumping
+    (numpy, O(E) per round, ≈log(diameter) rounds — LSH components are
+    near-cliques). Above the bound: distributed label propagation — each
+    round hash-joins current labels onto the reversed edge list, takes a
+    ``groupby(src).min``, and merges into the label table (keyed shuffles
+    only, materialized per round; rounds bounded by graph diameter). Both
+    arms pinned row-identical by tests/test_dedup.py."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.select_columns([id_a, id_b]).materialize()
+    n_edges = edges.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+
+    if n_edges <= edge_broadcast_max:
+        df = edges.to_pandas()
+        a = df[id_a].to_numpy().astype(np.int64, copy=False)
+        b = df[id_b].to_numpy().astype(np.int64, copy=False)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ea, eb = inv[: a.size], inv[a.size:]
+        lab = np.arange(nodes.size, dtype=np.int64)
+        while True:
+            new = lab.copy()
+            # nodes are sorted ascending, so min INDEX == min doc_id
+            np.minimum.at(new, ea, lab[eb])
+            np.minimum.at(new, eb, lab[ea])
+            new = new[new]                     # pointer jumping
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(nodes[lab], pa.int64())}))
+
+    # distributed arm: alternating min-label propagation over keyed shuffles
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        av = batch.column(id_a).cast(pa.int64())
+        bv = batch.column(id_b).cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays(
+                             [av.combine_chunks(), bv.combine_chunks()]),
+                         "dst": pa.concat_arrays(
+                             [bv.combine_chunks(), av.combine_chunks()])})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("src").to_numpy()
+        nbr = batch.column("min_dst").to_numpy()
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "label": pa.array(np.minimum(node, nbr), pa.int64())})
+
+    labels = (und.groupby("src").aggregate(Min("dst", alias_name="min_dst"))
+              .map_batches(seed_labels, batch_format="pyarrow").materialize())
+
+    for _ in range(max_rounds):
+        # neighbor labels: join labels onto edge DESTINATIONS, min per src
+        cand = (und.join(labels, "inner", num_partitions,
+                         on=("dst",), right_on=("node",))
+                .groupby("src").aggregate(Min("label", alias_name="nbr_min"))
+                .materialize())
+        merged = labels.join(cand, "left_outer", num_partitions,
+                             on=("node",), right_on=("src",)).materialize()
+
+        def update(batch: pa.Table) -> pa.Table:
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            nm = batch.column("nbr_min").to_numpy(zero_copy_only=False)
+            nm = np.where(np.isnan(nm.astype(np.float64)), lab,
+                          nm) if nm.dtype != np.int64 else nm
+            new = np.minimum(lab, nm)
+            return pa.table({"node": batch.column("node").cast(pa.int64()),
+                             "label": pa.array(new.astype(np.int64),
+                                               pa.int64()),
+                             "changed": pa.array((new < lab).astype(np.int64),
+                                                 pa.int64())})
+
+        labels = merged.map_batches(update,
+                                    batch_format="pyarrow").materialize()
+        n_changed = labels.sum("changed")
+        labels = labels.select_columns(["node", "label"]).materialize()
+        if not n_changed:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "cluster_id": batch.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

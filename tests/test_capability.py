@@ -724,3 +724,47 @@ def test_minhash_vectorized_sigs_match_per_doc_walk():
             h = _shingle_hashes(sh)
             exp = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
         assert np.array_equal(got[i].astype(np.uint64), exp), (i, t)
+
+
+def test_connected_components_both_arms(ray_session):
+    """connected_components: driver union-find arm == distributed
+    label-propagation arm == naive union-find oracle, on a graph mixing a
+    chain, a clique, a 2-node component and a random gnm graph."""
+    import ray.data
+
+    from ir_base_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(11)
+    edges = [(1, 2), (2, 3), (3, 4),                    # chain
+             (10, 11), (10, 12), (11, 12),              # clique
+             (20, 21)]                                  # pair
+    nodes = rng.choice(np.arange(100, 200), size=60, replace=False)
+    for _ in range(40):                                 # random gnm
+        a, b = rng.choice(nodes, 2, replace=False)
+        edges.append((int(a), int(b)))
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype(np.int64)
+
+    # naive union-find oracle
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = sorted((n, find(n)) for n in parent)
+
+    ds = ray.data.from_pandas(df)
+    drv = (connected_components(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    dist = (connected_components(ds, edge_broadcast_max=0, num_partitions=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got_drv = list(zip(drv["doc_id"], drv["cluster_id"]))
+    got_dist = list(zip(dist["doc_id"], dist["cluster_id"]))
+    assert got_drv == expect
+    assert got_dist == expect
